@@ -1,0 +1,236 @@
+"""Deduplication operators (north-star ⊕, SURVEY.md §2): exact,
+MinHash+LSH, SimHash, and exact n-gram-Jaccard — over the ``documents``
+table, generalizing the reference's pair-dedup O8
+(``/root/reference/src/mr/CountReference.java:269-276,308-320``).
+
+Oracle-portability design: every hash is md5-derived (byte-identical in
+any engine), so even the *approximate* operators have exact DuckDB
+oracles — the oracle replays the same signatures/bands, and the verify
+step recomputes the same exact similarity, so outputs match set-for-set.
+
+Scale design (100 TB):
+* Signatures are computed with array higher-order functions inside the
+  scan stage — md5 per shingle ONCE into an array, then per-seed
+  ``array_min`` — zero shuffles until the band join.
+* Candidate generation is a shuffle join on (band_id, band_key), i.e.
+  cost ∝ docs × bands, never docs², and hot buckets are AQE-skew-split.
+* Verification joins token sets only for candidate pairs.
+* SimHash banding is pigeonhole-COMPLETE: 4 bands over a 32-bit
+  signature guarantee every pair at Hamming distance ≤ 3 shares ≥ 1
+  exact band, so blocked output ≡ brute-force output (the oracle brute
+  forces; equality is provable, not sampled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3  #: tokens per shingle for near-dup ops
+NUM_HASHES = 16  #: minhash signature length
+BAND_ROWS = 2  #: minhash rows per band → 8 bands; P(cand|j)=1-(1-j^2)^8
+SIMHASH_BITS = 32  #: one bit per md5 hex digit
+SIMHASH_BANDS = 4  #: 8 bits/band; complete for Hamming ≤ SIMHASH_BANDS-1
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles of a document, as an array column."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct text with
+    the representative (min doc_id) and the multiplicity. The classic
+    hash-groupBy — Catalyst plans it partial+final, so at 100 TB the
+    shuffle carries one row per distinct fingerprint per partition."""
+    from ..functions.text import fingerprint
+
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("text_fp"))
+        .groupBy("text_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
+    md5('<i>:' || shingle). One md5 array per seed, computed in the scan
+    stage (no shuffle, no UDF)."""
+    sh = shingles(F.col("text"))
+
+    def sig(i: int) -> Column:
+        # NB: close over the seed — a default-arg lambda would change the
+        # lambda's arity and make F.transform pass the element INDEX.
+        prefix = f"{i}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return docs.select(
+        F.col("doc_id"), *[sig(i).alias(f"sig_{i}") for i in range(num_hashes)]
+    )
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_id, band_key) rows."""
+    n_bands = NUM_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col("doc_id"), F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band. Equi-join on
+    (band_id, band_key) — the scalable docs×bands shuffle, never docs²."""
+    bands = _minhash_bands(minhash_signatures(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sets = docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
+    return (
+        pairs.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: LSH candidates, verified with
+    exact shingle Jaccard ≥ threshold. Recall at j=0.5 is
+    1-(1-0.25)^8 ≈ 0.90 with the default banding (tune NUM_HASHES /
+    BAND_ROWS per corpus; the driver data's planted near-dups sit at
+    j ≥ 0.5 against a < 0.1 background)."""
+    cands = minhash_candidate_pairs(docs)
+    return pair_jaccard(docs, cands).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (no LSH): inverted-index join
+    on shingle, count collisions per pair, Jaccard from set sizes. This
+    is the exact-recall baseline; cost ∝ Σ bucket², so it needs shingle
+    frequency capping at extreme scale (LSH above is the scale path)."""
+    sh = docs.select(F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash as a '0'/'1' string, one bit per
+    md5 hex-digit position — bit_p = sign of Σ_tokens (digit_p ≥ '8' ? +1 : -1)
+    (frequency-weighted, duplicates count). Portable to any engine with
+    md5 + substr, hence exactly oracle-checkable."""
+    mds = F.transform(_tokens(F.col("text")), F.md5)
+
+    def bit(p: int) -> Column:
+        # closure, not default-arg lambda (F.aggregate checks lambda arity)
+        def step(acc: Column, m: Column) -> Column:
+            return acc + F.when(F.substring(m, p, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+
+        score = F.aggregate(mds, F.lit(0), step)
+        return F.when(score >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(*[bit(p) for p in range(1, SIMHASH_BITS + 1)]).alias("simhash"),
+    )
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    terms = [
+        F.when(F.substring(a, p, 1) != F.substring(b, p, 1), 1).otherwise(0)
+        for p in range(1, SIMHASH_BITS + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+    """SimHash near-dup pairs with Hamming ≤ 3 via 4-band blocking.
+
+    COMPLETE, not approximate: ≤3 differing bits across 4 disjoint 8-bit
+    bands leave ≥1 band identical (pigeonhole), so the band join finds
+    every qualifying pair and the Hamming filter makes the result exactly
+    the brute-force set — at band-join cost instead of docs²."""
+    sigs = simhash_signatures(docs)
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * band_w + 1, band_w).alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,341 @@
+"""North-star ⊕ queries (SURVEY.md §2): dedup, similarity search,
+multimodal columns, text analysis — the LLM-training-data-pipeline
+surface, each with an exact DuckDB oracle wherever the computation is
+deterministic (which, by md5/integer-hyperplane design, includes the
+MinHash, SimHash and LSH *approximate* operators — the oracle replays
+the identical approximation; see operators/dedup.py docstring).
+
+Oracle SQL for the signature-based ops is generated programmatically
+below so both engines share one parameterization (NUM_HASHES, bands,
+bit width) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions import vectors as V
+from ..operators import dedup, multimodal, similarity
+from ..sources.parquet import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments, parameterized identically to operators/dedup.py
+
+_TOKS = "string_split(text, ' ')"
+#: distinct 3-token shingles — twin of dedup.shingles()
+_SHINGLES = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))"
+)
+_SIG_EXPRS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+    for i in range(dedup.NUM_HASHES)
+)
+_N_BANDS = dedup.NUM_HASHES // dedup.BAND_ROWS
+_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, sig_{b * dedup.BAND_ROWS} || '|' || "
+    f"sig_{b * dedup.BAND_ROWS + 1} AS band_key FROM sig"
+    for b in range(_N_BANDS)
+)
+_SIMHASH_BITS = ", ".join(
+    "CASE WHEN list_sum(list_transform(mds, "
+    f"m -> CASE WHEN substr(m, {p}, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 "
+    "THEN '1' ELSE '0' END"
+    for p in range(1, dedup.SIMHASH_BITS + 1)
+)
+_SIMHASH_CTE = (
+    f"WITH m AS (SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS mds "
+    "FROM documents) "
+    f"SELECT doc_id, concat({_SIMHASH_BITS}) AS simhash FROM m"
+)
+_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.simhash, {p}, 1) <> substr(b.simhash, {p}, 1) THEN 1 ELSE 0 END"
+    for p in range(1, dedup.SIMHASH_BITS + 1)
+)
+
+
+def _hyperplane_sql(j: int, dim: int = 64) -> str:
+    vals = ", ".join(f"{x:.1f}" for x in similarity.hyperplane(j, dim))
+    return f"[{vals}]::DOUBLE[]"
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN list_dot_product(v, {_hyperplane_sql(j)}) >= 0 THEN '1' ELSE '0' END"
+    for j in range(similarity.NUM_HYPERPLANES)
+) + ")"
+
+_COSINE_SQL = (
+    "round(list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signature",
+    oracle=f"""
+    SELECT doc_id, {_SIG_EXPRS}
+    FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    """,
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
+    bands AS ({_BANDS_UNION}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT c.da, c.db, count(*) AS i
+      FROM cands c
+      JOIN tok ta ON ta.doc_id = c.da
+      JOIN tok tb ON tb.doc_id = c.db AND tb.s = ta.s
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT inter.da AS doc_a, inter.db AS doc_b,
+             round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.da = sa.doc_id
+      JOIN sz sb ON inter.db = sb.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT da AS doc_a, db AS doc_b,
+             round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("simhash_signature", oracle=_SIMHASH_CTE)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH s AS ({_SIMHASH_CTE})
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_HAMMING} AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    WHERE hamming <= {dedup.SIMHASH_BANDS - 1}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side blocks by 4 bands (cost ∝ collisions); oracle brute
+    forces all pairs. Outputs provably identical (pigeonhole — see
+    operators/dedup.py)."""
+    return dedup.simhash_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, {_COSINE_SQL} AS cosine
+    FROM e, q WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, {_COSINE_SQL} AS cosine
+    FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    return emb.select("vec_id", "label", F.round(V.norm(v), 6).alias("l2"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TXT.BPE_TOKEN_PATTERN}')) AS BIGINT)
+             AS bpe_tokens,
+           round(list_sum(list_transform({_TOKS}, t -> strlen(t))) * 1.0
+                 / len({_TOKS}), 6) AS mean_tok_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count(t).alias("ws_tokens"),
+        TXT.bpe_token_count(t).alias("bpe_tokens"),
+        F.round(TXT.mean_token_len(t), 6).alias("mean_tok_len"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+_STOP_RATIO = (
+    f"len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) * 1.0 / len({_TOKS})"
+)
+_PUNCT_RATIO = (
+    "(strlen(text) - strlen(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))"
+    " * 1.0 / strlen(text)"
+)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round({_STOP_RATIO}, 6) AS stop_ratio,
+           round({_PUNCT_RATIO}, 6) AS punct_ratio,
+           round((least(strlen(text) / 500.0, 1.0)
+                  + least(({_STOP_RATIO}) * 4.0, 1.0)
+                  + (1.0 - least(({_PUNCT_RATIO}) * 10.0, 1.0))) / 3.0, 6)
+             AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality + language-likeness scoring (stop_ratio doubles as the
+    language-ID score; see functions/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(TXT.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TXT.quality_score(t), 6).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5(lower(trim(text))) AS fp,
+           list_min(list_transform(
+             range(1, greatest(len({_TOKS}) - 4, 1) + 1),
+             i -> md5(array_to_string(list_slice({_TOKS}, i, i + 4), ' ')))) AS shingle_fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.fingerprint(t).alias("fp"),
+        TXT.shingle_fingerprint(t, k=5).alias("shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal family
+@register(
+    "multimodal_blob_stats",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS blob_md5
+    FROM documents
+    """,
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: blob + typed metadata, hashed JVM-side."""
+    blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.md5(F.col("blob")).alias("blob_md5")
+    )
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(least(8, greatest(1, octet_length(encode(text)) // 64)) AS BIGINT)
+             AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style 1→N frame fan-out through mapInPandas (real Arrow
+    batching, stubbed codec), re-aggregated to a checkable count."""
+    blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(blobs, every_n_bytes=64, max_frames=8)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@register("multimodal_features")  # mapInPandas fake-decode → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(blobs)

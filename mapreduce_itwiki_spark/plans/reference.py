@@ -1,0 +1,237 @@
+"""Reference-surface queries — one per SQL-expressible operator row of
+SURVEY.md §2 (O1–O13), each with its DuckDB oracle.
+
+The reference computes exactly one query (incoming distinct-source link
+counts, ``/root/reference/src/mr/CountReference.java``); the flagship
+``wiki_incoming_refs`` re-targets that full pipeline shape at the
+``documents`` table (docs ≈ pages, whitespace tokens ≈ link targets),
+and the remaining entries isolate each operator on the TPC-H-ish tables
+so the oracle exercises them independently.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+# --------------------------------------------------------------------------
+# Flagship: the whole reference pipeline shape (O3→O6→O8→O10→O11, chained
+# two-stage aggregation O13) on the documents corpus.
+@register(
+    "wiki_incoming_refs",
+    oracle="""
+    SELECT token AS page_to, count(DISTINCT doc_id) AS n_refs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE trim(token) <> ''
+    GROUP BY token
+    ORDER BY page_to
+    """,
+)
+def wiki_incoming_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs-as-pages analog of CountReference: for every token, the number
+    of DISTINCT documents containing it (repeats within a doc count once,
+    = Reducer1+Reducer2 semantics, CountReference.java:269-276,298-305)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("page_from"),
+            F.explode(F.split(F.col("text"), " ")).alias("page_to"),
+        )
+        .filter(F.trim(F.col("page_to")) != "")
+        .dropDuplicates(["page_to", "page_from"])  # O8
+    )
+    return (
+        pairs.groupBy("page_to")
+        .agg(F.count(F.lit(1)).alias("n_refs"))  # O10
+        .orderBy("page_to")  # O11
+    )
+
+
+# --------------------------------------------------------------------------
+# O1 — scan with filter + projection pushdown (parquet path).
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan; `.explain` shows PushedFilters + 5-column ReadSchema
+    (the reference prunes manually at parse time, CountReference.java:228-232)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1995-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_partkey", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# O3 — regex extract-all + flatMap (explode).
+@register(
+    "regex_extract_explode",
+    oracle="""
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{5,}')) AS word
+    FROM documents
+    """,
+)
+def regex_extract_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ≥5-letter word per doc (CountReference.java:247-249's
+    extract-all-matches loop as explode(regexp_extract_all))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), 0)).alias("word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O4 — keep text before the first delimiter (pipe-target split).
+@register(
+    "pipe_split",
+    oracle="""
+    SELECT p_partkey, split_part(p_name, ' ', 1) AS head
+    FROM part
+    """,
+)
+def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_index = CountReference.java:251-253's split-before-first-pipe."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey"), F.substring_index(F.col("p_name"), " ", 1).alias("head")
+    )
+
+
+# --------------------------------------------------------------------------
+# O5 — substring-blacklist predicate.
+@register(
+    "substring_blacklist_filter",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT (p_name LIKE '%green%' OR p_name LIKE '%blue%' OR p_name LIKE '%red%')
+    """,
+)
+def substring_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains()-based exclusion, the shape of the namespace filter
+    (CountReference.java:254-256; substring, not prefix)."""
+    part = load_table(spark, sf_dir, "part")
+    keep = (
+        ~F.col("p_name").contains("green")
+        & ~F.col("p_name").contains("blue")
+        & ~F.col("p_name").contains("red")
+    )
+    return part.filter(keep).select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------------
+# O6 — character strip + trim normalization.
+@register(
+    "strip_normalize",
+    oracle="""
+    SELECT c_custkey, trim(regexp_replace(c_name, '[0-9#,]', '', 'g')) AS clean_name
+    FROM customer
+    """,
+)
+def strip_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace-all + trim (CountReference.java:260-261 strips [ ] ,).
+    NB the oracle needs DuckDB's 'g' flag to match Spark's replace-all."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey"),
+        F.trim(F.regexp_replace(F.col("c_name"), "[0-9#,]", "")).alias("clean_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O8 — distinct pair dedup (the semantic heart of Job 1).
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates == the full-key grouping comparator trick
+    (CountReference.java:308-320) as a partial+final hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_suppkey").dropDuplicates(["l_orderkey", "l_suppkey"])
+
+
+# --------------------------------------------------------------------------
+# O10 — group-by count.
+@register(
+    "group_count",
+    oracle="SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducer2's sum-of-ones (CountReference.java:298-305) — with the
+    map-side partial agg the reference lacked (no combiner registered)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# O11 — total-order sort.
+@register(
+    "total_sort",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    """,
+)
+def total_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned total sort at any parallelism — the reference
+    gets total order only by running a single reducer (SURVEY.md §2 O11)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name", "c_acctbal").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# O12 — CSV sink with header, round-tripped.
+@register(
+    "csv_sink_roundtrip",
+    oracle="SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a header-bearing CSV (CountReference.java:292-304,365-377's
+    artifact) and read it back with an explicit schema — proves the sink
+    without inference. coalesce(1) is export-only; see sinks.py."""
+    from ..sources.sinks import write_csv_with_header
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    out = os.path.join(tempfile.gettempdir(), "itwiki_spark_csv_sink")
+    write_csv_with_header(agg, out, single_file=True)
+    return spark.read.schema("o_orderpriority string, n long").option("header", True).csv(out)
+
+
+# --------------------------------------------------------------------------
+# O13 — the chained two-stage aggregation (dedup → count), Job1→Job2 in
+# one DAG.
+@register(
+    "two_stage_agg",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    GROUP BY l_suppkey
+    """,
+)
+def two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, supplier) pairs, then orders per supplier — the
+    reference's signature shape (CountReference.java:339-356) with the FS
+    round-trip between jobs eliminated (O9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

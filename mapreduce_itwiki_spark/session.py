@@ -1,0 +1,42 @@
+"""SparkSession factory.
+
+Local test profile mirrors the driver environment (local[N], one JVM),
+but every knob is chosen so the same plans scale to a multi-executor
+cluster: AQE for runtime re-planning (skew joins, small-shuffle
+coalescing), Arrow for the few Pandas-UDF paths, UTC session timezone so
+results are oracle-comparable, and shuffle partitions sized to cores
+locally (override via spark.sql.shuffle.partitions on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32 — only meaningful for
+    local mode; on a cluster the master/executor topology comes from
+    spark-submit and these configs pass through harmlessly.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle parallelism ≈ cores locally; AQE coalesces further at runtime
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

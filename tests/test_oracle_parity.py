@@ -1,0 +1,73 @@
+"""The local twin of the driver's correctness gate: run every catalog
+query through Spark at sf0.001 AND its DuckDB oracle, compare row
+count, column names, and values — strictly (stringified cell equality
+after column+row sort), because that is what an order-insensitive
+value hash will see. Floats are rounded in-query on both sides by
+design; this test is what proves the rounding discipline works.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_itwiki_spark.plans import catalog
+
+from conftest import SF_SMALL
+
+ALL = sorted(catalog.queries())
+ORACLES = catalog.oracles()
+
+
+def _normalize(rows, columns):
+    out = []
+    for row in rows:
+        cells = []
+        for c in columns:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    cells.append("nan")
+                else:
+                    # kill -0.0 and float-repr noise at the hash boundary
+                    cells.append(f"{v + 0.0:.9g}")
+            elif v is None:
+                cells.append("∅")
+            else:
+                cells.append(str(v))
+        out.append(tuple(cells))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(name, spark, duck):
+    sdf = catalog.queries()[name](spark, SF_SMALL)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    assert len(spark_rows) >= 0  # plan executed
+
+    if name not in ORACLES:  # rows-only contract: schema is stable, ≥0 rows
+        assert sdf.columns
+        return
+
+    # remap the oracle views to sf0.001 via the small_ prefix
+    sql = ORACLES[name]
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        sql = sql.replace(f"FROM {t}", f"FROM small_{t}").replace(
+            f"JOIN {t} ", f"JOIN small_{t} "
+        )
+    res = duck.execute(sql)
+    oracle_cols = [d[0] for d in res.description]
+    oracle_rows = [dict(zip(oracle_cols, row)) for row in res.fetchall()]
+
+    assert sorted(sdf.columns) == sorted(oracle_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(oracle_rows), f"{name}: row count differs"
+
+    cols = sorted(oracle_cols)
+    left = _normalize(spark_rows, cols)
+    right = _normalize(oracle_rows, cols)
+    mismatches = [(l, r) for l, r in zip(left, right) if l != r]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
