@@ -26,7 +26,7 @@ HEADLINE = [
     "two_stage_agg",
     "sessionize",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "simhash_signature",
     "ann_cosine_topk",
     "text_quality",
 ]

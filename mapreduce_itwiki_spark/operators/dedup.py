@@ -37,6 +37,20 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit repartition before CPU-heavy per-row compute.
+
+    Two jobs in one: (a) decouples parallelism from input file splits
+    (a few MB of parquet = one split, but signature math is CPU-bound,
+    not byte-bound); (b) the exchange MATERIALIZES the projected
+    columns, so an expensive array column computed just before it is
+    evaluated once instead of being re-inlined into every downstream
+    expression by CollapseProject. Explicit numPartitions so AQE does
+    not coalesce it away."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-token shingles of a document, as an array column."""
     toks = _tokens(text)
@@ -65,16 +79,24 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
     md5('<i>:' || shingle). One md5 array per seed, computed in the scan
     stage (no shuffle, no UDF)."""
-    sh = shingles(F.col("text"))
-
-    def sig(i: int) -> Column:
-        # NB: close over the seed — a default-arg lambda would change the
-        # lambda's arity and make F.transform pass the element INDEX.
-        prefix = f"{i}:"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-    return docs.select(
-        F.col("doc_id"), *[sig(i).alias(f"sig_{i}") for i in range(num_hashes)]
+    # Explode-then-aggregate rather than array higher-order functions:
+    # HOF lambdas (transform/aggregate) evaluate INTERPRETED per element,
+    # while md5/min over exploded rows stay inside whole-stage codegen —
+    # ~10× on CPU-bound signature math. The min() partial-aggregates
+    # map-side, and rows for a doc are co-partitioned by the fan-out, so
+    # the groupBy exchange carries one row per (doc, partition).
+    sh_rows = _fanout(
+        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
+    ).select(F.col("doc_id"), F.explode(F.col("sh")).alias("s"))
+    hashed = sh_rows.select(
+        F.col("doc_id"),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
     )
 
 
@@ -112,7 +134,9 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
-    sets = docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh"))
+    sets = _fanout(
+        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
+    )
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -143,7 +167,9 @@ def ngram_jaccard_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     on shingle, count collisions per pair, Jaccard from set sizes. This
     is the exact-recall baseline; cost ∝ Σ bucket², so it needs shingle
     frequency capping at extreme scale (LSH above is the scale path)."""
-    sh = docs.select(F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s"))
+    sh = _fanout(
+        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
+    ).select(F.col("doc_id"), F.explode(F.col("sh")).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -171,19 +197,32 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     md5 hex-digit position — bit_p = sign of Σ_tokens (digit_p ≥ '8' ? +1 : -1)
     (frequency-weighted, duplicates count). Portable to any engine with
     md5 + substr, hence exactly oracle-checkable."""
-    mds = F.transform(_tokens(F.col("text")), F.md5)
-
-    def bit(p: int) -> Column:
-        # closure, not default-arg lambda (F.aggregate checks lambda arity)
-        def step(acc: Column, m: Column) -> Column:
-            return acc + F.when(F.substring(m, p, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-
-        score = F.aggregate(mds, F.lit(0), step)
-        return F.when(score >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return docs.select(
+    # Same explode-not-HOF design as minhash_signatures: md5 once per
+    # token row, 32 codegen'd ±1 columns, map-side-partial sum per doc.
+    tok_rows = _fanout(
+        docs.select(F.col("doc_id"), _tokens(F.col("text")).alias("toks")), "doc_id"
+    ).select(F.col("doc_id"), F.explode(F.col("toks")).alias("t"))
+    tok_rows = tok_rows.select(F.col("doc_id"), F.md5(F.col("t")).alias("m"))
+    scored = tok_rows.select(
         F.col("doc_id"),
-        F.concat(*[bit(p) for p in range(1, SIMHASH_BITS + 1)]).alias("simhash"),
+        *[
+            F.when(F.substring(F.col("m"), p, 1) >= "8", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b_{p}")
+            for p in range(1, SIMHASH_BITS + 1)
+        ],
+    )
+    agg = scored.groupBy("doc_id").agg(
+        *[F.sum(f"b_{p}").alias(f"s_{p}") for p in range(1, SIMHASH_BITS + 1)]
+    )
+    return agg.select(
+        F.col("doc_id"),
+        F.concat(
+            *[
+                F.when(F.col(f"s_{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(1, SIMHASH_BITS + 1)
+            ]
+        ).alias("simhash"),
     )
 
 
@@ -231,6 +270,9 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_BANDS - 1) -> 
             F.col("b.doc_id").alias("doc_b"),
             _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: low-entropy corpora make band buckets
+        # collide heavily (~4 dup rows per surviving pair is nothing; 400k
+        # non-qualifying rows through the distinct exchange is the cost)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
