@@ -1,0 +1,86 @@
+"""Unit tests for operator internals not covered by the oracle harness:
+multimodal Arrow plumbing, similarity determinism, sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_itwiki_spark.operators import dedup, multimodal, similarity
+from mapreduce_itwiki_spark.sources.parquet import load_table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").limit(20)
+
+
+def test_attach_blob_schema_and_bytes(spark, docs):
+    blobs = multimodal.attach_blob(docs)
+    assert [f.name for f in blobs.schema.fields] == ["doc_id", "blob", "meta"]
+    row = blobs.filter(F.col("doc_id") == 0).collect()[0]
+    assert isinstance(row.blob, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.blob)
+    assert row.meta.mime == "application/octet-stream"
+
+
+def test_extract_features_deterministic(spark, docs):
+    feats = multimodal.extract_features(multimodal.attach_blob(docs))
+    rows = {r.doc_id: r for r in feats.collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(rows) == set(src)
+    for doc_id, r in rows.items():
+        payload = src[doc_id].encode("utf-8")
+        assert r.n_bytes == len(payload)
+        assert r.feature == [float(b) for b in payload[:4]]
+
+
+def test_frame_sample_fanout(spark, docs):
+    frames = multimodal.frame_sample(multimodal.attach_blob(docs), every_n_bytes=64, max_frames=8)
+    counts = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    src = {r.doc_id: len(r.text.encode()) for r in docs.collect()}
+    for doc_id, nbytes in src.items():
+        assert counts[doc_id] == min(8, max(1, nbytes // 64))
+    # frame payloads are real slices
+    f0 = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).collect()[0]
+    assert len(f0.frame) <= 64
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(b"\x00\x01")
+
+
+def test_hyperplanes_integer_and_stable():
+    h0, h1 = similarity.hyperplane(0), similarity.hyperplane(1)
+    assert len(h0) == 64 and all(isinstance(x, int) for x in h0)
+    assert h0 != h1
+    assert similarity.hyperplane(0) == h0  # pure
+
+
+def test_lsh_bucket_is_subset_of_bruteforce(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute = similarity.cosine_topk(emb, query_vec_id=0, k=500)
+    brute_scores = {r.vec_id: r.cosine for r in brute.collect()}
+    approx = similarity.lsh_bucket_topk(emb, query_vec_id=0, k=10).collect()
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_simhash_banding_is_complete(spark, docs):
+    """Pigeonhole completeness: banded pairs == brute-force pairs ≤ 3."""
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if ham <= 3:
+                brute.add((a, b))
+    banded = {
+        (r.doc_a, r.doc_b) for r in dedup.simhash_dup_pairs(docs).collect()
+    }
+    assert banded == brute

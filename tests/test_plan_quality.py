@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the 100 TB properties the engine promises
+(SURVEY.md §4) must be visible in `.explain` — predicate pushdown into
+the parquet scan, column pruning, broadcast joins for small dims,
+TakeOrderedAndProject for top-k, partial+final hash aggregation (the
+combiner the reference never registered). A plan regression here is a
+scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from mapreduce_itwiki_spark.plans import catalog
+
+from conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = catalog.queries()[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0] or (
+        "LessThan(l_shipdate" in plan
+    )
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 6, read_schema
+
+
+def test_broadcast_join_for_dims(spark):
+    plan = plan_of(spark, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_total_sorts(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_group_limit_pushdown(spark):
+    plan = plan_of(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan  # rank filter pushed below the window
+
+
+def test_partial_aggregation_everywhere(spark):
+    """The reference's missing combiner (no setCombinerClass,
+    CountReference.java:322-356): Spark must plan partial+final."""
+    plan = plan_of(spark, "wiki_incoming_refs")
+    assert plan.count("HashAggregate") >= 4  # partial+final for dedup AND count
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "semi_join_customers_with_orders")
+    assert "LeftSemi" in plan
+
+
+def test_ann_broadcasts_query_vector(spark):
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,93 @@
+"""Golden test for the wiki-link pipeline (SURVEY.md §7 M2): the Spark
+XML source + link-graph operators must reproduce an independent
+simulation of the reference's exact semantics on a quirk-covering
+fixture. This is the one path with no DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_itwiki_spark.operators import linkgraph
+from mapreduce_itwiki_spark.sources import xml_pages
+
+import wiki_fixture
+
+
+@pytest.fixture(scope="module")
+def xml_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wiki") / "pages.xml"
+    p.write_text(wiki_fixture.to_xml(), encoding="utf-8")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, xml_path):
+    return xml_pages.read_pages(spark, xml_path)
+
+
+def test_xml_source_reads_all_pages(pages):
+    rows = {r.title: r.text for r in pages.collect()}
+    assert sorted(rows) == sorted(t for t, _ in wiki_fixture.PAGES)
+    # entity decode survived the round trip
+    assert "[[A&B]]" in rows["Delta"]
+    # ns/id/revision metadata never materialize — only (title, text)
+    assert pages.columns == ["title", "text"]
+
+
+def test_link_pairs_match_simulation(spark, pages):
+    expected_pairs, _ = wiki_fixture.simulate()
+    got = sorted(
+        (r.page_to, r.page_from)
+        for r in linkgraph.distinct_pairs(linkgraph.extract_link_pairs(pages)).collect()
+    )
+    assert got == expected_pairs
+
+
+def test_incoming_counts_match_simulation(spark, pages):
+    _, expected_counts = wiki_fixture.simulate()
+    result = linkgraph.incoming_reference_counts(pages).collect()
+    got = {r.page_title: r["count"] for r in result}
+    assert got == expected_counts
+    # total order by title (binary collation, SURVEY.md §2 O11)
+    titles = [r.page_title for r in result]
+    assert titles == sorted(titles)
+
+
+def test_quirk_semantics(spark, pages):
+    """Spot-check the quirk surface explicitly so a regression names the
+    broken rule, not just 'dicts differ'."""
+    _, counts = wiki_fixture.simulate()
+    # nested [[File:... [[Gamma]] ...]] swallowed the inner link: Beta's
+    # Gamma mention doesn't count, Epsilon's nested Alpha doesn't count
+    pairs, _ = wiki_fixture.simulate()
+    assert ("Gamma", "Beta") not in pairs
+    # newline-broken link never matches
+    assert all(not t.startswith("Al\n") for t, _ in pairs)
+    # aggressive substring 's:' rule kills 'Links: and such'
+    assert not any("Links" in t for t, _ in pairs)
+    # comma stripped from target
+    assert ("Rome Italy", "Gamma") in pairs
+    # repeats collapse: Delta references Beta exactly once... and the
+    # trimmed '[[ Beta ]]' variant folds into the same target
+    assert counts["Beta"] >= 2  # Alpha and Delta
+    got = {
+        r.page_title: r["count"]
+        for r in linkgraph.incoming_reference_counts(pages).collect()
+    }
+    assert got == counts
+
+
+def test_csv_sink_artifact(spark, pages, tmp_path):
+    """O12: single-file CSV with a header row, like
+    result/incomingReferencesCount.csv (CountReference.java:365-377)."""
+    from mapreduce_itwiki_spark.sources.sinks import write_csv_with_header
+
+    out = str(tmp_path / "incoming_csv")
+    write_csv_with_header(
+        linkgraph.incoming_reference_counts(pages), out, single_file=True
+    )
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["page_title", "count"]
+    _, counts = wiki_fixture.simulate()
+    assert back.count() == len(counts)
