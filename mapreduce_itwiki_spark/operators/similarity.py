@@ -67,6 +67,46 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def bucketed_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket the corpus, then
+    bucket-local pairwise cosine with numpy (Arrow-batched applyInPandas).
+
+    This is the IVF shape: the docs² problem becomes Σ bucket², and each
+    bucket's matmul is vectorized C, not per-row Python. Approximate by
+    construction (pairs straddling a hyperplane are missed); the oracle
+    replays the identical integer-hyperplane bucketing, so the output is
+    still exactly reproducible. At 100 TB: persist bucketed/partitioned
+    by bucket id, cap bucket sizes (re-split hot buckets with more
+    planes), and let AQE skew-split the groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    bucketed = emb.select(
+        F.col("vec_id"), F.col("embedding"), bucket_bits(F.col("embedding")).alias("bucket")
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cosine": np.round(cos[iu][keep], 6),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        per_bucket, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def lsh_bucket_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """ANN top-k: scan only the query's LSH bucket, then exact cosine.
 

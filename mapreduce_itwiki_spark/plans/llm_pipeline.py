@@ -339,3 +339,46 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(blobs)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_profile",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile — the language-filter + stats shape of
+    a pretraining pipeline (filter/route by lang, budget by tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF/LSH-bucketed + numpy matmul
+    per bucket (operators/similarity.py:bucketed_neardup_pairs)."""
+    return similarity.bucketed_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )

@@ -71,3 +71,93 @@ register(
     GROUP BY 1, 2
     """,
 )(hourly_event_rollup_stream)
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user session counting with
+    a 30-minute inactivity gap, via applyInPandasWithState (the
+    Spark-idiomatic slot for operators the built-in windowed aggs can't
+    express — the reference has no streaming at all, SURVEY.md §2).
+
+    State carries (n_events, n_sessions, last_us) across micro-batches so
+    a long-running feed keeps exact session counts; with the finite file
+    feed here every user closes in one batch and the result equals the
+    batch sessionize query — which is what the oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("us", F.expr("ts div 1000"))
+    else:
+        stream = stream.withColumn("us", F.unix_micros(F.col("ts")))
+
+    gap_us = 1_800_000_000
+
+    def track(key, pdf_iter, state: GroupState):
+        n_events, n_sessions, last_us = (
+            state.get if state.exists else (0, 0, None)
+        )
+        stamps = []
+        for pdf in pdf_iter:
+            stamps.extend(pdf.sort_values(["us", "event_id"])["us"].tolist())
+        stamps.sort()
+        for us in stamps:
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((n_events, n_sessions, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
+        )
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, n_sessions long",
+            stateStructType="n_events long, n_sessions long, last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stream_sessions_{next(_counter)}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink may hold one row per state update; keep the
+    # final state per user
+    latest = spark.table(name)
+    return (
+        latest.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+        )
+    )
+
+
+register(
+    "streaming_sessionize_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, CAST(sum(brk) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS prev_us
+        FROM events))
+    GROUP BY user_id
+    """,
+)(sessionize_stream)
