@@ -235,3 +235,30 @@ def two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# M5 — the flagship shape again, via the salt-spread two-phase aggregation
+# (skew hygiene for hot keys; same answer by construction).
+@register(
+    "wiki_incoming_refs_salted",
+    oracle="""
+    SELECT token AS page_to, count(DISTINCT doc_id) AS n_refs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE trim(token) <> ''
+    GROUP BY token
+    """,
+)
+def wiki_incoming_refs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient twin of wiki_incoming_refs: distinct-count per token
+    through operators/skew.py's two-phase salt — hot tokens (popular
+    pages in the reference's domain) spread across 16 shuffle buckets
+    before the merge. Identical results, bounded per-reducer load."""
+    from ..operators.skew import salted_distinct_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("page_from"),
+        F.explode(F.split(F.col("text"), " ")).alias("page_to"),
+    ).filter(F.trim(F.col("page_to")) != "")
+    return salted_distinct_count(pairs, "page_to", "page_from", out="n_refs")

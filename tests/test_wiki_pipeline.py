@@ -91,3 +91,40 @@ def test_csv_sink_artifact(spark, pages, tmp_path):
     assert back.columns == ["page_title", "count"]
     _, counts = wiki_fixture.simulate()
     assert back.count() == len(counts)
+
+
+def test_rdd_twin_matches_dataframe_pipeline(spark, pages):
+    """The RDD MapReduce rendering (operators/linkgraph_rdd.py) and the
+    Catalyst pipeline must agree exactly on the quirk fixture."""
+    from mapreduce_itwiki_spark.operators.linkgraph_rdd import (
+        incoming_reference_counts_rdd,
+    )
+    from mapreduce_itwiki_spark.operators.linkgraph import incoming_reference_counts
+
+    df_rows = {
+        r.page_title: r["count"] for r in incoming_reference_counts(pages).collect()
+    }
+    rdd_rows = {
+        r.page_title: r["count"]
+        for r in incoming_reference_counts_rdd(pages.sparkSession, pages).collect()
+    }
+    assert df_rows == rdd_rows
+
+
+def test_salted_distinct_count_equals_plain(spark, pages):
+    """Salting is exactness-preserving (operators/skew.py)."""
+    from mapreduce_itwiki_spark.operators import linkgraph
+    from mapreduce_itwiki_spark.operators.skew import salted_distinct_count
+
+    links = linkgraph.extract_link_pairs(pages)
+    plain = {
+        r.page_title: r["count"]
+        for r in linkgraph.incoming_reference_counts(pages).collect()
+    }
+    salted = {
+        r.page_to: r.n
+        for r in salted_distinct_count(
+            links, "page_to", "page_from", n_salts=4, out="n"
+        ).collect()
+    }
+    assert plain == salted
