@@ -41,9 +41,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm (JIT, code cache)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

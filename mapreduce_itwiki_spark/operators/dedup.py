@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 SHINGLE_K = 3  #: tokens per shingle for near-dup ops
 NUM_HASHES = 16  #: minhash signature length
 BAND_ROWS = 2  #: minhash rows per band → 8 bands; P(cand|j)=1-(1-j^2)^8
+MINHASH_P = 2_147_483_647  #: Mersenne prime for the universal-hash family
 SIMHASH_BITS = 32  #: one bit per md5 hex digit
 SIMHASH_BANDS = 4  #: 8 bits/band; complete for Hamming ≤ SIMHASH_BANDS-1
 
@@ -76,27 +77,32 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
-    md5('<i>:' || shingle). One md5 array per seed, computed in the scan
-    stage (no shuffle, no UDF)."""
-    # Explode-then-aggregate rather than array higher-order functions:
-    # HOF lambdas (transform/aggregate) evaluate INTERPRETED per element,
-    # while md5/min over exploded rows stay inside whole-stage codegen —
-    # ~10× on CPU-bound signature math. The min() partial-aggregates
-    # map-side, and rows for a doc are co-partitioned by the fan-out, so
-    # the groupBy exchange carries one row per (doc, partition).
-    sh_rows = _fanout(
-        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
-    ).select(F.col("doc_id"), F.explode(F.col("sh")).alias("s"))
+    """(doc_id, sig_0..sig_{n-1}): minhash over shingles via ONE md5 per
+    shingle + a universal-hash family g_i = (h1 + i·h2') mod P, where
+    h1/h2 are the two 60-bit halves of md5(shingle) and h2' = h2 mod P.
+    16× less hashing than per-seed md5, same LSH guarantees — this is
+    the per-byte cost that dominates a 100 TB dedup pass. All integer
+    arithmetic (hex→int, %, min) is byte-reproducible in the DuckDB
+    oracle.
+
+    Explode-then-aggregate rather than array higher-order functions: HOF
+    lambdas evaluate INTERPRETED per element, while md5/conv/min over
+    exploded rows stay inside whole-stage codegen. min() partial-
+    aggregates map-side, and rows for a doc are co-partitioned by the
+    fan-out, so the groupBy exchange carries one row per (doc,
+    partition)."""
+    base = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id")
+    sh_rows = base.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s")
+    ).select(F.col("doc_id"), F.md5(F.col("s")).alias("m"))
+    h1 = F.conv(F.substring(F.col("m"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.col("m"), 17, 15), 16, 10).cast("long") % MINHASH_P
     hashed = sh_rows.select(
         F.col("doc_id"),
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h_{i}")
-            for i in range(num_hashes)
-        ],
+        *[((h1 + F.lit(i) * h2) % MINHASH_P).alias(f"g_{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+        *[F.min(f"g_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
     )
 
 
@@ -120,35 +126,54 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band. Equi-join on
-    (band_id, band_key) — the scalable docs×bands shuffle, never docs²."""
+    """LSH candidate pairs: docs sharing ≥1 band.
+
+    Bucket-expansion form: group band rows into per-bucket doc-id arrays
+    (one shuffle over docs×bands rows), then expand each bucket's pairs
+    with a double explode — the signature pipeline runs ONCE, vs twice
+    for the naive self-join (and the bucket arrays are tiny: a bucket of
+    size c costs c²/2 pair rows either way). Hot buckets are the same
+    skew story as any LSH: cap/split pathological buckets upstream at
+    real scale."""
     bands = _minhash_bands(minhash_signatures(docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(F.col("ids"), F.explode(F.col("ids")).alias("doc_a"))
+        .select(F.col("doc_a"), F.explode(F.col("ids")).alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
+    return pairs.distinct()
 
 
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
-    sets = _fanout(
-        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
+
+    The pair list is broadcast: LSH candidates are sparse by design, so
+    the two joins become map-side hash joins and the (fat) shingle-array
+    rows never shuffle or sort — joining arrays through a sort-merge is
+    exactly the serialization bill this avoids. If candidates ever
+    outgrow broadcast range, drop the hint and AQE picks shuffled-hash;
+    the arrays then shuffle once, still never sort."""
+    sets = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
+        F.col("doc_id"), shingles(F.col("text")).alias("sh")
     )
-    return (
-        pairs.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    bpairs = F.broadcast(pairs)
+    with_a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").join(
+        bpairs, "doc_a"
+    )
+    joined = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b").join(
+        F.broadcast(with_a), "doc_b"
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -167,9 +192,9 @@ def ngram_jaccard_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     on shingle, count collisions per pair, Jaccard from set sizes. This
     is the exact-recall baseline; cost ∝ Σ bucket², so it needs shingle
     frequency capping at extreme scale (LSH above is the scale path)."""
-    sh = _fanout(
-        docs.select(F.col("doc_id"), shingles(F.col("text")).alias("sh")), "doc_id"
-    ).select(F.col("doc_id"), F.explode(F.col("sh")).alias("s"))
+    sh = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -199,9 +224,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     md5 + substr, hence exactly oracle-checkable."""
     # Same explode-not-HOF design as minhash_signatures: md5 once per
     # token row, 32 codegen'd ±1 columns, map-side-partial sum per doc.
-    tok_rows = _fanout(
-        docs.select(F.col("doc_id"), _tokens(F.col("text")).alias("toks")), "doc_id"
-    ).select(F.col("doc_id"), F.explode(F.col("toks")).alias("t"))
+    tok_rows = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
+        F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("t")
+    )
     tok_rows = tok_rows.select(F.col("doc_id"), F.md5(F.col("t")).alias("m"))
     scored = tok_rows.select(
         F.col("doc_id"),

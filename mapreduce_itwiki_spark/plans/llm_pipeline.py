@@ -31,14 +31,19 @@ _SHINGLES = (
     f"range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
     f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))"
 )
+# universal-hash minhash: one md5 per shingle, g_i = (h1 + i*h2') mod P —
+# the exact twin of operators/dedup.py:minhash_signatures
+_H1 = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+_H2 = f"(('0x' || substr(md5(s), 17, 15))::BIGINT % {dedup.MINHASH_P})"
 _SIG_EXPRS = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+    f"list_min(list_transform(sh, s -> ({_H1} + {i} * {_H2}) % {dedup.MINHASH_P}))"
+    f" AS sig_{i}"
     for i in range(dedup.NUM_HASHES)
 )
 _N_BANDS = dedup.NUM_HASHES // dedup.BAND_ROWS
 _BANDS_UNION = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, sig_{b * dedup.BAND_ROWS} || '|' || "
-    f"sig_{b * dedup.BAND_ROWS + 1} AS band_key FROM sig"
+    f"SELECT doc_id, {b} AS band_id, sig_{b * dedup.BAND_ROWS}::VARCHAR || '|' || "
+    f"sig_{b * dedup.BAND_ROWS + 1}::VARCHAR AS band_key FROM sig"
     for b in range(_N_BANDS)
 )
 _SIMHASH_BITS = ", ".join(
