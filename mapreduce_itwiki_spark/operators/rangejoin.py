@@ -1,0 +1,59 @@
+"""Range join via time-bucketing (SURVEY.md §2 'custom operators' —
+Spark has no native range/interval join; the naive form is a cartesian
+product with a θ-filter).
+
+Bucketize the range key to width = the window, then equi-join on
+(partition key, bucket) for the three bucket offsets {-1, 0, +1} and
+apply the exact θ-filter. Any pair within `window` spans at most one
+bucket boundary, so bucket ∈ {b-1, b, b+1} covers every qualifying pair
+— the bucketed join provably equals the cartesian θ-join while costing
+Σ bucket² instead of n². This is the same completeness-by-construction
+trick as the SimHash banding (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def events_within_window(events: DataFrame, window_sec: int = 300) -> DataFrame:
+    """All ordered pairs of SAME-USER events ≤ window_sec apart:
+    (user_id, event_a, event_b, delta_sec) with event_a's timestamp ≤
+    event_b's (ties broken by event_id).
+
+    One shuffle per side on (user_id, bucket); AQE skew-splits hot
+    (user, bucket) cells. The 3-offset union is an explode, not three
+    scans."""
+    w_us = window_sec * 1_000_000
+    base = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.unix_micros(F.col("ts")) / F.lit(w_us)).cast("long").alias("bucket"),
+    )
+    # left side probes its own bucket and both neighbors
+    probe = base.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    build = base
+    a, b = probe.alias("a"), build.alias("b")
+    joined = a.join(b, ["user_id", "bucket"]).filter(
+        # strict (us, event_id) order => each unordered pair exactly once,
+        # and a self-pair never qualifies
+        (F.col("a.us") < F.col("b.us"))
+        | ((F.col("a.us") == F.col("b.us")) & (F.col("a.event_id") < F.col("b.event_id")))
+    )
+    # no dedup needed: the build side carries only its own bucket, so a
+    # pair matches in exactly one (user, bucket) cell
+    return joined.filter((F.col("b.us") - F.col("a.us")) <= w_us).select(
+        F.col("user_id"),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        ((F.col("b.us") - F.col("a.us")) / F.lit(1_000_000.0)).alias("delta_sec"),
+    )

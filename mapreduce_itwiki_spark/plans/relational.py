@@ -524,3 +524,25 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS delta_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (epoch_us(a.ts) < epoch_us(b.ts)
+          OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: same-user event pairs ≤5 min apart, via the bucketized
+    equi-join in operators/rangejoin.py (provably equal to the cartesian
+    θ-join the oracle runs, at Σ bucket² cost instead of n²)."""
+    from ..operators.rangejoin import events_within_window
+
+    return events_within_window(load_table(spark, sf_dir, "events"), window_sec=300)

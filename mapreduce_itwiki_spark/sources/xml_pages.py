@@ -67,9 +67,17 @@ def _parse_page_block(block: str) -> tuple[str, str] | None:
     return title, text
 
 
-def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a MediaWiki export into DataFrame(title string, text string)."""
+def read_pages(
+    spark: SparkSession, path: str, max_split_bytes: int | None = None
+) -> DataFrame:
+    """Scan a MediaWiki export into DataFrame(title string, text string).
+
+    ``max_split_bytes`` caps Hadoop input-split size (the knob that
+    governs scan parallelism for this RDD-level source — the DataSource
+    ``spark.sql.files.maxPartitionBytes`` does not apply here)."""
     conf = {"textinputformat.record.delimiter": "</page>"}
+    if max_split_bytes is not None:
+        conf["mapreduce.input.fileinputformat.split.maxsize"] = str(max_split_bytes)
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
