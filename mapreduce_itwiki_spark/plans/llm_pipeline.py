@@ -387,3 +387,62 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregates / iterative algorithms
+@register(
+    "grouped_custom_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, round(avg(value), 4) AS trimmed_mean, count(*) AS n_used
+    FROM ranked
+    WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY event_type
+    """,
+)
+def grouped_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via applyInPandas (SURVEY.md §2 'UDF/UDAF surface'):
+    10%-trimmed mean per event type — per-group pandas with a
+    deterministic (value, event_id) trim order, Arrow-batched. The
+    oracle expresses the same trim with window functions."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["value", "event_id"])["value"]
+        k = int(len(s) * 0.1)
+        kept = s.iloc[k : len(s) - k] if len(s) - 2 * k > 0 else s
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "trimmed_mean": [round(float(kept.mean()), 4)],
+                "n_used": [len(kept)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandas(
+        trimmed, "event_type string, trimmed_mean double, n_used long"
+    )
+
+
+@register("pagerank_linkgraph")  # iterative fixed-point loop → rows-only check
+def pagerank_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (doc → token) reference-style link graph —
+    the iterative-algorithm slot (operators/graph.py); semantics pinned
+    by a hand-computed unit test, not SQL-expressible as one statement."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("page_from"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("page_to"),
+    ).filter(F.col("page_to") != "")
+    return pagerank(edges, iterations=5).select(
+        "node", F.round(F.col("rank"), 8).alias("rank")
+    )

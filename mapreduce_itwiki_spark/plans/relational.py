@@ -546,3 +546,165 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import events_within_window
 
     return events_within_window(load_table(spark, sf_dir, "events"), window_sec=300)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "collect_set_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregate; sort_array makes the set deterministic
+    for hashing (collect_set order is otherwise partition-dependent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           CAST(strlen(c_name) AS INTEGER) AS len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_mktsegment) AS rev,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev,
+           substr(c_name, 1, 8) AS pre,
+           replace(c_name, '#', '-') AS repl,
+           concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (the reference's only scalar surface
+    is O4–O6; this is the completion)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").alias("len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("joined"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS INTEGER) AS days_since
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar battery over the timestamp column."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS ab,
+           CAST(ceil(l_quantity) AS BIGINT) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           round(sqrt(l_quantity), 6) AS sq,
+           round(ln(l_extendedprice), 6) AS lg,
+           round(pow(1.0 + l_tax, 2), 6) AS pw,
+           CAST(l_partkey % 97 AS BIGINT) AS md
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery; all rounded — libm-level doubles are the one
+    place engines may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("ab"),
+        F.ceil("l_quantity").alias("ce"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("pw"),
+        (F.col("l_partkey") % 97).alias("md"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (SQL API; Catalyst plans the inner
+    agg once and broadcasts the scalar)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "window_navigation",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead/first_value/ntile)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(wf).alias("first_event"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -84,3 +84,30 @@ def test_simhash_banding_is_complete(spark, docs):
         (r.doc_a, r.doc_b) for r in dedup.simhash_dup_pairs(docs).collect()
     }
     assert banded == brute
+
+
+def test_pagerank_hand_computed(spark):
+    """PageRank on a 3-node cycle plus a dangler, against a hand-rolled
+    Python fixed-point with identical semantics."""
+    from mapreduce_itwiki_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    edf = spark.createDataFrame(edges, ["page_from", "page_to"])
+    got = {r.node: r.rank for r in pagerank(edf, iterations=12).collect()}
+
+    nodes = {"a", "b", "c", "d"}
+    n = len(nodes)
+    out = {"a": 2, "b": 1, "c": 1}
+    ranks = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(12):
+        contribs = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contribs[t] += ranks[s] / out[s]
+        dangling = 1.0 - sum(ranks[v] for v in out)
+        ranks = {
+            v: (1 - d) / n + d * (contribs[v] + dangling / n) for v in nodes
+        }
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass conserved
