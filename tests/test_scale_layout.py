@@ -1,0 +1,88 @@
+"""Physical-layout scale features: bucketed tables (shuffle-free
+co-located joins) and partitioned writes (partition pruning). These are
+the M5 'would this hold at 1000×' levers — at 100 TB, bucketing both
+fact tables on the join key removes the dominant shuffle entirely, and
+partitioned layout turns a full scan into a directory prune."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_itwiki_spark.sources.parquet import load_table
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable writes into the session warehouse; isolate per-run tables
+    return spark
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """orders ⨝ lineitem both bucketed by the join key → SortMergeJoin
+    with ZERO Exchange on either side (co-located partitions)."""
+    import shutil
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):  # dirs may outlive the metastore
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+
+    # at sf0.001 the planner would rather broadcast (and rightly so);
+    # turn that off to exercise the big-table path bucketing exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # no shuffle: co-located buckets
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        expect = (
+            load_table(spark, SF_SMALL, "orders")
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """events partitioned by event_type: a type filter must prune
+    partitions at planning time (scan reads 1/5 of the directories)."""
+    events = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_part")
+    events.withColumn("etype", F.col("event_type")).write.partitionBy("etype").mode(
+        "overwrite"
+    ).parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("etype") == "purchase")
+    plan = _plan(back)
+    # partition filters appear as PartitionFilters on the scan, and the
+    # data filter does NOT appear as a PushedFilter (it's prune-only)
+    assert "PartitionFilters" in plan
+    assert "etype" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    n = back.count()
+    expect = events.filter(F.col("event_type") == "purchase").count()
+    assert n == expect
