@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def asof_join_pandas(events: DataFrame) -> DataFrame:
+    """AS-OF join via per-group ``pd.merge_asof`` (the applyInPandas
+    alternative to the windowed-conditional-max form in
+    plans/relational.py:asof_join_last_click — same semantics, tested
+    equal). Use this shape when the as-of logic outgrows window
+    expressions (nearest-within-tolerance, backward+forward, multiple
+    quote columns); the window form when it doesn't. One shuffle on the
+    partition key either way."""
+    import pandas as pd
+
+    base = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        # strictly-prior latest click per row: shift click timestamps fwd
+        click_us = pdf["us"].where(pdf["event_type"] == "click")
+        prior_click = click_us.shift(1).ffill()
+        out = pdf[pdf["event_type"] == "purchase"].copy()
+        out["click_us"] = prior_click[out.index]
+        return out[["event_id", "user_id", "us", "click_us"]]
+
+    res = base.groupBy("user_id").applyInPandas(
+        per_user, "event_id long, user_id long, us long, click_us double"
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.col("click_us").cast("long").alias("last_click_us"),
+    )
+
+
 def events_within_window(events: DataFrame, window_sec: int = 300) -> DataFrame:
     """All ordered pairs of SAME-USER events ≤ window_sec apart:
     (user_id, event_a, event_b, delta_sec) with event_a's timestamp ≤

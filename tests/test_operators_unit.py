@@ -111,3 +111,56 @@ def test_pagerank_hand_computed(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass conserved
+
+
+def test_asof_pandas_matches_window_form(spark):
+    """pd.merge_asof-style applyInPandas as-of == windowed conditional max."""
+    from pyspark.sql import Window
+
+    from mapreduce_itwiki_spark.operators.rangejoin import asof_join_pandas
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expect = {
+        (r.event_id, r.user_id): r.last_click_us
+        for r in events.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", F.unix_micros("last_click_ts").alias("last_click_us")
+        )
+        .collect()
+    }
+    got = {
+        (r.event_id, r.user_id): r.last_click_us
+        for r in asof_join_pandas(events).collect()
+    }
+    assert got == expect
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """The scale-path approximates (HLL distinct, approx percentile)
+    against their exact siblings — no cross-engine oracle exists for
+    engine-specific sketches, so the engine itself carries the bound."""
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+    events = load_table(spark, SF_SMALL, "events")
+    row = events.agg(
+        F.percentile_approx("value", 0.5).alias("approx"),
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / max(row.exact, 1e-9) < 0.05

@@ -1,0 +1,60 @@
+"""Streaming semantics beyond the oracle-paired catalog entries:
+watermark + append mode (late-data handling — only windows the
+watermark has closed are emitted)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from mapreduce_itwiki_spark.sources.parquet import load_table
+
+from conftest import SF_SMALL
+
+_n = itertools.count()
+
+
+def test_append_mode_emits_only_closed_windows(spark):
+    """With a 1-hour watermark over the finite events feed, append mode
+    must emit every hourly window except those within the watermark of
+    the max event time (the still-open tail)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"append_test_{next(_n)}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r.start for r in spark.table(name).select(F.col("window.start").alias("start")).collect()
+    }
+
+    batch = load_table(spark, SF_SMALL, "events")
+    all_windows = {
+        r.h for r in batch.select(F.date_trunc("hour", "ts").alias("h")).distinct().collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    # windows closed by the watermark: end <= max_ts - 1h
+    import datetime as dt
+
+    closed = {
+        h for h in all_windows
+        if h + dt.timedelta(hours=1) <= max_ts - dt.timedelta(hours=1)
+    }
+    assert emitted == closed
+    assert emitted and emitted < all_windows  # strictly withheld tail

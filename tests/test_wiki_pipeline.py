@@ -178,3 +178,22 @@ def test_xml_source_across_input_splits(spark, tmp_path):
     # are rep-independent → each target's count multiplies by 400
     for target, c in per_rep.items():
         assert counts[target] == c * 400, (target, counts.get(target), c)
+
+
+def test_malformed_page_blocks_are_dropped(spark, tmp_path):
+    """Corrupt page blocks (broken XML, missing title/text) drop cleanly
+    instead of failing the scan — dirty dumps are the norm at 100 TB."""
+    doc = (
+        "<mediawiki>\n"
+        "  <page><title>Good</title><revision><text>[[Target]]</text></revision></page>\n"
+        "  <page><title>Broken</title><revision><text>unclosed\n"  # no </text>
+        "  <page><title></title><revision><text>[[X]]</text></revision></page>\n"
+        "  <page><revision><text>no title at all</text></revision></page>\n"
+        "  <notapage>stray</notapage>\n"
+        "</mediawiki>\n"
+    )
+    p = tmp_path / "dirty.xml"
+    p.write_text(doc, encoding="utf-8")
+    pages = xml_pages.read_pages(spark, str(p))
+    rows = pages.collect()
+    assert [r.title for r in rows] == ["Good"]
