@@ -165,13 +165,25 @@ def test_xml_source_across_input_splits(spark, tmp_path):
     )
     assert blocks_rdd.getNumPartitions() > 3  # the scan really fans out
 
-    pages = xml_pages.read_pages(spark, str(p), max_split_bytes=128 * 1024)
-    counts = {
-        r.page_title: r["count"]
-        for r in linkgraph.incoming_reference_counts(pages).collect()
-    }
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # native lineSep path under small splits (including splits smaller
+        # than a record: carryover must reassemble pages at boundaries)
+        pages = xml_pages.read_pages(spark, str(p), max_split_bytes=64 * 1024)
+        counts = {
+            r.page_title: r["count"]
+            for r in linkgraph.incoming_reference_counts(pages).collect()
+        }
+        n_pages_native = pages.count()
+        # RDD path (reference-analog wiring) must agree
+        pages_rdd = xml_pages.read_pages(
+            spark, str(p), max_split_bytes=64 * 1024, use_rdd=True
+        )
+        assert pages_rdd.count() == n_pages_native
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
-    assert pages.count() == 400 * len(wiki_fixture.PAGES)
+    assert n_pages_native == 400 * len(wiki_fixture.PAGES)
     _, per_rep = wiki_fixture.simulate()
     # every target in the simulation appears per-rep ('Beta' → 'Beta'? no:
     # titles got ' vN' suffixes, so page_from changes but page_to targets
