@@ -262,3 +262,51 @@ def wiki_incoming_refs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("page_to"),
     ).filter(F.trim(F.col("page_to")) != "")
     return salted_distinct_count(pairs, "page_to", "page_from", out="n_refs")
+
+
+# --------------------------------------------------------------------------
+# O1+O2 through the driver contract: round-trip the documents corpus as a
+# MediaWiki-style dump and run the token pipeline on the parsed result.
+@register(
+    "wiki_xml_roundtrip",
+    oracle="""
+    SELECT token AS page_to, count(DISTINCT doc_id) AS n_refs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE trim(token) <> ''
+    GROUP BY token
+    """,
+)
+def wiki_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source + parse (O1+O2), oracle-checked: serialize documents as
+    <page> blocks (distributed text write — no driver loop), scan them
+    back through the record-delimiter reader + Arrow parse, and count
+    distinct source pages per token. Equals the flagship oracle because
+    the round trip is lossless (word-soup text needs no entity escaping;
+    titles are 'doc <id>')."""
+    import hashlib
+
+    from ..operators.linkgraph import distinct_pairs
+    from ..sources.xml_pages import read_pages
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = F.concat(
+        F.lit("<page><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><ns>0</ns><revision><text>"),
+        F.col("text"),
+        F.lit("</text></revision></page>"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_xml_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    docs.select(block.alias("value")).write.mode("overwrite").text(out)
+
+    pages = read_pages(spark, f"{out}/*.txt")
+    pairs = distinct_pairs(
+        pages.select(
+            F.col("title").alias("page_from"),
+            F.explode(F.split(F.col("text"), " ")).alias("page_to"),
+        ).filter(F.trim(F.col("page_to")) != "")
+    )
+    return pairs.groupBy("page_to").agg(F.count(F.lit(1)).alias("n_refs"))
