@@ -10,11 +10,18 @@ from SURVEY.md §2, column-name-aligned with their DuckDB oracles.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_itwiki_spark.plans import catalog
+# robust under import-by-path: make the package resolvable regardless of CWD
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from mapreduce_itwiki_spark.plans import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

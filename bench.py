@@ -40,7 +40,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm (JIT, code cache)
+        # two warm-ups: codegen'd md5/regex-heavy plans need a couple of
+        # passes before C2 JIT settles
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
