@@ -58,3 +58,34 @@ def test_append_mode_emits_only_closed_windows(spark):
     }
     assert emitted == closed
     assert emitted and emitted < all_windows  # strictly withheld tail
+
+
+def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
+    """foreachBatch: the escape hatch for sinks without native streaming
+    support — each micro-batch lands as an idempotent overwrite keyed by
+    batch id (the exactly-once pattern). The finite feed must deliver
+    every source row exactly once across batch files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+    )
+    out = str(tmp_path / "batches")
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(f"{out}/epoch=*")
+    src = load_table(spark, SF_SMALL, "events")
+    assert landed.count() == src.count()
+    assert sorted(r.event_id for r in landed.select("event_id").collect()) == sorted(
+        r.event_id for r in src.select("event_id").collect()
+    )
