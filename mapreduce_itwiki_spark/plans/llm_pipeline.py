@@ -340,10 +340,32 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@register("multimodal_features")  # mapInPandas fake-decode → rows-only check
+@register(
+    "multimodal_features",
+    # the fake decode (first-4-bytes-as-floats, operators/multimodal.py:62)
+    # is SQL-expressible: the corpus is ASCII so byte i == ascii(char i).
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS feature_0,
+           CAST(ascii(substr(text, 2, 1)) AS DOUBLE) AS feature_1,
+           CAST(ascii(substr(text, 3, 1)) AS DOUBLE) AS feature_2,
+           CAST(ascii(substr(text, 4, 1)) AS DOUBLE) AS feature_3
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode, projected to scalar feature columns —
+    array<double> is not canonicalizable by the driver's pandas compare
+    (unhashable list), so the catalog entry exposes feature_0..3; the
+    operator itself (operators/multimodal.py:extract_features) still
+    returns the array form."""
     blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(blobs)
+    feats = multimodal.extract_features(blobs)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("feature")[i].alias(f"feature_{i}") for i in range(4)],
+    )
 
 
 # ---------------------------------------------------------------------------

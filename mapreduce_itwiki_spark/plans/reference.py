@@ -61,15 +61,17 @@ def wiki_incoming_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_partkey, l_extendedprice
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
     """,
 )
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar scan; `.explain` shows PushedFilters + 5-column ReadSchema
-    (the reference prunes manually at parse time, CountReference.java:228-232)."""
+    (the reference prunes manually at parse time, CountReference.java:228-232).
+    Cutoff 1997-01-01 sits mid-range of the testdata's shipdates
+    (min 1995-01-02), so the parity check compares non-empty results."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") < "1995-01-01") & (F.col("l_discount") > 0.05)
+        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_discount") > 0.05)
     ).select("l_orderkey", "l_partkey", "l_extendedprice")
 
 

@@ -133,13 +133,16 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "anti_join_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI — NOT EXISTS as a join operator."""
+    """LEFT ANTI — NOT EXISTS as a join operator. The right side is
+    filtered to big-ticket orders: every customer has SOME order in the
+    testdata, so the unfiltered anti-join is empty at every sf and the
+    parity check would pass vacuously."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -219,16 +222,23 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no suppliers (EXCEPT DISTINCT)."""
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.subtract(supp)  # EXCEPT DISTINCT
+    """Customers with finished but no open orders (EXCEPT DISTINCT).
+    Chosen over the customer-vs-supplier nationkey variant because that
+    set is empty at sf>=0.01 — a vacuous parity check."""
+    orders = load_table(spark, sf_dir, "orders")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    opn = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return fin.subtract(opn)  # EXCEPT DISTINCT
 
 
 # --------------------------------------------------------------------------
@@ -805,7 +815,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, epoch_us(ts) AS us,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
@@ -822,9 +832,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE gap-based session operator (F.session_window) —
-    the built-in twin of the lag/cumsum `sessionize` query; merging
-    semantics (new session when gap > 30 min) are identical, which the
-    shared oracle proves. Works unchanged in Structured Streaming."""
+    the built-in twin of the lag/cumsum `sessionize` query. Boundary
+    convention: a session window spans [event, event + gap), so a
+    follow-up landing EXACTLY gap later does not overlap — gap >= 30 min
+    starts a new session, which the oracle's `>=` break mirrors.
+    Works unchanged in Structured Streaming."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))

@@ -65,6 +65,9 @@ def test_query_matches_oracle(name, spark, duck):
 
     assert sorted(sdf.columns) == sorted(oracle_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count differs"
+    # non-vacuity gate: an empty result proves nothing — every catalog
+    # query must pick predicates that yield rows at sf0.001
+    assert len(oracle_rows) > 0, f"{name}: oracle returned 0 rows — vacuous parity check"
 
     cols = sorted(oracle_cols)
     left = _normalize(spark_rows, cols)

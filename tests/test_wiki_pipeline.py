@@ -192,6 +192,33 @@ def test_xml_source_across_input_splits(spark, tmp_path):
         assert counts[target] == c * 400, (target, counts.get(target), c)
 
 
+REFERENCE_SAMPLE = "/root/reference/result/i/itwiki-latest-pages-articles1-10pages.xml"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_SAMPLE),
+    reason="reference sample dump not present",
+)
+def test_golden_counts_on_reference_sample(spark):
+    """Pinned golden numbers on the reference's own committed 10-page
+    sample (CountReference.java:246-266,269-276,298-305 semantics):
+    1,483 raw link tuples → 1,261 distinct (to, from) pairs → 1,206
+    distinct targets, with 'Medioevo' referenced by 4 distinct pages.
+    These were independently reproduced from the reference's artifacts
+    (SURVEY.md §0); this test freezes them against regression."""
+    from mapreduce_itwiki_spark.operators import linkgraph
+
+    pages = xml_pages.read_pages(spark, REFERENCE_SAMPLE)
+    raw = linkgraph.extract_link_pairs(pages)
+    assert raw.count() == 1483
+    pairs = linkgraph.distinct_pairs(raw)
+    assert pairs.count() == 1261
+    counts = linkgraph.incoming_reference_counts(pages)
+    assert counts.count() == 1206
+    medioevo = {r.page_title: r["count"] for r in counts.collect()}["Medioevo"]
+    assert medioevo == 4
+
+
 def test_malformed_page_blocks_are_dropped(spark, tmp_path):
     """Corrupt page blocks (broken XML, missing title/text) drop cleanly
     instead of failing the scan — dirty dumps are the norm at 100 TB."""
