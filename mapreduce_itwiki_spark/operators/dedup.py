@@ -150,12 +150,15 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
 
-    The pair list is broadcast: LSH candidates are sparse by design, so
-    the two joins become map-side hash joins and the (fat) shingle-array
-    rows never shuffle or sort — joining arrays through a sort-merge is
-    exactly the serialization bill this avoids. If candidates ever
-    outgrow broadcast range, drop the hint and AQE picks shuffled-hash;
-    the arrays then shuffle once, still never sort."""
+    Broadcast discipline: ONLY the slim (doc_a, doc_b) candidate list is
+    ever broadcast — LSH candidates are sparse by design, so probe 1 is
+    a map-side hash join that filters+expands the shingle rows without
+    shuffling them. Probe 2 brings in the b-side arrays; neither side is
+    slim there, so it shuffles ONCE on doc_b as a shuffled-hash join
+    (explicit hint — a sort-merge would pay an array sort, and
+    broadcasting the array-carrying side is a driver/executor OOM at
+    100 TB). The plan gate in tests/test_plan_quality.py asserts no
+    BroadcastExchange ever carries a shingle array column."""
     sets = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
         F.col("doc_id"), shingles(F.col("text")).alias("sh")
     )
@@ -163,9 +166,8 @@ def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     with_a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").join(
         bpairs, "doc_a"
     )
-    joined = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b").join(
-        F.broadcast(with_a), "doc_b"
-    )
+    sets_b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    joined = with_a.hint("shuffle_hash").join(sets_b.hint("shuffle_hash"), "doc_b")
     return joined.select(
         "doc_a",
         "doc_b",

@@ -7,28 +7,46 @@ Two tiers:
   which Spark executes as TakeOrderedAndProject (per-partition heaps +
   driver merge, never a full sort). This is the exactness baseline and
   is the right plan even at scale when k is small.
-* ``lsh_bucket_topk`` — random-hyperplane LSH: B sign-bits bucket the
-  corpus; only the query's bucket is scanned. Hyperplanes are
-  INTEGER-valued pseudo-random vectors (h_j[i] = ((37·i + 101·j) mod 19) − 9)
-  so the bucketing is exactly reproducible in any engine (no libm
-  drift) — the DuckDB oracle replays identical buckets, making even this
-  approximate operator hash-checkable. At 100 TB, bucket the corpus
-  ONCE (write bucketed/partitioned by bucket id), then each query scans
-  ~1/2^B of the data; multi-probe = enumerate Hamming-1 neighbor buckets.
+* banded random-hyperplane LSH — ``NUM_HYPERPLANES`` sign-bits, split
+  into ``LSH_BANDS`` disjoint bands (MinHash-style banding): two
+  vectors are candidates when they agree on ALL bits of AT LEAST ONE
+  band. This is multi-probe by construction — a near-pair straddling
+  one hyperplane still collides on the other bands — so recall does not
+  collapse as the bit count grows, while each band still splits the
+  corpus 2^BAND_BITS ways. Hyperplanes are INTEGER-valued pseudo-random
+  vectors (h_j[i] = ((37·i + 101·j) mod 19) − 9) so the bucketing is
+  exactly reproducible in any engine (no libm drift) — the DuckDB
+  oracle replays identical buckets, making even these approximate
+  operators hash-checkable.
 
-All arithmetic is double-precision, sequential left-to-right
-(functions/vectors.py), matching the oracle's ``list_dot_product`` on
-``DOUBLE[]``.
+Scale levers (100 TB):
+* Bucket caps: every (band, key) bucket is DETERMINISTICALLY capped at
+  ``MAX_BUCKET`` members (rank by vec_id) before any pairwise work, so
+  a pathological hot bucket costs at most MAX_BUCKET² — the cap is part
+  of the operator's semantics and the oracle replays it exactly.
+* Σ bucket² ≈ LSH_BANDS · n²/2^BAND_BITS per band for uniform data;
+  raise NUM_HYPERPLANES / BAND_BITS for bigger corpora (the oracle SQL
+  is generated from the same constants, so re-tuning keeps parity).
+* Bucket ids are computed with constant-folded, whole-stage-codegen
+  dot products (``const_dot``) — no interpreted HOF lambdas, no Python.
+* At 100 TB, persist the corpus partitioned by (band_id, band_key)
+  once; each query then scans only its probed buckets.
+
+All arithmetic is double-precision, sequential left-to-right, matching
+the oracle's ``list_dot_product`` on ``DOUBLE[]`` bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
 
-NUM_HYPERPLANES = 4
+NUM_HYPERPLANES = 16  #: sign bits per vector
+LSH_BANDS = 4  #: disjoint bands; candidates share >=1 full band
+BAND_BITS = NUM_HYPERPLANES // LSH_BANDS  #: bits per band (2^4 = 16 keys/band)
+MAX_BUCKET = 4096  #: deterministic per-bucket cap (rank by vec_id)
 
 
 def hyperplane(j: int, dim: int = 64) -> list[int]:
@@ -36,14 +54,65 @@ def hyperplane(j: int, dim: int = 64) -> list[int]:
     return [((37 * i + 101 * j) % 19) - 9 for i in range(dim)]
 
 
+def const_dot(vec: Column, h: list[int]) -> Column:
+    """Dot product with a CONSTANT plane as a left-associated sum of
+    ``vec[i] * h[i]`` literals — stays inside whole-stage codegen (an
+    interpreted ``F.aggregate`` lambda here costs ~10× on wide scans)
+    while reproducing sequential left-to-right double addition, i.e.
+    bit-identical to DuckDB's ``list_dot_product``. Zero-coefficient
+    terms still contribute an exact +0.0 and are skipped."""
+    acc: Column | None = None
+    for i, x in enumerate(h):
+        if x == 0:
+            continue  # adding exact 0.0 never changes an IEEE sum
+        term = vec[i].cast("double") * float(x)
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else F.lit(0.0)
+
+
 def bucket_bits(vec: Column, dim: int = 64, n_planes: int = NUM_HYPERPLANES) -> Column:
-    """LSH bucket id as an n_planes-char '0'/'1' string of sign bits."""
-    v = vectors.as_double(vec)
+    """LSH signature as an n_planes-char '0'/'1' string of sign bits."""
     bits = []
     for j in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in hyperplane(j, dim)])
-        bits.append(F.when(vectors.dot(v, h) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(
+            F.when(const_dot(vec, hyperplane(j, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
     return F.concat(*bits)
+
+
+def band_explode(df: DataFrame, bits_col: str = "bits") -> DataFrame:
+    """Explode a bit-string column into (band_id, band_key) rows —
+    one row per band, MinHash-style."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring(F.col(bits_col), b * BAND_BITS + 1, BAND_BITS).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return df.select("*", F.explode(bands).alias("band")).select(
+        *[c for c in df.columns], "band.band_id", "band.band_key"
+    )
+
+
+def capped_band_rows(emb: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(vec_id, embedding, band_id, band_key) rows, deterministically
+    capped at ``max_bucket`` members per (band_id, band_key) — rank by
+    vec_id, an order any engine reproduces. The row_number window and
+    the downstream per-bucket groupBy hash-partition on the same keys,
+    so Catalyst reuses one exchange for both."""
+    bucketed = emb.select(
+        F.col("vec_id"), F.col("embedding"), bucket_bits(F.col("embedding")).alias("bits")
+    )
+    bands = band_explode(bucketed).drop("bits")
+    w = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .drop("rn")
+    )
 
 
 def with_cosine_to_query(emb: DataFrame, query: DataFrame) -> DataFrame:
@@ -67,23 +136,25 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def bucketed_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucket the corpus, then
-    bucket-local pairwise cosine with numpy (Arrow-batched applyInPandas).
+def bucketed_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Embedding near-duplicate pairs: banded LSH blocking, then
+    bucket-local pairwise cosine with numpy (Arrow-batched applyInPandas),
+    deduped across bands.
 
-    This is the IVF shape: the docs² problem becomes Σ bucket², and each
-    bucket's matmul is vectorized C, not per-row Python. Approximate by
-    construction (pairs straddling a hyperplane are missed); the oracle
-    replays the identical integer-hyperplane bucketing, so the output is
-    still exactly reproducible. At 100 TB: persist bucketed/partitioned
-    by bucket id, cap bucket sizes (re-split hot buckets with more
-    planes), and let AQE skew-split the groupBy."""
+    This is the IVF shape: the docs² problem becomes Σ bucket² per band,
+    each bucket's matmul is vectorized C, and a hot bucket is bounded by
+    the deterministic ``max_bucket`` cap. Banding makes it multi-probe:
+    a pair split by one hyperplane still collides on another band, so
+    recall holds as planes are added (the single-bucket variant's recall
+    decays 2^-planes). Approximate by construction; the oracle replays
+    the identical integer-hyperplane bands and cap, so the output is
+    still exactly reproducible."""
     import numpy as np
     import pandas as pd
 
-    bucketed = emb.select(
-        F.col("vec_id"), F.col("embedding"), bucket_bits(F.col("embedding")).alias("bucket")
-    )
+    capped = capped_band_rows(emb, max_bucket=max_bucket)
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -102,21 +173,35 @@ def bucketed_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    pairs = capped.groupBy("band_id", "band_key").applyInPandas(
         per_bucket, "vec_a long, vec_b long, cosine double"
     )
+    # a pair found in k bands appears k times with the identical rounded
+    # cosine — distinct collapses them; filter-before-distinct keeps the
+    # exchange proportional to qualifying pairs
+    return pairs.distinct()
 
 
-def lsh_bucket_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
-    """ANN top-k: scan only the query's LSH bucket, then exact cosine.
+def lsh_bucket_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """ANN top-k: scan only vectors sharing >=1 LSH band with the query
+    (multi-probe banding), then exact cosine on the candidates.
 
-    Approximate by design (recall < 1 when true neighbors land across a
-    hyperplane); deterministic and oracle-reproducible by construction."""
-    bucketed = emb.withColumn("bucket", bucket_bits(F.col("embedding")))
-    query = bucketed.filter(F.col("vec_id") == query_vec_id)
-    same_bucket = (
-        bucketed.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(query.select(F.col("bucket"))), "bucket")
+    Approximate by design (recall < 1 when every band splits a true
+    neighbor from the query); deterministic and oracle-reproducible by
+    construction. At scale the corpus is persisted partitioned by
+    (band_id, band_key) and only the query's LSH_BANDS buckets are
+    scanned — ~LSH_BANDS/2^BAND_BITS of the data."""
+    capped = capped_band_rows(emb, max_bucket=max_bucket)
+    qbands = capped.filter(F.col("vec_id") == query_vec_id).select("band_id", "band_key")
+    cand_ids = (
+        capped.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qbands), ["band_id", "band_key"])
+        .select("vec_id")
+        .distinct()
     )
-    scored = with_cosine_to_query(same_bucket, query)
+    query = emb.filter(F.col("vec_id") == query_vec_id)
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    scored = with_cosine_to_query(cands, query)
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

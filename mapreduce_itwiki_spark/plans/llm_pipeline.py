@@ -68,10 +68,27 @@ def _hyperplane_sql(j: int, dim: int = 64) -> str:
     return f"[{vals}]::DOUBLE[]"
 
 
-_BUCKET_SQL = "concat(" + ", ".join(
+#: 16-bit sign signature — twin of similarity.bucket_bits (const_dot is
+#: left-to-right double addition, same as list_dot_product)
+_BITS_SQL = "concat(" + ", ".join(
     f"CASE WHEN list_dot_product(v, {_hyperplane_sql(j)}) >= 0 THEN '1' ELSE '0' END"
     for j in range(similarity.NUM_HYPERPLANES)
 ) + ")"
+
+#: MinHash-style banding of the bit string — twin of similarity.band_explode
+_VEC_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, v, {b} AS band_id, "
+    f"substr(bits, {b * similarity.BAND_BITS + 1}, {similarity.BAND_BITS}) AS band_key FROM e"
+    for b in range(similarity.LSH_BANDS)
+)
+
+#: deterministic per-bucket cap — twin of similarity.capped_band_rows
+_VEC_CAPPED_SQL = (
+    "SELECT vec_id, v, band_id, band_key FROM ("
+    "SELECT vec_id, v, band_id, band_key, "
+    "row_number() OVER (PARTITION BY band_id, band_key ORDER BY vec_id) AS rn "
+    f"FROM bands) WHERE rn <= {similarity.MAX_BUCKET}"
+)
 
 _COSINE_SQL = (
     "round(list_dot_product(v, qv) / "
@@ -198,11 +215,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                      {_BUCKET_SQL} AS bucket FROM embeddings),
-    q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
-    SELECT vec_id, label, {_COSINE_SQL} AS cosine
-    FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
-    ORDER BY cosine DESC, vec_id LIMIT 10
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    qb AS (SELECT band_id, band_key FROM capped WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id FROM capped c
+      JOIN qb ON c.band_id = qb.band_id AND c.band_key = qb.band_key
+      WHERE c.vec_id <> 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,19 +417,23 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_lsh",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                      {_BUCKET_SQL} AS bucket FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL})
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                  6) AS cosine
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM capped a JOIN capped b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, IVF/LSH-bucketed + numpy matmul
-    per bucket (operators/similarity.py:bucketed_neardup_pairs)."""
+    """Embedding-cosine near-dup pairs: banded (multi-probe) LSH blocking
+    with a deterministic bucket cap + numpy matmul per bucket
+    (operators/similarity.py:bucketed_neardup_pairs)."""
     return similarity.bucketed_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )

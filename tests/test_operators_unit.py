@@ -70,6 +70,56 @@ def test_lsh_bucket_is_subset_of_bruteforce(spark):
         assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
 
 
+def test_band_cap_is_deterministic(spark):
+    """Bucket caps are part of the operator semantics: every (band, key)
+    bucket keeps exactly its max_bucket SMALLEST vec_ids — an order any
+    engine reproduces, so the oracle can replay the cap bit-for-bit."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    uncapped = similarity.capped_band_rows(emb, max_bucket=10**9)
+    capped = similarity.capped_band_rows(emb, max_bucket=3)
+    full = {}
+    for r in uncapped.collect():
+        full.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
+    got = {}
+    for r in capped.collect():
+        got.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
+    assert got  # cap must not empty the corpus
+    for key, ids in got.items():
+        assert len(ids) <= 3
+        assert sorted(ids) == sorted(full[key])[:3], key
+
+
+def test_banded_neardup_is_exact_on_candidates(spark):
+    """Precision is exact: every reported pair's cosine matches a numpy
+    brute-force recomputation; and banding is multi-probe — it finds at
+    least every pair whose FULL 16-bit signature matches (the old
+    single-bucket blocking), typically strictly more."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    got = {(r.vec_a, r.vec_b): r.cosine for r in
+           similarity.bucketed_neardup_pairs(emb, threshold=0.4).collect()}
+    assert got, "no near-dup pairs found at threshold 0.4"
+    for (a, b), c in got.items():
+        assert abs(cos(a, b) - c) < 1e-5, (a, b, cos(a, b), c)
+        assert c >= 0.4 - 1e-9
+
+    # full-signature collisions are a subset of >=1-band collisions
+    bits = {r.vec_id: r.bits for r in emb.select(
+        "vec_id", similarity.bucket_bits(F.col("embedding")).alias("bits")).collect()}
+    ids = sorted(bits)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bits[a] == bits[b] and cos(a, b) >= 0.4:
+                assert (a, b) in got, (a, b)
+
+
 def test_simhash_banding_is_complete(spark, docs):
     """Pigeonhole completeness: banded pairs == brute-force pairs ≤ 3."""
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
@@ -111,6 +161,31 @@ def test_pagerank_hand_computed(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass conserved
+
+
+def test_pagerank_loop_never_collects(spark):
+    """Scale contract: the loop body is fully lazy — the dangling-mass
+    correction is a broadcast 1-row aggregate folded into the rank
+    update's plan, NOT a driver-side collect (which would serialize the
+    cluster on the driver once per iteration). Patching collect() to
+    explode proves no code path inside pagerank ever calls it; the only
+    eager points are the single up-front node count and the scheduled
+    lineage checkpoints."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from mapreduce_itwiki_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    edf = spark.createDataFrame(edges, ["page_from", "page_to"])
+
+    def no_collect(self):
+        raise AssertionError("DataFrame.collect() called inside pagerank loop")
+
+    with mock.patch.object(DataFrame, "collect", no_collect):
+        result = pagerank(edf, iterations=4, checkpoint_every=2)
+    assert abs(sum(r.rank for r in result.collect()) - 1.0) < 1e-6
 
 
 def test_asof_pandas_matches_window_form(spark):

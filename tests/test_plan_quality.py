@@ -67,3 +67,21 @@ def test_ann_broadcasts_query_vector(spark):
     plan = plan_of(spark, "ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_never_broadcasts_arrays(spark):
+    """pair_jaccard's broadcast discipline: only the slim (doc_a, doc_b)
+    candidate list may be broadcast — a BroadcastExchange carrying the
+    fat shingle-array column is a driver OOM at 100 TB. The
+    array-carrying join must be shuffled-hash (no array sort-merge)."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "ShuffledHashJoin" in plan
+    for section in plan.split("\n\n"):
+        header = section.strip().split("\n")[0]
+        if "BroadcastExchange" not in header:
+            continue
+        input_lines = [l for l in section.split("\n") if l.startswith("Input")]
+        for line in input_lines:
+            assert "sh_" not in line and "sh#" not in line, (
+                f"BroadcastExchange carries a shingle array: {line}"
+            )
