@@ -22,12 +22,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "join_orders_lineitem",
     "join_broadcast_dims",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "window_topk_per_group",
     "two_stage_agg",
     "sessionize",
+    "session_window_agg",
     "dedup_minhash_lsh",
     "simhash_signature",
     "ann_cosine_topk",
+    "embedding_neardup_lsh",
     "text_quality",
 ]
 

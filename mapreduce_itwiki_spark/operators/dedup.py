@@ -150,21 +150,21 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
 
-    Broadcast discipline: ONLY the slim (doc_a, doc_b) candidate list is
-    ever broadcast — LSH candidates are sparse by design, so probe 1 is
-    a map-side hash join that filters+expands the shingle rows without
-    shuffling them. Probe 2 brings in the b-side arrays; neither side is
-    slim there, so it shuffles ONCE on doc_b as a shuffled-hash join
-    (explicit hint — a sort-merge would pay an array sort, and
-    broadcasting the array-carrying side is a driver/executor OOM at
-    100 TB). The plan gate in tests/test_plan_quality.py asserts no
+    Broadcast discipline: ONLY the slim (doc_a, doc_b) candidate list
+    is ever broadcast — LSH candidates are sparse by design, so probe 1
+    is a map-side hash join that filters+expands the a-side shingle
+    rows without shuffling them. Probe 2 brings in the b-side arrays;
+    neither side is slim there, so it shuffles ONCE on doc_b as a
+    shuffled-hash join (explicit hint — a sort-merge would pay an array
+    sort, and broadcasting the array-carrying side is a driver/executor
+    OOM at 100 TB; both alternatives also measured slower locally).
+    The plan gate in tests/test_plan_quality.py asserts no
     BroadcastExchange ever carries a shingle array column."""
     sets = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
         F.col("doc_id"), shingles(F.col("text")).alias("sh")
     )
-    bpairs = F.broadcast(pairs)
     with_a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").join(
-        bpairs, "doc_a"
+        F.broadcast(pairs), "doc_a"
     )
     sets_b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
     joined = with_a.hint("shuffle_hash").join(sets_b.hint("shuffle_hash"), "doc_b")

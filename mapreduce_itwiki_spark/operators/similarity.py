@@ -50,8 +50,18 @@ MAX_BUCKET = 4096  #: deterministic per-bucket cap (rank by vec_id)
 
 
 def hyperplane(j: int, dim: int = 64) -> list[int]:
-    """Deterministic integer hyperplane j (engine-portable)."""
-    return [((37 * i + 101 * j) % 19) - 9 for i in range(dim)]
+    """Deterministic SPARSE integer hyperplane j (engine-portable):
+    nonzero only on indices i ≡ −j (mod 4) — the Achlioptas
+    sparse-random-projection trick (most coordinates zero preserves the
+    sign-hash quality while cutting the dot product to dim/4 terms).
+    Each 4-plane band jointly covers all residue classes, so no
+    coordinate is globally ignored. Sparsity is a PLAN-SIZE lever, not
+    just CPU: dense 64-term constant dots × 16 planes built a ~16k-node
+    expression tree that cost seconds of eager analysis per query."""
+    return [
+        ((37 * i + 101 * j) % 19) - 9 if (i + j) % 4 == 0 else 0
+        for i in range(dim)
+    ]
 
 
 def const_dot(vec: Column, h: list[int]) -> Column:
@@ -60,40 +70,36 @@ def const_dot(vec: Column, h: list[int]) -> Column:
     interpreted ``F.aggregate`` lambda here costs ~10× on wide scans)
     while reproducing sequential left-to-right double addition, i.e.
     bit-identical to DuckDB's ``list_dot_product``. Zero-coefficient
-    terms still contribute an exact +0.0 and are skipped."""
+    terms are skipped: adding ±0.0 never changes a running IEEE sum
+    (and the sign of a zero sum cannot flip the ``>= 0`` bit)."""
     acc: Column | None = None
     for i, x in enumerate(h):
         if x == 0:
-            continue  # adding exact 0.0 never changes an IEEE sum
+            continue
         term = vec[i].cast("double") * float(x)
         acc = term if acc is None else acc + term
     return acc if acc is not None else F.lit(0.0)
 
 
+def _sign_bit(vec: Column, j: int, dim: int = 64) -> Column:
+    return F.when(const_dot(vec, hyperplane(j, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
 def bucket_bits(vec: Column, dim: int = 64, n_planes: int = NUM_HYPERPLANES) -> Column:
     """LSH signature as an n_planes-char '0'/'1' string of sign bits."""
-    bits = []
-    for j in range(n_planes):
-        bits.append(
-            F.when(const_dot(vec, hyperplane(j, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-    return F.concat(*bits)
+    return F.concat(*[_sign_bit(vec, j, dim) for j in range(n_planes)])
 
 
-def band_explode(df: DataFrame, bits_col: str = "bits") -> DataFrame:
-    """Explode a bit-string column into (band_id, band_key) rows —
-    one row per band, MinHash-style."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.substring(F.col(bits_col), b * BAND_BITS + 1, BAND_BITS).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    return df.select("*", F.explode(bands).alias("band")).select(
-        *[c for c in df.columns], "band.band_id", "band.band_key"
+def band_key(vec: Column, b: int, dim: int = 64) -> Column:
+    """Band b's BAND_BITS-char key, computed directly from its own
+    planes — NOT substring(bucket_bits(...)): referencing the full bit
+    string from every band struct makes CollapseProject inline the
+    whole 16-plane expression once per band (4× tree blowup and
+    seconds of eager analysis). Equal to
+    ``substr(bits, b*BAND_BITS+1, BAND_BITS)`` by construction, which
+    is exactly how the DuckDB oracle spells it."""
+    return F.concat(
+        *[_sign_bit(vec, b * BAND_BITS + r, dim) for r in range(BAND_BITS)]
     )
 
 
@@ -103,10 +109,18 @@ def capped_band_rows(emb: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     vec_id, an order any engine reproduces. The row_number window and
     the downstream per-bucket groupBy hash-partition on the same keys,
     so Catalyst reuses one exchange for both."""
-    bucketed = emb.select(
-        F.col("vec_id"), F.col("embedding"), bucket_bits(F.col("embedding")).alias("bits")
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                band_key(F.col("embedding"), b).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
     )
-    bands = band_explode(bucketed).drop("bits")
+    bands = emb.select(
+        F.col("vec_id"), F.col("embedding"), F.explode(bands_arr).alias("band")
+    ).select("vec_id", "embedding", "band.band_id", "band.band_key")
     w = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
     return (
         bands.withColumn("rn", F.row_number().over(w))

@@ -112,6 +112,54 @@ def join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "join_orders_lineitem_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_orders_lineitem_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout fix for the fact-fact join: both tables written
+    bucketBy(orderkey) once, then every orderkey join is a zero-Exchange
+    sort-merge over co-located buckets — the shuffle that dominates
+    `join_orders_lineitem` is paid at write time, amortized over every
+    subsequent join. Same oracle as the shuffle variant (bucketing is a
+    physical property; results are identical). The merge hint keeps the
+    planner on the bucket-aligned SMJ path regardless of table size; the
+    plan gate in tests/test_plan_quality.py asserts the join has no
+    Exchange on either side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    import shutil
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    ot, lt = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    # overwrite every run: a stale table must never poison correctness
+    # (the write IS the operator's point — it's the amortized shuffle).
+    # Warehouse dirs outlive the per-session metastore, so clear both.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    ob, lb = spark.table(ot), spark.table(lt)
+    return (
+        ob.hint("merge")
+        .join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "semi_join_customers_with_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer

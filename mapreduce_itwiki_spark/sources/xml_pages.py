@@ -26,6 +26,9 @@ parse is stateless per block, so no shuffle until the downstream dedup.
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,6 +70,23 @@ def _parse_page_block(block: str) -> tuple[str, str] | None:
     return title, text
 
 
+@contextlib.contextmanager
+def scoped_max_split_bytes(spark: SparkSession, n_bytes: int) -> Iterator[None]:
+    """Scope ``spark.sql.files.maxPartitionBytes`` to a with-block,
+    restoring the previous value on exit. File partitioning is decided
+    LAZILY at action time, so the conf must stay set until the actions
+    that consume the scan have run — which is exactly why a bare
+    ``spark.conf.set`` inside a reader function is a footgun (it leaks
+    into every later query's scan granularity). Run BOTH the read and
+    its consuming actions inside the block."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(n_bytes))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def read_pages(
     spark: SparkSession,
     path: str,
@@ -79,11 +99,14 @@ def read_pages(
     ``lineSep`` — record-delimited, splittable, and entirely JVM-side
     until the Arrow-batched parse (the Python-RDD path pays pickle per
     block plus per-row schema verification; measured >2× slower).
-    ``max_split_bytes`` caps input-split size: on the native path this
-    sets ``spark.sql.files.maxPartitionBytes`` (NB session-wide — file
-    partitioning is decided lazily at action time, so it cannot be
-    scoped tighter; callers that care restore it); on the RDD path it
-    maps to the Hadoop split conf, scoped to the read.
+    Split granularity: on the native path use
+    ``scoped_max_split_bytes`` AROUND the read and its actions (the
+    per-read ``maxPartitionBytes`` option is not honored by the v1 text
+    source, and partitioning binds lazily at action time, so a setting
+    made here could not be safely restored); passing ``max_split_bytes``
+    on the native path raises to prevent the silent session-wide leak
+    the old behavior had. On the RDD path ``max_split_bytes`` maps to
+    the Hadoop split conf, naturally scoped to the read.
 
     ``use_rdd=True`` keeps the classic ``newAPIHadoopFile`` route (the
     direct analog of the reference's XmlInputFormat wiring,
@@ -104,7 +127,11 @@ def read_pages(
         )
         return parse_page_blocks(blocks)
     if max_split_bytes is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_split_bytes))
+        raise ValueError(
+            "max_split_bytes on the native path would mutate session-wide "
+            "spark.sql.files.maxPartitionBytes; wrap the read AND its "
+            "actions in scoped_max_split_bytes(spark, n) instead"
+        )
     blocks = spark.read.option("lineSep", "</page>").text(path)
     return parse_page_blocks(blocks, col="value")
 

@@ -69,6 +69,24 @@ def test_ann_broadcasts_query_vector(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_query_is_shuffle_free(spark):
+    """join_orders_lineitem_bucketed: the orderkey join must read
+    co-located buckets with ZERO Exchange on either join side — the only
+    Exchange in the whole plan is the final tiny groupBy(priority)."""
+    df = catalog.queries()["join_orders_lineitem_bucketed"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    import re
+
+    # exactly ONE physical Exchange (the groupBy) — none under the join
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchange == 1, plan
+
+
 def test_minhash_verify_never_broadcasts_arrays(spark):
     """pair_jaccard's broadcast discipline: only the slim (doc_a, doc_b)
     candidate list may be broadcast — a BroadcastExchange carrying the

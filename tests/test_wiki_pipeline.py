@@ -165,11 +165,10 @@ def test_xml_source_across_input_splits(spark, tmp_path):
     )
     assert blocks_rdd.getNumPartitions() > 3  # the scan really fans out
 
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    try:
+    with xml_pages.scoped_max_split_bytes(spark, 64 * 1024):
         # native lineSep path under small splits (including splits smaller
         # than a record: carryover must reassemble pages at boundaries)
-        pages = xml_pages.read_pages(spark, str(p), max_split_bytes=64 * 1024)
+        pages = xml_pages.read_pages(spark, str(p))
         counts = {
             r.page_title: r["count"]
             for r in linkgraph.incoming_reference_counts(pages).collect()
@@ -180,8 +179,13 @@ def test_xml_source_across_input_splits(spark, tmp_path):
             spark, str(p), max_split_bytes=64 * 1024, use_rdd=True
         )
         assert pages_rdd.count() == n_pages_native
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # the scope restored the session conf
+    assert (
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+        != str(64 * 1024)
+    )
+    with pytest.raises(ValueError):
+        xml_pages.read_pages(spark, str(p), max_split_bytes=64 * 1024)
 
     assert n_pages_native == 400 * len(wiki_fixture.PAGES)
     _, per_rep = wiki_fixture.simulate()

@@ -30,9 +30,10 @@ def test_wiki_pipeline_throughput(spark, tmp_path):
     size_mb = p.stat().st_size / 1e6
 
     t0 = time.perf_counter()
-    pages = xml_pages.read_pages(spark, str(p), max_split_bytes=4 * 1024 * 1024)
-    result = linkgraph.incoming_reference_counts(pages)
-    n_rows = result.count()
+    with xml_pages.scoped_max_split_bytes(spark, 4 * 1024 * 1024):
+        pages = xml_pages.read_pages(spark, str(p))
+        result = linkgraph.incoming_reference_counts(pages)
+        n_rows = result.count()
     dt = time.perf_counter() - t0
 
     # the distinct targets are rep-invariant; every sim target present
