@@ -19,6 +19,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iterations: int = 8,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, comp) — min-label propagation over an undirected edge list:
+    every node's component id converges to the smallest node id reachable
+    from it. This is the 'apply near-dedup' closer: MinHash/SimHash emit
+    PAIRS, but keep-one-per-cluster needs the transitive closure (a~b,
+    b~c ⇒ keep one of {a,b,c}).
+
+    Spark-first loop in the pagerank mold: one join + union + groupBy-min
+    per iteration, fully lazy (NO driver-side actions inside the loop),
+    lineage checkpointed every ``checkpoint_every`` rounds. Min-label
+    propagation covers graph diameter d in d iterations; near-dup
+    clusters are shallow (dup sets, not social graphs), so a small fixed
+    ``iterations`` bounds the scan count deterministically — at true
+    scale use the large-star/small-star variant, which converges in
+    O(log n) rounds.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))).persist()
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    for it in range(1, iterations + 1):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("comp"))
+        )
+        labels = (
+            nbr.union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "page_from",

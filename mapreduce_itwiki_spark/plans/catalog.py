@@ -52,7 +52,7 @@ _LOADED = False
 def _load() -> None:
     global _LOADED
     if not _LOADED:
-        from . import llm_pipeline, reference, relational  # noqa: F401
+        from . import llm_pipeline, reference, relational, training_data  # noqa: F401
         from .. import streaming  # noqa: F401  (registers streaming queries)
 
         _LOADED = True

@@ -121,10 +121,10 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+#: shared CTE chain producing the MinHash-LSH verified near-dup pairs —
+#: used by dedup_minhash_lsh AND as the edge list of the
+#: connected-components oracle
+_MINHASH_PAIR_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
     bands AS ({_BANDS_UNION}),
     cands AS (
@@ -138,14 +138,21 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cands c
       JOIN tok ta ON ta.doc_id = c.da
       JOIN tok tb ON tb.doc_id = c.db AND tb.s = ta.s
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, jaccard FROM (
+      GROUP BY 1, 2),
+    scored AS (
       SELECT inter.da AS doc_a, inter.db AS doc_b,
              round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
       FROM inter
       JOIN sz sa ON inter.da = sa.doc_id
-      JOIN sz sb ON inter.db = sb.doc_id)
-    WHERE jaccard >= 0.5
+      JOIN sz sb ON inter.db = sb.doc_id),
+    dup_pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +486,38 @@ def grouped_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(
         trimmed, "event_type string, trimmed_mean double, n_used long"
     )
+
+
+@register(
+    "dedup_connected_components",
+    # transitive closure via WITH RECURSIVE: comp(n) = min id reachable
+    # from n — an EXACT oracle for an iterative Spark algorithm
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach (a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    closure AS (
+      SELECT a AS node, b AS m FROM reach
+      UNION SELECT a, a FROM edges)
+    SELECT node, min(m) AS comp FROM closure GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from MinHash pair output: connected components
+    by min-label propagation (operators/graph.py:connected_components).
+    The oracle computes the same closure with a recursive CTE — pair
+    emission is LSH-deterministic and label propagation is order-free,
+    so even this iterative operator is hash-checkable."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    return connected_components(pairs)
 
 
 @register("pagerank_linkgraph")  # iterative fixed-point loop → rows-only check

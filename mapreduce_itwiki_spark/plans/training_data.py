@@ -1,0 +1,249 @@
+"""Training-data curation pipeline queries (north-star ⊕, SURVEY.md §2):
+the operations that turn a raw corpus into a pretraining dataset —
+deterministic sampling, token budgeting, context-window packing,
+dedup application, PII scrubbing — each exactly oracle-checked.
+
+Determinism discipline: every sampling/selection decision is a pure
+function of the data (md5-hash coin flips, doc_id-ordered cumulative
+sums), never an RNG — so results are reproducible across engines,
+partitionings, and reruns, which is how a 100 TB curation run stays
+auditable and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+SAMPLE_PCT = 10  #: deterministic hash-sample rate (percent)
+TOKEN_BUDGET = 20_000  #: per-language token budget for head selection
+PACK_WINDOW = 4_096  #: context-window size (tokens) for packing
+
+
+# --------------------------------------------------------------------------
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < {SAMPLE_PCT}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via an md5 coin flip on the key — the
+    reproducible alternative to df.sample() (whose output depends on
+    partitioning and seed plumbing). At 100 TB this is a pure map-side
+    filter: no shuffle, no state, same rows on every rerun and engine —
+    the property that makes ablation subsets auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.filter(coin < SAMPLE_PCT).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "token_budget_head",
+    oracle=f"""
+    SELECT doc_id, lang, cum_tokens FROM (
+      SELECT doc_id, lang,
+             CAST(sum(len(string_split(text, ' ')))
+                  OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM documents)
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budgeting: take documents (in deterministic
+    doc_id order) until the language's token budget is spent — the
+    data-mixture knob of a pretraining run. One window shuffle on lang;
+    at scale, lang is low-cardinality/skewed, so the real deployment
+    salts the window or budgets per (lang, shard) and re-aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(
+            "doc_id", "lang", F.sum(toks).over(w).cast("long").alias("cum_tokens")
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "pack_documents_greedy",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST((cum_tokens - n_tokens) // {PACK_WINDOW} AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM documents)
+    """,
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (concat-then-chunk, the standard LLM
+    pretraining layout): documents are concatenated per language in
+    doc_id order and a doc's bin is the context window its FIRST token
+    lands in — bin_id = (cumulative tokens before the doc) div window.
+    Pure window arithmetic, no UDF; downstream writers group by
+    (lang, bin_id) to emit one training sequence per bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    cum = F.sum(toks).over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.floor((cum - toks) / PACK_WINDOW).cast("long").alias("bin_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "dedup_apply_keep",
+    oracle="""
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+    FROM documents
+    """,
+)
+def dedup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLYING exact dedup: one keep/drop verdict per document (keep the
+    lowest doc_id of each content-fingerprint group). The window form
+    avoids a self-join back to the dedup table — one shuffle on the
+    fingerprint, verdicts for every row in a single pass."""
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint(F.col("text")))
+    return docs.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "pii_scrub_customer",
+    oracle="""
+    SELECT c_custkey,
+           trim(regexp_replace(c_name, '[0-9]+', '<ID>', 'g')) AS scrubbed,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_hits
+    FROM customer
+    """,
+)
+def pii_scrub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: replace identifier-like digit runs with a
+    placeholder and count the redactions — the shape of email/SSN/phone
+    scrubbing in a corpus cleanroom (same regexp_replace machinery,
+    patterns swapped per deployment). JVM regex, zero Python."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.trim(F.regexp_replace(F.col("c_name"), "[0-9]+", "<ID>")).alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit("[0-9]+"), 0)).alias("n_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+             AS hour_sum
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 1-hour per-user value sum — the
+    value-based frame (all rows within the interval, ties included)
+    vs. the ROWS frames elsewhere in the catalog. Integer-microsecond
+    ordering keeps the frame boundaries engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("hour_sum")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "map_key_counts",
+    oracle="""
+    SELECT k, count(*) AS n
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def map_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured MAP access: parse the JSON props column into a
+    typed map, explode its keys, count — the schema-discovery scan you
+    run before promoting JSON blobs to real columns."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        events.select(F.explode(F.map_keys(m)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "full_outer_nation_counts",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates — null-padded rows on whichever
+    side lacks the nation (at sf0.001 several nations have customers but
+    no suppliers, so both null shapes are exercised)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )

@@ -146,6 +146,44 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — the stream-side twin of exact dedup, with
+    state bounded by the watermark instead of growing forever (the
+    plain dropDuplicates alternative keys state on every value seen).
+    Each first occurrence is emitted immediately (dedup is a filter,
+    not an aggregation, so append mode never holds rows back); with the
+    finite file feed every duplicate arrives inside the watermark, so
+    the output is exactly the batch DISTINCT — which the oracle checks."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_{next(_counter)}"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+register(
+    "streaming_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)(dedup_within_watermark_stream)
+
+
 register(
     "streaming_sessionize_stateful",
     oracle="""
