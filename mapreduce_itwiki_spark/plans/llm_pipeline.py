@@ -241,6 +241,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS centroid
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/IVF coarse-quantizer
+    building block), as (label, pos, centroid) rows: posexplode the
+    vectors, two-key hash agg — partial aggregation makes the shuffle
+    carry |labels|×dim rows per partition regardless of corpus size.
+    Row form (not array) keeps the result canonicalizable and lets the
+    oracle use plain grouped avg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    return (
+        emb.select("label", F.posexplode(v).alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,

@@ -160,6 +160,80 @@ def join_orders_lineitem_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --------------------------------------------------------------------------
 @register(
+    "salted_join_orders_lineitem",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact-fact join (M5 skew hygiene): the probe side gets a
+    row-level deterministic salt (hash of the full row key, NOT the join
+    key — same-key rows must spread), the build side replicates once per
+    salt, and the join key becomes (orderkey, salt) — a hot orderkey's
+    rows now land on N_SALTS reducers instead of one. Same result as the
+    unsalted join by construction (each probe row matches exactly the
+    one replica carrying its salt), which the shared oracle proves.
+    Salting trades N× build-side duplication for bounded per-task skew;
+    at 100 TB you apply it only when AQE's skew splitting isn't enough
+    (e.g. a single key larger than an executor)."""
+    n_salts = 4
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    orders_rep = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return (
+        orders_rep.join(
+            li,
+            (orders_rep.o_orderkey == li.l_orderkey) & (orders_rep.salt == li.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "jsonl_sink_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round trip — the interchange format of
+    every data-curation handoff. Written distributed (no coalesce), read
+    back with an EXPLICIT schema (inference is a full extra scan at
+    100 TB), then aggregated; equality with the direct oracle proves the
+    round trip lossless."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_jsonl_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "semi_join_customers_with_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -164,6 +164,89 @@ def pii_scrub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language character-trigram marker profiles for the n-gram
+#: language-ID heuristic (fixed literals so both engines share them)
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "de": ["sch", "ein", "ich", "und", "der", "gen", "ung", "cht"],
+    "en": ["the", "ing", "ion", "and", "ent", "for", "ati", "ter"],
+    "fr": ["les", "ent", "que", "ion", "eur", "ait", "ans", "our"],
+}
+
+
+def _trigram_count_sql(tri: str) -> str:
+    return f"(strlen(text) - strlen(replace(text, '{tri}', ''))) // 3"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "char_trigram_langid",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({' + '.join(_trigram_count_sql(t) for t in TRIGRAM_PROFILES['de'])} AS BIGINT) AS score_de,
+           CAST({' + '.join(_trigram_count_sql(t) for t in TRIGRAM_PROFILES['en'])} AS BIGINT) AS score_en,
+           CAST({' + '.join(_trigram_count_sql(t) for t in TRIGRAM_PROFILES['fr'])} AS BIGINT) AS score_fr
+    FROM documents
+    """,
+)
+def char_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language-ID scores: count marker trigrams per
+    candidate language via replace-and-measure — pure JVM string ops,
+    zero Python, one pass. (Argmax + thresholding is a trivial CASE on
+    top; the scores are the operator.) The replace-count identity
+    (len(text) − len(replace(text, tri)))/3 counts non-overlapping
+    occurrences identically in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count(tri: str):
+        return (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
+        ) / 3
+
+    def score(lang: str):
+        cols = [count(t) for t in TRIGRAM_PROFILES[lang]]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc + c
+        return acc.cast("long").alias(f"score_{lang}")
+
+    return docs.select("doc_id", score("de"), score("en"), score("fr"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "curate_corpus",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, text,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+      FROM documents)
+    WHERE keep
+      AND strlen(text) >= 200
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE — compose the pipeline's stages into one
+    declarative selection: exact-dedup keep verdict × minimum-length
+    quality floor × deterministic 50% hash sample. Catalyst fuses all
+    three into a single scan + one fingerprint window; at 100 TB this
+    whole corpus cut is two stages."""
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint(F.col("text")))
+    keep = F.col("doc_id") == F.min("doc_id").over(w)
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.withColumn("keep", keep)
+        .filter(F.col("keep") & (F.length("text") >= 200) & (coin < 50))
+        .select("doc_id", "lang")
+    )
+
+
 # --------------------------------------------------------------------------
 @register(
     "window_range_frame",
