@@ -578,6 +578,97 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "stats_aggregates",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+             AS corr_vk,
+           round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+             AS covar_vk,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 4) AS var
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery (corr/covar/stddev/variance) — the
+    profiling pass of a feature-engineering pipeline; all single-pass
+    algebraic aggregates (Catalyst plans partial+final, shuffle carries
+    one moment-tuple per group per partition)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.round(F.corr("value", k), 6).alias("corr_vk"),
+        F.round(F.covar_samp("value", k), 4).alias("covar_vk"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "array_hof_battery",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> strlen(t) >= 6)) AS INTEGER)
+             AS n_long,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> strlen(t))) AS BIGINT)
+             AS sum_len,
+           CAST(list_max(list_transform(string_split(text, ' '), t -> strlen(t))) AS INTEGER)
+             AS max_len,
+           list_contains(string_split(text, ' '), 'data') AS has_data
+    FROM documents
+    """,
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function battery (filter/transform/aggregate/
+    array_max/array_contains) over token arrays — the collection-API
+    surface. NB HOF lambdas evaluate interpreted (outside codegen); for
+    CPU-bound hot paths restructure as explode→agg (see
+    operators/dedup.py) — this entry pins SEMANTICS of the API."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def is_long(t):
+        return F.length(t) >= 6
+
+    def tok_len(t):
+        return F.length(t)
+
+    lens = F.transform(toks, tok_len)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, is_long)).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("sum_len"),
+        F.array_max(lens).alias("max_len"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "cube_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that tells subtotal levels
+    apart — how consumers distinguish 'NULL because aggregated' from
+    'NULL in the data' (both engines use the same bit convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "grouping_sets_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n

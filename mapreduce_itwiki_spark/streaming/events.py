@@ -146,6 +146,46 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enrich_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against a batch
+    dimension (customer), then aggregated per market segment — the
+    canonical streaming-ETL shape (dimension broadcast into every
+    micro-batch; no state, no watermark needed for inner stream-static
+    joins). Finite feed ⇒ equals the batch join, which the oracle
+    checks."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    name = f"stream_enrich_{next(_counter)}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+register(
+    "streaming_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)(enrich_join_stream)
+
+
 def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION: dropDuplicatesWithinWatermark on
     (user_id, event_type) — the stream-side twin of exact dedup, with
