@@ -578,6 +578,89 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "rank_battery",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (dense_rank / percent_rank / cume_dist) —
+    the distribution-position windows that complete row_number/ntile
+    elsewhere in the catalog."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "except_all_suppkeys",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def except_all_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each right occurrence cancels
+    ONE left occurrence; the DISTINCT variant is `set_except`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
+    vhi = li.filter(F.col("l_quantity") > 40).select("l_suppkey")
+    return hi.exceptAll(vhi)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "intersect_all_suppkeys",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def intersect_all_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of the two
+    multiplicities per value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "explode_outer_matches",
+    oracle="""
+    SELECT doc_id, unnest(
+             CASE WHEN len(regexp_extract_all(text, '(data|key)[a-z]*')) = 0
+                  THEN [NULL]
+                  ELSE regexp_extract_all(text, '(data|key)[a-z]*') END) AS m
+    FROM documents
+    """,
+)
+def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with NO matches survive as (doc_id, NULL)
+    instead of vanishing — the left-join flavor of flattening, essential
+    when downstream joins must not silently drop unmatched parents."""
+    docs = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all(F.col("text"), F.lit("(data|key)[a-z]*"), 0)
+    return docs.select("doc_id", F.explode_outer(matches).alias("m"))
+
+
+# --------------------------------------------------------------------------
+@register(
     "stats_aggregates",
     oracle="""
     SELECT event_type,

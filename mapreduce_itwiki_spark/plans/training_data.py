@@ -249,6 +249,90 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "bigram_logprob_scoring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents)),
+    bigrams AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks),
+    bg AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1)
+    SELECT bg.doc_id, round(avg(ln(c12.n12 * 1.0 / c1.n1)), 4) AS avg_logprob,
+           count(*) AS n_bigrams
+    FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+            JOIN c1 ON bg.w1 = c1.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: a bigram language model is
+    FITTED ON THE CORPUS ITSELF (MLE counts) and every document scored
+    by its mean bigram log-probability — the self-supervised fluency
+    filter of a pretraining pipeline (low scorers are gibberish or
+    boilerplate outliers). Two-pass analytics: bigram extraction via a
+    lead window, model = two grouped counts, scoring = joins back to the
+    bigram stream. All shuffles key on w1 — Catalyst reuses the
+    partitioning across the model build and the scoring join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(F.col("n12") / F.col("n1"))), 4).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "top_tokens_per_lang",
+    oracle="""
+    SELECT lang, tok, n FROM (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+      FROM (SELECT lang, tok, count(*) AS n
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY lang, tok))
+    WHERE rn <= 5
+    """,
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language (vocabulary head): explode → two-key
+    count → ranked window with a deterministic (count desc, token) tie
+    break — the per-group top-k idiom at corpus scale (WindowGroupLimit
+    pushes the rank filter below the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "tok", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id,
