@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure-Python seams of the
+engine — the XML block parser, the deterministic fake decoder, and the
+LSH hyperplane family. These run without a SparkSession, so they're
+cheap enough to explore thousands of inputs per run."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_itwiki_spark.operators.multimodal import fake_decode
+from mapreduce_itwiki_spark.operators.similarity import (
+    BAND_BITS,
+    LSH_BANDS,
+    NUM_HYPERPLANES,
+    hyperplane,
+)
+from mapreduce_itwiki_spark.sources.xml_pages import _parse_page_block
+
+# text safe to embed in XML element content without escaping
+xml_safe = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="<>&\x00", exclude_categories=("Cs", "Cc")
+    ),
+    min_size=1,
+).map(str.strip).filter(bool)
+
+
+@given(title=xml_safe, text=xml_safe)
+@settings(max_examples=200)
+def test_parse_page_block_roundtrips(title, text):
+    """Any well-formed <page> block parses back to exactly (title, text)."""
+    block = f"junk-prefix\n<page><title>{title}</title><ns>0</ns><revision><text>{text}</text></revision></page>"
+    assert _parse_page_block(block) == (title, text)
+
+
+@given(junk=st.text(max_size=200))
+@settings(max_examples=200)
+def test_parse_page_block_never_raises(junk):
+    """Arbitrary garbage (dirty dumps are the norm) parses to a tuple or
+    None — never an exception that would fail a 100 TB scan."""
+    out = _parse_page_block(junk)
+    assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+
+@given(payload=st.binary(max_size=64), n=st.integers(min_value=1, max_value=16))
+@settings(max_examples=200)
+def test_fake_decode_shape_and_range(payload, n):
+    """The stub decoder honors the codec contract: exactly n features,
+    each a float in [0, 255] (byte value or zero-pad)."""
+    out = fake_decode(payload, n_features=n)
+    assert len(out) == n
+    assert all(isinstance(v, float) and 0.0 <= v <= 255.0 for v in out)
+    # prefix is the actual bytes
+    for i, b in enumerate(payload[:n]):
+        assert out[i] == float(b)
+
+
+@given(j=st.integers(min_value=0, max_value=NUM_HYPERPLANES - 1),
+       dim=st.integers(min_value=4, max_value=128))
+@settings(max_examples=200)
+def test_hyperplane_family_properties(j, dim):
+    """Hyperplanes are pure, integer-valued, bounded, and sparse on the
+    residue pattern the band design relies on (nonzero iff i ≡ −j mod 4);
+    each 4-plane band jointly covers every residue class."""
+    h = hyperplane(j, dim)
+    assert h == hyperplane(j, dim)  # pure
+    assert len(h) == dim
+    for i, x in enumerate(h):
+        assert isinstance(x, int) and -9 <= x <= 9
+        if (i + j) % 4 != 0:
+            assert x == 0
+    assert any(x != 0 for x in h)
+
+
+def test_bands_cover_all_residues():
+    """Within any band, the 4 planes' supports partition the coordinate
+    space — no coordinate is ignored by a whole band."""
+    dim = 64
+    for b in range(LSH_BANDS):
+        covered = set()
+        for r in range(BAND_BITS):
+            j = b * BAND_BITS + r
+            covered |= {i % 4 for i in range(dim) if hyperplane(j, dim)[i] != 0}
+        assert covered == {0, 1, 2, 3}, (b, covered)
