@@ -578,6 +578,48 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(o_totalprice) AS n_price,
+           count(o_orderpriority) AS n_prio
+    FROM (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+      UNION ALL
+      SELECT o_orderkey, NULL, o_orderpriority FROM orders)
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: two parquet generations with
+    different column sets read back through mergeSchema — old files
+    null-pad the new column and vice versa. The counts prove which rows
+    carry which columns. (mergeSchema costs a footer scan per file; at
+    100 TB pin the unified schema explicitly instead.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+        f"{out}/gen=1"
+    )
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").parquet(
+        f"{out}/gen=2"
+    )
+    back = spark.read.option("mergeSchema", True).parquet(f"{out}/gen=1", f"{out}/gen=2")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_prio"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "rank_battery",
     oracle="""
     SELECT event_id, user_id,

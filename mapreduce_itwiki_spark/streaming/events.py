@@ -186,6 +186,53 @@ register(
 )(enrich_join_stream)
 
 
+def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2-hour window, 1-hour slide): every
+    event lands in exactly two overlapping windows — the
+    moving-aggregate view a monitoring pipeline reads. Complete mode +
+    finite feed ⇒ equals the batch expansion the oracle runs (each
+    event duplicated into its two window starts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = f"stream_sliding_{next(_counter)}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    )
+
+
+register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM (SELECT value,
+                 unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                         date_trunc('hour', ts)]) AS ws
+          FROM events)
+    GROUP BY ws
+    """,
+)(sliding_window_stream)
+
+
 def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION: dropDuplicatesWithinWatermark on
     (user_id, event_type) — the stream-side twin of exact dedup, with
