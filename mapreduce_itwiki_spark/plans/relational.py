@@ -531,6 +531,73 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "asof_join_cogrouped",
+    oracle="""
+    SELECT event_id, user_id, us AS purchase_us, last_click_us FROM (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CAST(max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS last_click_us
+      FROM events)
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF via COGROUPED applyInPandas: purchases and clicks cogrouped
+    per user, matched with ``pd.merge_asof`` (backward, strict) — the
+    two-sided Arrow shape for as-of logic that outgrows window
+    expressions (tolerances, nearest-forward, multi-column quotes).
+    Strictly-less-than on the microsecond timestamp; the oracle's RANGE
+    frame with a 1 µs offset expresses the same strictness. One shuffle
+    per side on user_id."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", us.alias("us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "purchase_us": [], "last_click_us": []}
+            )
+        left = left.sort_values("us")
+        right = right.sort_values("click_us")
+        out = pd.merge_asof(
+            left,
+            right[["click_us"]],
+            left_on="us",
+            right_on="click_us",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "purchase_us": out["us"],
+                "last_click_us": out["click_us"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, purchase_us long, last_click_us long",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "sessionize",
     oracle="""
     SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
