@@ -267,6 +267,46 @@ def wiki_incoming_refs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The UDF/UDAF/UDTF surface (SURVEY.md §2): the reference's Mapper1 IS a
+# UDTF (1 page row → N link rows, CountReference.java:246-266). This
+# entry renders that shape as a Python UDTF for API parity; production
+# uses the codegen'd explode in wiki_incoming_refs (UDTFs are
+# row-at-a-time Python — the deliberate slow path, pinned here only for
+# surface completeness).
+@register(
+    "udtf_token_explode",
+    oracle="""
+    SELECT token, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE trim(token) <> ''
+    GROUP BY token
+    """,
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (LATERAL table function) twin of Mapper1: tokenize +
+    empty-drop per document, then distinct-source counts — same answer
+    as the flagship pipeline, via the user-defined-table-function API."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if t.strip():
+                    yield (t,)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_src")
+    return spark.sql(
+        """
+        SELECT token, count(DISTINCT doc_id) AS n_docs
+        FROM documents_udtf_src, LATERAL tokenize_udtf(text)
+        GROUP BY token
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # O1+O2 through the driver contract: round-trip the documents corpus as a
 # MediaWiki-style dump and run the token pipeline on the parsed result.
 @register(
