@@ -645,6 +645,71 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "error_safe_functions",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS INTEGER) AS name_as_int,
+           TRY_CAST(CAST(c_custkey AS VARCHAR) AS INTEGER) AS key_roundtrip,
+           round(c_acctbal / nullif(c_custkey % 3, 0), 4) AS risky_div
+    FROM customer
+    """,
+)
+def error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar battery (try_cast / try_divide): malformed input
+    and zero divisors yield NULL instead of failing the job — at 100 TB
+    a single dirty row must never kill a 1000-executor stage. (Spark 4
+    runs ANSI mode by default, so the non-try forms THROW; the try_*
+    family is the production idiom.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_name").try_cast("int").alias("name_as_int"),
+        F.col("c_custkey").cast("string").try_cast("int").alias("key_roundtrip"),
+        F.round(
+            F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3), 4
+        ).alias("risky_div"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "date_spine_gapfill",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS day, coalesce(n, 0) AS n_orders
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                        INTERVAL 1 DAY)) AS d) spine
+    LEFT JOIN (SELECT o_orderdate::DATE AS od, count(*) AS n
+               FROM orders GROUP BY 1) o
+      ON spine.d = o.od
+    """,
+)
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a generated date spine: sequence() builds the
+    calendar, a left join pins zero rows for empty days — the
+    time-series idiom reports need (missing days must EXIST as zeros,
+    not be absent). The spine is generated, not scanned: one literal
+    row exploded, no source table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("od")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, spine.d == daily.od, "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "schema_evolution_merge",
     oracle="""
     SELECT count(*) AS n_rows,
