@@ -271,6 +271,83 @@ register(
 )(dedup_within_watermark_stream)
 
 
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas' driver worker requires google.protobuf
+    (Spark's state-server protocol); this container ships without it, so
+    the query registers only where the dependency exists — the honest
+    import-gate pattern for optional surface."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_stats_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state variables via a
+    StatefulProcessorHandle, timers, composite state). Per-user running
+    (count, value-sum) kept in a ValueState; finite feed ⇒ the final
+    emission per user equals the batch aggregate the oracle computes."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"stream_tws_{next(_counter)}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode sink: keep each user's final (largest-n) emission
+    latest = spark.table(name)
+    return latest.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+    )
+
+
+if _protobuf_available():  # container lacks protobuf; see _protobuf_available
+    register(
+        "streaming_running_stats_tws",
+        oracle="""
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        """,
+    )(running_stats_tws_stream)
+
+
 register(
     "streaming_sessionize_stateful",
     oracle="""
