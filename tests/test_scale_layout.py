@@ -68,7 +68,62 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_partitioned_write_prunes(spark, tmp_path):
+def test_salted_agg_on_pathological_skew(spark):
+    """A synthetic corpus where ONE key owns 50% of all rows — the
+    single-hot-key shape AQE's skew handling can't always split for
+    non-algebraic aggregates. The salted two-phase distinct-count must
+    equal the plain plan exactly on this worst case."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_itwiki_spark.operators.skew import salted_distinct_count
+
+    n = 20_000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+        (F.col("id") % 513).cast("string").alias("member"),
+    )
+    plain = {
+        (r.key): r.n
+        for r in base.groupBy("key")
+        .agg(F.countDistinct("member").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.key: r.n
+        for r in salted_distinct_count(base, "key", "member", n_salts=8, out="n").collect()
+    }
+    assert salted == plain
+    assert plain["HOT"] == 513  # the hot key really is hot
+
+
+def test_csv_permissive_parse_quarantines_bad_rows(spark, tmp_path):
+    """Dirty CSV: PERMISSIVE mode + columnNameOfCorruptRecord keeps the
+    scan alive and quarantines malformed rows instead of failing the
+    job — the ingestion posture for 100 TB of third-party data."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,not_a_number,3.25\n"
+        "3,7,bad_price\n"
+        "4,2,99.0\n",
+        encoding="utf-8",
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id int, qty int, price double, _bad string")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._bad is None]
+    bad = [r for r in rows if r._bad is not None]
+    assert len(rows) == 4
+    assert {r.id for r in good} == {1, 4}
+    assert len(bad) == 2  # quarantined, not dropped, not fatal
     """events partitioned by event_type: a type filter must prune
     partitions at planning time (scan reads 1/5 of the directories)."""
     events = load_table(spark, SF_SMALL, "events")

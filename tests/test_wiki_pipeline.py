@@ -221,6 +221,13 @@ def test_golden_counts_on_reference_sample(spark):
     assert counts.count() == 1206
     medioevo = {r.page_title: r["count"] for r in counts.collect()}["Medioevo"]
     assert medioevo == 4
+    # the literal-MapReduce RDD twin reproduces the same goldens
+    from mapreduce_itwiki_spark.operators.linkgraph_rdd import (
+        incoming_reference_counts_rdd,
+    )
+
+    rdd_counts = incoming_reference_counts_rdd(spark, pages)
+    assert rdd_counts.count() == 1206
 
 
 def test_malformed_page_blocks_are_dropped(spark, tmp_path):
