@@ -8,7 +8,11 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from mapreduce_itwiki_spark.operators.multimodal import fake_decode
+from mapreduce_itwiki_spark.operators.multimodal import (
+    decode_png_gray,
+    encode_png_gray,
+    fake_decode,
+)
 from mapreduce_itwiki_spark.operators.similarity import (
     BAND_BITS,
     LSH_BANDS,
@@ -54,6 +58,59 @@ def test_fake_decode_shape_and_range(payload, n):
     # prefix is the actual bytes
     for i, b in enumerate(payload[:n]):
         assert out[i] == float(b)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=16),
+    height=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+@settings(max_examples=100)
+def test_png_codec_roundtrips(width, height, data):
+    """The pure-stdlib PNG codec is lossless: encode(decode) recovers
+    width, height, and every pixel byte for arbitrary grayscale images."""
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=width * height,
+                max_size=width * height,
+            )
+        )
+    )
+    png = encode_png_gray(pixels, width)
+    assert png.startswith(b"\x89PNG")
+    w, h, out = decode_png_gray(png)
+    assert (w, h, out) == (width, height, pixels)
+
+
+def test_png_decoder_handles_sub_and_up_filters():
+    """Un-filtering is real: hand-built PNGs using Sub(1) and Up(2)
+    filters decode to the correct pixels (our encoder only emits
+    None(0), so these exercise the spec paths a foreign encoder hits)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 3x2 image, row0 = [10, 20, 30] via Sub deltas, row1 = [11, 22, 33] via Up deltas
+    raw = bytes([1, 10, 10, 10]) + bytes([2, 1, 2, 3])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png_gray(png)
+    assert (w, h) == (3, 2)
+    assert list(px) == [10, 20, 30, 11, 22, 33]
 
 
 @given(j=st.integers(min_value=0, max_value=NUM_HYPERPLANES - 1),
