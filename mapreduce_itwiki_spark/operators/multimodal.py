@@ -171,6 +171,91 @@ def extract_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL WAV codec (16-bit PCM mono), pure stdlib struct — the audio twin
+# of the PNG path above.
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode signed 16-bit mono PCM samples as a valid RIFF/WAVE file."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a 16-bit PCM mono WAV → (sample_rate, samples). Walks RIFF
+    chunks properly (tolerates extra chunks a foreign encoder inserts)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM mono supported")
+        elif typ == b"data":
+            samples = [
+                struct.unpack("<h", data[i : i + 2])[0] for i in range(0, len(data), 2)
+            ]
+        pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def audio_stats(audio: DataFrame, blob_col: str = "wav") -> DataFrame:
+    """REAL audio decode over a WAV blob column: mapInPandas runs the
+    stdlib PCM decoder per blob and emits (n_samples, duration, RMS) —
+    the audio feature-extraction shape with a working codec."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_l, dur_l, rms_l = [], [], []
+            for blob in pdf[blob_col]:
+                rate, samples = decode_wav_pcm16(bytes(blob))
+                n_l.append(len(samples))
+                dur_l.append(round(len(samples) / rate, 6))
+                rms_l.append(
+                    round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": n_l,
+                    "duration_sec": dur_l,
+                    "rms": rms_l,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+    return audio.mapInPandas(run, schema)
+
+
 def image_stats(images: DataFrame, blob_col: str = "png") -> DataFrame:
     """REAL image decode over a PNG blob column: Arrow-batched
     mapInPandas runs the pure-stdlib PNG decoder per blob and emits

@@ -475,6 +475,56 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(images)
 
 
+@register(
+    "multimodal_wav_decode",
+    # samples are (ascii - 128) of the first 32 text bytes; avg of 32
+    # ints is an exact binary fraction and IEEE sqrt is correctly
+    # rounded, so RMS at 6 decimals is engine-exact
+    oracle="""
+    SELECT doc_id, CAST(32 AS INTEGER) AS n_samples,
+           round(32.0 / 8000, 6) AS duration_sec,
+           round(sqrt(list_avg(list_transform(range(1, 33),
+                 i -> (ascii(substr(text, i, 1)) - 128)
+                      * (ascii(substr(text, i, 1)) - 128)))), 6) AS rms
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL audio pipeline, the WAV twin of
+    multimodal_png_decode: the first 32 text bytes become signed PCM
+    samples in a valid RIFF/WAVE file (operators/multimodal.py:
+    encode_wav_pcm16), and the stdlib decoder recovers sample count,
+    duration, and RMS through Arrow-batched mapInPandas."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import audio_stats, encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        encode_wav_pcm16(
+                            [b - 128 for b in t.encode("utf-8")[:32].ljust(32, b"\x80")]
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    audio = docs.mapInPandas(
+        to_wav,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+        ),
+    )
+    return audio_stats(audio)
+
+
 # ---------------------------------------------------------------------------
 @register(
     "lang_profile",

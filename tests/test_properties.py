@@ -84,6 +84,25 @@ def test_png_codec_roundtrips(width, height, data):
     assert (w, h, out) == (width, height, pixels)
 
 
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=128
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=100)
+def test_wav_codec_roundtrips(samples, rate):
+    """The stdlib WAV codec is lossless over 16-bit PCM."""
+    from mapreduce_itwiki_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    got_rate, got = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
+    assert got_rate == rate
+    assert got == samples
+
+
 def test_png_decoder_handles_sub_and_up_filters():
     """Un-filtering is real: hand-built PNGs using Sub(1) and Up(2)
     filters decode to the correct pixels (our encoder only emits
