@@ -646,11 +646,54 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@register("pagerank_linkgraph")  # iterative fixed-point loop → rows-only check
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank UNROLLED as chained aggregate CTEs — an
+    exact oracle for the iterative operator (standard SQL forbids
+    aggregates in recursive CTE terms, but a FIXED iteration count
+    needs no recursion at all). Each c/d/r trio mirrors one loop body
+    of operators/graph.py:pagerank term-for-term, including the
+    dangling-mass form (sum over non-source nodes, NOT 1−linked — the
+    two differ in floating point)."""
+    setup = """edges AS (
+      SELECT DISTINCT 'doc:' || CAST(doc_id AS VARCHAR) AS src, tok AS dst
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    parts = [setup]
+    for k in range(1, iterations + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, sum(r.rank / o.od) AS in_sum
+      FROM edges e JOIN {p} r ON e.src = r.node
+      JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+    d{k} AS (
+      SELECT coalesce(sum(rank), 0.0) AS dm FROM {p}
+      WHERE node NOT IN (SELECT src FROM edges)),
+    r{k} AS (
+      SELECT n.node,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+             + {damping} * (coalesce(c.in_sum, 0.0)
+                            + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
+@register("pagerank_linkgraph", oracle=_pagerank_oracle_sql(iterations=5))
 def pagerank_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the (doc → token) reference-style link graph —
-    the iterative-algorithm slot (operators/graph.py); semantics pinned
-    by a hand-computed unit test, not SQL-expressible as one statement."""
+    """PageRank over the (doc → token) reference-style link graph — the
+    iterative-algorithm slot (operators/graph.py), ALSO hash-checked:
+    the oracle unrolls the same 5 iterations as chained SQL CTEs, and
+    round(·, 8) absorbs the ≤1e-15 summation-order drift (semantics
+    additionally pinned by a hand-computed unit test)."""
     from ..operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
