@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -328,6 +329,167 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("lang", "tok", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok)
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the most-distinctive term per document — the classic
+    keyword/topic signal of a corpus pipeline. Term frequencies and
+    document frequencies are two grouped counts off one exploded stream
+    (shared shuffle key: tok), the score is a broadcast-joinable model,
+    and the per-doc argmax is a rank-1 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "balanced_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: exactly 20 documents per language,
+    chosen by ranking on an md5 shuffle key — deterministic
+    pseudo-random order, so the 'random' sample is reproducible across
+    engines and reruns (df.sample can guarantee neither exact counts
+    nor cross-engine identity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "normalize_text_pipeline",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_fp,
+           CAST(strlen(trim(regexp_replace(regexp_replace(lower(text),
+                                                          '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def normalize_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical text-cleaning chain (lowercase → strip
+    non-alphanumerics → collapse whitespace → trim), fingerprinted — the
+    normalization that runs BEFORE dedup so near-identical formatting
+    variants collapse. Pure JVM regex, one pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_against_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+      FROM toks),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+    hits AS (
+      SELECT DISTINCT tr.doc_id
+      FROM grams tr JOIN eval_grams e ON tr.g = e.g
+      WHERE tr.doc_id >= 10)
+    SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+    FROM documents d WHERE d.doc_id >= 10
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the must-run filter of any serious
+    pretraining pipeline: flag training documents sharing any 8-gram
+    with the held-out eval set (here: doc_id < 10 stands in for the
+    benchmark). The eval n-gram set is tiny by construction, so it
+    BROADCASTS and the training side never shuffles — at 100 TB this is
+    a map-side semi-join per shard. Verbatim 8-gram overlap is the
+    standard published criterion (GPT-3 appendix style)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), k=8)).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    train = docs.filter(F.col("doc_id") >= 10)
+    hits = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(hits.withColumn("hit", F.lit(True)), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated")
     )
 
 
