@@ -645,6 +645,142 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "funnel_analysis",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_then_click,
+           (SELECT count(*) FROM s3) AS n_then_purchase
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later click → later purchase): each
+    stage is a conditional-min aggregate joined forward, so step order
+    is enforced by time, not mere event presence. Three shuffles on
+    user_id with exchange reuse — the product-analytics staple."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(us > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(us > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week::DATE, a.week::DATE) // 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM first f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every later active week — the (cohort × offset)
+    triangle every growth dashboard draws. Week truncation is ISO
+    Monday-based in both engines; offsets are integer day arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        first.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "scd2_segment_upsert",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, version, is_current FROM (
+      SELECT c_custkey, c_mktsegment, 1 AS version,
+             NOT (c_acctbal > 5000) AS is_current
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'PREMIUM', 2, true
+      FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def scd2_segment_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: a slowly-changing
+    dimension type-2 update — changed keys close their version-1 row
+    (is_current=false) and append a version-2 row — expressed as a
+    declarative union. This is what Delta/Iceberg MERGE INTO compiles
+    to; on plain parquet you rewrite the dimension this way and swap
+    directories atomically."""
+    cust = load_table(spark, sf_dir, "customer")
+    changed = F.col("c_acctbal") > 5000
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).alias("version"),
+        (~changed).alias("is_current"),
+    )
+    v2 = cust.filter(changed).select(
+        "c_custkey",
+        F.lit("PREMIUM").alias("c_mktsegment"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionAll(v2)
+
+
+# --------------------------------------------------------------------------
+@register(
     "error_safe_functions",
     oracle="""
     SELECT c_custkey,
