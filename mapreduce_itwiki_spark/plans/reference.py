@@ -288,7 +288,7 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the flagship pipeline, via the user-defined-table-function API."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token: string")
+    @udtf(returnType="token: string", useArrow=True)
     class TokenizeUdtf:
         def eval(self, text: str):
             for t in (text or "").split(" "):

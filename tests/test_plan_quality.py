@@ -87,6 +87,45 @@ def test_bucketed_join_query_is_shuffle_free(spark):
     assert n_exchange == 1, plan
 
 
+def test_no_cartesian_or_rowwise_python_anywhere(spark):
+    """GLOBAL plan hygiene over the whole catalog: no query may plan a
+    CartesianProduct (unbounded pair blow-up) or BatchEvalPython
+    (row-at-a-time Python UDF — the non-Arrow slow path). Arrow-batched
+    Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+    PythonUDTF) is the sanctioned boundary. Streaming/sink queries that
+    execute eagerly on build are exercised by the parity suite instead."""
+    skip = {
+        # these EXECUTE on construction (streaming drains, table/file
+        # writes) — plan text of the final select isn't the interesting
+        # part and building them twice doubles test time
+        "streaming_hourly_rollup",
+        "streaming_sessionize_stateful",
+        "streaming_dedup_watermark",
+        "streaming_enrich_join",
+        "streaming_sliding_counts",
+        "csv_sink_roundtrip",
+        "jsonl_sink_roundtrip",
+        "wiki_xml_roundtrip",
+        "join_orders_lineitem_bucketed",
+        "schema_evolution_merge",
+        "pagerank_linkgraph",  # loop checkpoints eagerly
+        "dedup_connected_components",
+    }
+    offenders = {}
+    for name in sorted(catalog.queries()):
+        if name in skip:
+            continue
+        plan = plan_of(spark, name)
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_minhash_verify_never_broadcasts_arrays(spark):
     """pair_jaccard's broadcast discipline: only the slim (doc_a, doc_b)
     candidate list may be broadcast — a BroadcastExchange carrying the
