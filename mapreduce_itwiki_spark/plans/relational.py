@@ -645,6 +645,40 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "partitioned_events_prune",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def partitioned_events_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned layout end-to-end: events written
+    partitionBy(event_type), then a type-filtered aggregate reads ONE
+    directory of five — the scan shows PartitionFilters, not a data
+    filter (plan gate in tests/test_plan_quality.py). The directory
+    layout is the coarse index of a 100 TB lake; pruning happens at
+    planning time, before any I/O."""
+    import hashlib
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_events_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    events.withColumn("etype", F.col("event_type")).write.partitionBy("etype").mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("etype") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "funnel_analysis",
     oracle="""
     WITH s1 AS (

@@ -108,6 +108,7 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "wiki_xml_roundtrip",
         "join_orders_lineitem_bucketed",
         "schema_evolution_merge",
+        "partitioned_events_prune",
         "pagerank_linkgraph",  # loop checkpoints eagerly
         "dedup_connected_components",
     }
@@ -124,6 +125,16 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_partitioned_query_prunes_at_plan_time(spark):
+    """partitioned_events_prune: the type filter must surface as a
+    PartitionFilter on the scan (directory prune), never a pushed data
+    filter."""
+    plan = plan_of(spark, "partitioned_events_prune")
+    assert "PartitionFilters" in plan
+    section = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "etype" in section, section
 
 
 def test_minhash_verify_never_broadcasts_arrays(spark):
