@@ -60,6 +60,64 @@ def test_append_mode_emits_only_closed_windows(spark):
     assert emitted and emitted < all_windows  # strictly withheld tail
 
 
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Fault-tolerance contract: a stopped streaming query RESUMED from
+    its checkpoint processes only unseen files — no duplicates, no
+    gaps. Feed half the data, stop; add the second half, restart with
+    the same checkpoint; the running count must equal the batch total,
+    and maxFilesPerTrigger=1 forces genuinely incremental micro-batches
+    rather than one big gulp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_SMALL, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src_dir)  # initial files
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counts.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+
+    q = start("ckpt_run_a")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_after_half = spark.table("ckpt_run_a").agg(F.sum("n")).collect()[0][0]
+    assert n_after_half == half1.count()
+
+    # second half arrives while the query is DOWN
+    half2.write.mode("append").parquet(src_dir)
+
+    q = start("ckpt_run_b")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.table("ckpt_run_b")
+    assert final.agg(F.sum("n")).collect()[0][0] == events.count()  # no dup, no gap
+    batch = {
+        (r.user_id): r.n
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r.user_id: r.n for r in final.collect()}
+    assert got == batch
+
+
 def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
     """foreachBatch: the escape hatch for sinks without native streaming
     support — each micro-batch lands as an idempotent overwrite keyed by
