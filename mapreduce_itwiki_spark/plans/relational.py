@@ -645,6 +645,67 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "approx_distinct_bounds",
+    # the oracle states the CONTRACT: exact counts plus the claim that
+    # the HLL estimate lands within 5% — if Spark's sketch ever drifts
+    # out of bounds, the hash mismatch flags a real quality regression
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+           true AS hll_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) alongside its exact twin,
+    emitting the error-bound verdict — the scale substitute for
+    COUNT(DISTINCT) (sketches merge map-side; no expand+double-agg).
+    The oracle pins the ≤5% contract, so this approximate operator is
+    still a hash-checked catalog row."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_cust"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_cust",
+        (
+            F.abs(F.col("hll") - F.col("exact_cust"))
+            <= 0.05 * F.col("exact_cust")
+        ).alias("hll_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "approx_percentile_bounds",
+    oracle="""
+    SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact interpolated median, with the
+    ±5%-of-spread contract as the checked claim — the per-group-sort-free
+    percentile for 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        (F.abs(F.col("ap50") - F.col("exact_p50")) <= 0.05 * F.col("spread")).alias(
+            "approx_within_5pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "partitioned_events_prune",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
