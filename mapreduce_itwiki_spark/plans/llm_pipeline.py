@@ -646,6 +646,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey % 1000 AS x, b.l_partkey % 1000 AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey % 1000 < b.l_partkey % 1000)
+    SELECT count(*) AS n_triangles
+    FROM e ab JOIN e bc ON ab.y = bc.x
+              JOIN e ac ON ab.x = ac.x AND bc.y = ac.y
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts bought in the
+    same order, coarsened to 1000 groups) — the graph-analytics staple
+    beyond PageRank/CC. The id-ordered 3-way self-join counts each
+    triangle exactly once; edges are distinct so the join is set
+    semantics. At true scale, orient edges low-degree → high-degree
+    first (node-iterator++) so the wedge join is bounded by Σ deg_min²
+    instead of Σ deg² — same output, provably."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 1000).alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.y") == F.col("bc.x"))
+        .join(ac, (F.col("ab.x") == F.col("ac.x")) & (F.col("bc.y") == F.col("ac.y")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Fixed-iteration PageRank UNROLLED as chained aggregate CTEs — an
     exact oracle for the iterative operator (standard SQL forbids
