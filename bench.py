@@ -49,7 +49,9 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        # best-of-3: the shared host shows multi-second contention
+        # spikes; two samples can both land on one
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
