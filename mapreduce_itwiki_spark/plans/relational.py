@@ -1423,6 +1423,68 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "window_offset_battery",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id, 2, -1) OVER w AS lag2,
+           round(lead(click_value IGNORE NULLS) OVER w, 2) AS next_click_value,
+           nth_value(event_id, 3) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS third_event
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN value END AS click_value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def window_offset_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-window battery: lag with offset+default, lead IGNORE NULLS
+    (next click's value, skipping non-clicks), nth_value — via the SQL
+    API (IGNORE NULLS has no PySpark function form)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_wob")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               lag(event_id, 2, -1) OVER w AS lag2,
+               round(lead(click_value) IGNORE NULLS OVER w, 2) AS next_click_value,
+               nth_value(event_id, 3) OVER (PARTITION BY user_id
+                                            ORDER BY unix_micros(ts), event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW) AS third_event
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'click' THEN value END AS click_value
+              FROM events_wob)
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "regex_capture_groups",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 2) AS id_digits,
+           CAST(strlen(regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 1)) AS INTEGER)
+             AS n_leading_zeros
+    FROM customer
+    """,
+)
+def regex_capture_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex CAPTURE-GROUP extraction (group index, not whole-match) —
+    the structured-field parser for semi-structured strings."""
+    cust = load_table(spark, sf_dir, "customer")
+    pat = "#(0*)([1-9][0-9]*)"
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), pat, 2).alias("id_digits"),
+        F.length(F.regexp_extract(F.col("c_name"), pat, 1)).alias("n_leading_zeros"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
