@@ -646,6 +646,94 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_KM_K = 4  #: clusters for the k-means demo
+_KM_DIST = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6)"
+)
+
+
+@register(
+    "kmeans_two_rounds",
+    # two Lloyd iterations UNROLLED (assignment → centroid update →
+    # assignment), the same fixed-iteration-oracle trick as PageRank.
+    # Distances and centroids are rounded to 6 decimals on BOTH engines
+    # at every step, so summation-order ulp drift cannot flip an argmin.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}),
+    d1 AS (SELECT e.vec_id, c.cid, {_KM_DIST} AS d, e.v
+           FROM e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid, v FROM (
+             SELECT vec_id, cid, v,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1long AS (SELECT cid, pos, round(avg(val), 6) AS val FROM (
+                 SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+                 FROM a1)
+               GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM c1long GROUP BY cid),
+    d2 AS (SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+           FROM e CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd), two synchronous rounds over the embedding corpus
+    — the clustering member of the iterative-algorithm family
+    (PageRank, connected components), and like them HASH-CHECKED: the
+    oracle unrolls the same two rounds. Spark shape: centroids are a
+    k-row broadcast, assignment is a map-stage cross join + windowed
+    argmin, the update is a posexplode + (cid, pos) partial+final avg —
+    at 100 TB each round is one scan + one small shuffle, and k rounds
+    chain lazily exactly like operators/graph.py loops."""
+    from pyspark.sql import Window
+
+    def dist(v, cv):
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, cv, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+
+    def assign(centroids):
+        d = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", "v", dist(F.col("v"), F.col("cv")).alias("d")
+        )
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    a1 = assign(cents)
+    c1 = (
+        a1.select("cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cv")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 @register(
     "triangle_count",
     oracle="""
