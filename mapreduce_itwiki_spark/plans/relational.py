@@ -1423,6 +1423,66 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "variant_extract",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT)
+             AS k_decile,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type: parse_json → open binary-JSON column,
+    typed access via variant_get — the shredding-friendly successor to
+    get_json_object string probing (same answer as json_extract_props,
+    different engine path: variant parses once and stores a binary
+    tree, not a string re-parsed per access)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select(F.floor(k / 10).cast("long").alias("k_decile"), "value")
+        .groupBy("k_decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "null_semantics_battery",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS maybe_status,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            nullif(o_orderstatus, 'O')) AS nullsafe_self,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') AS nullsafe_f,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS filled,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+                THEN 'was_null' ELSE 'had_value' END AS nvl2_like
+    FROM orders
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery: nullif to MAKE nulls, null-safe equality
+    (<=> / IS NOT DISTINCT FROM — true for NULL vs NULL where = yields
+    NULL), coalesce fill, and the nvl2 branch shape. Three-valued logic
+    is where naive filter rewrites silently drop rows at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    maybe = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.select(
+        "o_orderkey",
+        maybe.alias("maybe_status"),
+        maybe.eqNullSafe(maybe).alias("nullsafe_self"),
+        maybe.eqNullSafe(F.lit("F")).alias("nullsafe_f"),
+        F.coalesce(maybe, F.lit("open")).alias("filled"),
+        F.when(maybe.isNull(), F.lit("was_null"))
+        .otherwise(F.lit("had_value"))
+        .alias("nvl2_like"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "window_offset_battery",
     oracle="""
     SELECT event_id, user_id,
