@@ -68,6 +68,35 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a partitioned fact against a FILTERED dim must prune
+    fact partitions with a runtime subquery (dynamicpruningexpression in
+    PartitionFilters) — the filter value isn't known until the dim side
+    runs, yet only matching directories are scanned. At 100 TB this is
+    the difference between scanning one date partition and all of them."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "dpp_events")
+    events.withColumn("etype", F.col("event_type")).write.partitionBy("etype").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2), ("signup", 3), ("error", 4), ("view", 5)],
+        ["dtype", "weight"],
+    ).filter(F.col("weight") == 1)
+    j = fact.join(dim, fact.etype == dim.dtype).groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0].etype == "purchase"
+    expect = events.filter(F.col("event_type") == "purchase").count()
+    assert rows[0].n == expect
+
+
 def test_salted_agg_on_pathological_skew(spark):
     """A synthetic corpus where ONE key owns 50% of all rows — the
     single-hot-key shape AQE's skew handling can't always split for
