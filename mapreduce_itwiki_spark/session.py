@@ -35,6 +35,16 @@ def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # whole-stage codegen compiles one JVM class per query stage; a
+        # long session running 100+ distinct md5/regex-heavy plans fills
+        # the default 240 MB code cache, after which the JIT silently
+        # stops compiling and generated code runs INTERPRETED (measured
+        # 2 s → 15 s on signature queries late in a bench session).
+        # Reserve enough for the whole catalog up front.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
