@@ -307,6 +307,38 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Native JVM XPath over constructed page XML — the expression-level XML
+# surface next to the record-delimiter source (sources/xml_pages.py).
+@register(
+    "xpath_extract",
+    oracle="""
+    SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(strlen(text) AS BIGINT) AS body_len
+    FROM documents
+    """,
+)
+def xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a <page> XML string per document and re-extract its fields
+    with real XPath (JVM ``xpath_string`` — javax.xml under codegen).
+    The oracle derives the same values from the source columns, so the
+    check proves XPath faithfully recovers what was embedded — the
+    roundtrip pattern of csv/jsonl/wiki_xml, at expression level."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<page><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><text>"),
+        F.col("text"),
+        F.lit("</text></page>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.xpath_string(xml, F.lit("/page/title")).alias("title"),
+        F.length(F.xpath_string(xml, F.lit("/page/text"))).cast("long").alias("body_len"),
+    )
+
+
+# --------------------------------------------------------------------------
 # O1+O2 through the driver contract: round-trip the documents corpus as a
 # MediaWiki-style dump and run the token pipeline on the parsed result.
 @register(

@@ -1423,6 +1423,55 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "bitmap_distinct_count",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+):
+    positions OR-ed into fixed 4 KB bucket bitmaps map-side, counted and
+    summed — same answer as COUNT(DISTINCT) (the shared oracle), but the
+    shuffle carries one bitmap per (group, bucket) instead of every
+    distinct value, and bitmaps merge associatively across any
+    partitioning. The mergeable-exact-sketch pattern HLL approximates."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderpriority", F.expr("bitmap_bucket_number(o_custkey)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    return (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_cust"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "sentences_tokenize",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           string_split(text, ' ')[1] AS first_word
+    FROM documents
+    """,
+)
+def sentences_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-aware tokenization via ``sentences()`` (ICU-style break
+    iteration — the linguistically-correct tokenizer Spark ships). On
+    this punctuation-free corpus it provably equals whitespace
+    splitting, which is what the oracle checks; on real text it handles
+    abbreviations and CJK where split(' ') cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.flatten(F.sentences(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        words[0].alias("first_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "variant_extract",
     oracle="""
     SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT)
