@@ -1423,6 +1423,62 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "hll_sketch_union",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_total, true AS union_within_5pct
+    FROM orders
+    """,
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL with UNION — the reusable-sketch workflow that
+    approx_count_distinct cannot do: build one sketch per priority
+    stratum (in practice: per day/shard, persisted), then merge the
+    BINARY sketches and estimate the global cardinality without
+    re-scanning. Contract oracle: the union estimate lands within 5% of
+    the exact global distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_stratum = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_stratum.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_total"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_total",
+        (
+            F.abs(F.col("est") - F.col("exact_total"))
+            <= 0.05 * F.col("exact_total")
+        ).alias("union_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4) — ordered string aggregation, the
+    SQL-standard sibling of collect_set+concat; the explicit ORDER BY
+    makes the concatenation deterministic and hashable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM orders_la GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "bitmap_distinct_count",
     oracle="""
     SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
