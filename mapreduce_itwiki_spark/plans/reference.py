@@ -307,6 +307,36 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The flagship through the PURE SQL API — SURVEY.md §3's claim made
+# checkable on the reference query itself: SQL and DataFrame declarations
+# reach the same Catalyst plan, so both must hash-match the same oracle.
+@register(
+    "wiki_incoming_refs_sql",
+    oracle="""
+    SELECT page_to, count(*) AS n_refs FROM (
+      SELECT DISTINCT token AS page_to, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE trim(token) <> '')
+    GROUP BY page_to ORDER BY page_to
+    """,
+)
+def wiki_incoming_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline (explode → filter → distinct → count →
+    sort, O3–O13) written as ONE SQL statement — the declarative twin of
+    plans/reference.py:wiki_incoming_refs, sharing its oracle."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_sql")
+    return spark.sql(
+        """
+        SELECT page_to, count(*) AS n_refs FROM (
+          SELECT DISTINCT token AS page_to, doc_id
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents_sql)
+          WHERE trim(token) <> '')
+        GROUP BY page_to ORDER BY page_to
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Native JVM XPath over constructed page XML — the expression-level XML
 # surface next to the record-delimiter source (sources/xml_pages.py).
 @register(
