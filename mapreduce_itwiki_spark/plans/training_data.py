@@ -22,6 +22,64 @@ from .catalog import register
 SAMPLE_PCT = 10  #: deterministic hash-sample rate (percent)
 TOKEN_BUDGET = 20_000  #: per-language token budget for head selection
 PACK_WINDOW = 4_096  #: context-window size (tokens) for packing
+SHARD_SPAN = 64  #: docs per prefix-sum shard (production would use ~1e6)
+
+
+def _sharded_cum_tokens(docs: DataFrame) -> DataFrame:
+    """Distributed prefix sum of whitespace-token counts in global
+    (lang, doc_id) order — WITHOUT a per-language window over the raw
+    corpus (the single-task-per-language scale-killer flagged in round 2).
+
+    Two-pass shard decomposition, the textbook distributed scan:
+
+    1. shard = floor(doc_id / SHARD_SPAN) — monotone in doc_id, so
+       concatenating shards in shard order reproduces the global order.
+       Pass 1 runs the running sum inside each (lang, shard): every
+       window task owns ≤ SHARD_SPAN rows, regardless of corpus size.
+    2. Per-shard totals (one row per (lang, shard) — cardinality
+       ∝ corpus/SHARD_SPAN, i.e. ~1e5 rows per language at 100 TB with a
+       production span of ~1e6) get an exclusive running offset via a
+       window ordered by shard. That window partitions by lang, but over
+       the AGGREGATED totals frame: its biggest task holds shard-count
+       rows, never document rows.  The offsets frame is then broadcast
+       back and added — global cum_tokens, bounded tasks, same answer.
+
+    Columns out: doc_id, lang, n_tokens, cum_tokens.
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        F.floor(F.col("doc_id") / SHARD_SPAN).cast("long").alias("shard"),
+    )
+    w_shard = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in_shard", F.sum("n_tokens").over(w_shard))
+    totals = base.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").alias("shard_total")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "lang",
+        "shard",
+        (F.sum("shard_total").over(w_off) - F.col("shard_total")).alias(
+            "shard_offset"
+        ),
+    )
+    return within.join(F.broadcast(offsets), ["lang", "shard"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("cum_in_shard") + F.col("shard_offset")).alias("cum_tokens"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -65,20 +123,15 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token budgeting: take documents (in deterministic
     doc_id order) until the language's token budget is spent — the
-    data-mixture knob of a pretraining run. One window shuffle on lang;
-    at scale, lang is low-cardinality/skewed, so the real deployment
-    salts the window or budgets per (lang, shard) and re-aggregates."""
+    data-mixture knob of a pretraining run. lang is low-cardinality and
+    skewed, so the running sum is computed by the two-pass shard prefix
+    sum (`_sharded_cum_tokens`): no task ever owns a whole language —
+    the bare-lang window this replaced would put ALL of English on one
+    task at 100 TB. Same answer as the oracle's global window."""
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    toks = F.size(F.split(F.col("text"), " "))
     return (
-        docs.select(
-            "doc_id", "lang", F.sum(toks).over(w).cast("long").alias("cum_tokens")
-        )
+        _sharded_cum_tokens(docs)
+        .select("doc_id", "lang", F.col("cum_tokens").cast("long").alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )
 
@@ -103,19 +156,19 @@ def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order and a doc's bin is the context window its FIRST token
     lands in — bin_id = (cumulative tokens before the doc) div window.
     Pure window arithmetic, no UDF; downstream writers group by
-    (lang, bin_id) to emit one training sequence per bin."""
+    (lang, bin_id) to emit one training sequence per bin.
+
+    The cumulative sum comes from the two-pass shard prefix sum
+    (`_sharded_cum_tokens`) — bounded tasks at any corpus size, unlike
+    the bare-lang window it replaced."""
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    toks = F.size(F.split(F.col("text"), " "))
-    cum = F.sum(toks).over(w)
-    return docs.select(
+    cum = _sharded_cum_tokens(docs)
+    return cum.select(
         "doc_id",
         "lang",
-        F.floor((cum - toks) / PACK_WINDOW).cast("long").alias("bin_id"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_WINDOW)
+        .cast("long")
+        .alias("bin_id"),
     )
 
 

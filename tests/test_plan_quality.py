@@ -137,6 +137,31 @@ def test_partitioned_query_prunes_at_plan_time(spark):
     assert "etype" in section, section
 
 
+def test_prefix_sums_never_window_whole_language(spark):
+    """token_budget_head / pack_documents_greedy scale gate: the
+    document-level running sum must be shard-decomposed — a window that
+    orders doc-level rows (doc_id) while partitioning by bare lang puts
+    an entire language on one task at 100 TB. Legal windows are
+    (lang, shard)-partitioned doc-level cumsums and the lang-partitioned
+    offsets window over the tiny per-shard totals (orders by shard, no
+    doc_id, input is an Aggregate)."""
+    import re
+
+    for name in ("token_budget_head", "pack_documents_greedy"):
+        plan = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+        assert specs, f"{name}: no window in plan"
+        doc_level = [s for s in specs if "doc_id#" in s]
+        assert doc_level, f"{name}: no doc-level cumsum window found"
+        for s in doc_level:
+            assert "shard#" in s, (
+                f"{name}: doc-level window not shard-partitioned "
+                f"(single task owns a whole language at scale): {s}"
+            )
+        # the offsets pass reads per-shard totals, not documents
+        assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_minhash_verify_never_broadcasts_arrays(spark):
     """pair_jaccard's broadcast discipline: only the slim (doc_a, doc_b)
     candidate list may be broadcast — a BroadcastExchange carrying the
