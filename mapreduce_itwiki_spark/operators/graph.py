@@ -23,43 +23,94 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    iterations: int = 8,
-    checkpoint_every: int = 2,
+    max_rounds: int = 64,
 ) -> DataFrame:
-    """(node, comp) — min-label propagation over an undirected edge list:
-    every node's component id converges to the smallest node id reachable
+    """(node, comp) — exact connected components over an undirected edge
+    list: every node's component id is the smallest node id reachable
     from it. This is the 'apply near-dedup' closer: MinHash/SimHash emit
     PAIRS, but keep-one-per-cluster needs the transitive closure (a~b,
     b~c ⇒ keep one of {a,b,c}).
 
-    Spark-first loop in the pagerank mold: one join + union + groupBy-min
-    per iteration, fully lazy (NO driver-side actions inside the loop),
-    lineage checkpointed every ``checkpoint_every`` rounds. Min-label
-    propagation covers graph diameter d in d iterations; near-dup
-    clusters are shallow (dup sets, not social graphs), so a small fixed
-    ``iterations`` bounds the scan count deterministically — at true
-    scale use the large-star/small-star variant, which converges in
-    O(log n) rounds.
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    is two groupBy-min + join passes that re-point edges at local minima,
+    converging in O(log² n) rounds (≈log n in practice) REGARDLESS of
+    graph diameter. This replaces round-2's fixed-8-iteration min-label
+    propagation, which silently under-converged on any component with
+    diameter > 8 (1 hop per round): a 1000-link chain now closes in ~10
+    rounds instead of needing 1000.
+
+    Convergence is CHECKED, not assumed: the loop stops when a round
+    leaves the edge set unchanged (star fixpoint), and raises if
+    ``max_rounds`` is hit — a deterministic failure instead of a silently
+    wrong answer. One convergence probe per round is inherent to any
+    fixpoint algorithm; each round's state is localCheckpoint'ed (eager),
+    so the probe re-reads materialized partitions, never the lineage.
+
+    State invariant: ``cur`` holds distinct directed pairs (u, v) with
+    u > v. At the fixpoint every component is a star — each non-minimum
+    node points straight at its component minimum — so labels fall out
+    of the final edge set with one left join for isolated/root nodes.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))).persist()
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
     )
-    for it in range(1, iterations + 1):
-        nbr = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("comp"))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    cur = (
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        labels = (
-            nbr.union(labels)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = cur.count()
+    for _ in range(max_rounds):
+        # large-star: every node connects its strictly-larger neighbors
+        # to the minimum of its closed neighborhood
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls_min = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
         )
-        if it % checkpoint_every == 0 or it == iterations:
-            labels = labels.localCheckpoint(eager=True)
-    sym.unpersist()
+        ls = (
+            sym.join(ls_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every node connects its smaller neighbors (and
+        # itself) to the minimum among them
+        ss_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(ss_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(ss_min.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = ss.count()
+        if new_count == prev_count and ss.subtract(cur).isEmpty():
+            cur = ss
+            break
+        cur, prev_count = ss, new_count
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds"
+        )
+    labels = nodes.join(
+        cur.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("comp", "node").alias("comp"))
+    nodes.unpersist()
     return labels
 
 

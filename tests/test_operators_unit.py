@@ -136,6 +136,48 @@ def test_simhash_banding_is_complete(spark, docs):
     assert banded == brute
 
 
+def test_connected_components_deep_chain(spark):
+    """A 41-node path graph (diameter 40): min-label propagation with the
+    old fixed 8 iterations propagates labels only 8 hops and would leave
+    the far end wrongly labeled — large-star/small-star must converge to
+    a single component in O(log n) rounds and label every node 0."""
+    from mapreduce_itwiki_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    edf = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.comp for r in connected_components(edf).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random multi-component graph vs a Python union-find ground truth:
+    every node must carry the MINIMUM id reachable from it, including
+    star-fixpoint roots and two-node islands."""
+    from mapreduce_itwiki_spark.operators.graph import connected_components
+
+    edges = [
+        (5, 3), (3, 9), (9, 17), (2, 11), (11, 2), (20, 21),
+        (30, 31), (31, 32), (32, 30), (40, 41), (17, 5), (50, 3),
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    edf = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.comp for r in connected_components(edf).collect()}
+    assert got == want
+
+
 def test_pagerank_hand_computed(spark):
     """PageRank on a 3-node cycle plus a dangler, against a hand-rolled
     Python fixed-point with identical semantics."""
