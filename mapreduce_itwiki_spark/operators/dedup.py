@@ -128,23 +128,29 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band.
 
-    Bucket-expansion form: group band rows into per-bucket doc-id arrays
-    (one shuffle over docs×bands rows), then expand each bucket's pairs
-    with a double explode — the signature pipeline runs ONCE, vs twice
-    for the naive self-join (and the bucket arrays are tiny: a bucket of
-    size c costs c²/2 pair rows either way). Hot buckets are the same
-    skew story as any LSH: cap/split pathological buckets upstream at
-    real scale."""
-    bands = _minhash_bands(minhash_signatures(docs))
-    buckets = bands.groupBy("band_id", "band_key").agg(
-        F.collect_list("doc_id").alias("ids")
-    ).filter(F.size("ids") > 1)
-    pairs = (
-        buckets.select(F.col("ids"), F.explode(F.col("ids")).alias("doc_a"))
-        .select(F.col("doc_a"), F.explode(F.col("ids")).alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    Reused-exchange self-join form: band rows are explicitly
+    repartitioned on the join key ONCE, then self-joined — Catalyst's
+    exchange reuse makes both join sides read the SAME shuffle files,
+    so the signature pipeline (the md5-per-shingle cost that dominates
+    a 100 TB pass) runs exactly once; a plan gate pins the
+    ``ReusedExchange``. Chosen over the round-2 bucket-expansion
+    (``collect_list`` per bucket + double explode) because a hot LSH
+    bucket there becomes one giant array row inside an
+    ObjectHashAggregate — un-splittable and an executor-OOM risk —
+    while here hot buckets flow through a shuffle join that AQE
+    skew-splits. Locally the two forms tie (TUNING.md); the skew story
+    is the tiebreak."""
+    n = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    bands = _minhash_bands(minhash_signatures(docs)).repartition(
+        n, F.col("band_id"), F.col("band_key")
     )
-    return pairs.distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:

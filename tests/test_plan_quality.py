@@ -162,6 +162,27 @@ def test_prefix_sums_never_window_whole_language(spark):
         assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_minhash_candidates_reuse_signature_exchange(spark):
+    """minhash_candidate_pairs scale gate: the band self-join must read
+    ONE shuffle of band rows from both sides (ReusedExchange on the
+    explicit (band_id, band_key) repartition) so the md5-per-shingle
+    signature pipeline — the dominant per-byte cost at 100 TB — runs
+    exactly once. AQE applies exchange reuse at runtime, so execute
+    first and inspect the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_itwiki_spark.operators.dedup import minhash_candidate_pairs
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    cands = minhash_candidate_pairs(docs)
+    cands.collect()
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
+    assert any("band_key" in l for l in reused), plan
+
+
 def test_minhash_verify_never_broadcasts_arrays(spark):
     """pair_jaccard's broadcast discipline: only the slim (doc_a, doc_b)
     candidate list may be broadcast — a BroadcastExchange carrying the
