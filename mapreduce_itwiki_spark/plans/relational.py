@@ -17,6 +17,27 @@ from ..sources.parquet import load_table
 from .catalog import register
 
 
+def broadcast_if_small(df: DataFrame) -> DataFrame:
+    """Broadcast hint gated on Catalyst's own size estimate.
+
+    An explicit ``F.broadcast`` OVERRIDES ``autoBroadcastJoinThreshold``
+    — hinting a table that is only small at test scale (supplier is
+    ~700 M rows at true TPC-H 100 TB) would ship it whole to every
+    executor. Below the session threshold the hint is applied (pins the
+    plan and spares AQE a runtime re-plan); above it the frame is
+    returned unhinted and Catalyst/AQE pick the strategy."""
+    spark = df.sparkSession
+    thr_str = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:  # "-1" disables; byteStringAsBytes rejects negatives
+        thr = int(thr_str)
+    except ValueError:
+        thr = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(thr_str)
+    if thr <= 0:
+        return df
+    est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return F.broadcast(df) if est <= thr else df
+
+
 # --------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
@@ -1711,7 +1732,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a cross-table equality
     (customer.nation == supplier.nation) — the join-reordering stress
-    test; dims broadcast, facts shuffle once each."""
+    test. nation/region are constant-size → unconditional broadcast;
+    supplier only LOOKS like a dim (it scales with SF, ~700 M rows at
+    100 TB) so its hint is size-gated (broadcast_if_small)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1722,7 +1745,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .join(
-            F.broadcast(s),
+            broadcast_if_small(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

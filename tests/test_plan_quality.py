@@ -162,6 +162,37 @@ def test_prefix_sums_never_window_whole_language(spark):
         assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_q5_supplier_broadcast_is_size_gated(spark):
+    """q5's supplier hint must follow the session broadcast threshold:
+    supplier scales with SF (~700 M rows at TPC-H 100 TB), and an
+    explicit F.broadcast would OVERRIDE the threshold. At test scale
+    the gate hints (supplier join is a BroadcastHashJoin); with the
+    threshold disabled the same code must leave supplier to a shuffle
+    join while the constant-size nation/region hints stay broadcast."""
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "s_suppkey" in plan and "BroadcastHashJoin" in plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "q5_local_supplier_volume")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    supplier_joins = []
+    for sec in plan.split("\n\n"):
+        header = sec.strip().split("\n")[0]
+        if "Join" not in header:
+            continue
+        key_lines = [l for l in sec.split("\n") if l.lstrip().startswith(("Left keys", "Right keys"))]
+        if any("s_suppkey" in l for l in key_lines):
+            supplier_joins.append((header, sec))
+    assert supplier_joins, plan
+    for header, sec in supplier_joins:
+        assert "Broadcast" not in header, (
+            "supplier broadcast-hinted despite disabled threshold:\n" + sec
+        )
+
+
 def test_minhash_candidates_reuse_signature_exchange(spark):
     """minhash_candidate_pairs scale gate: the band self-join must read
     ONE shuffle of band rows from both sides (ReusedExchange on the
