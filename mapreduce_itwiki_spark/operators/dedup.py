@@ -195,34 +195,46 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return pair_jaccard(docs, cands).filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """EXACT n-gram-Jaccard near-dup pairs (no LSH): inverted-index join
-    on shingle, count collisions per pair, Jaccard from set sizes. This
-    is the exact-recall baseline; cost ∝ Σ bucket², so it needs shingle
-    frequency capping at extreme scale (LSH above is the scale path)."""
+NGRAM_MAX_DF = 100  #: stop-shingle ceiling: shingles in > this many docs
+#: generate no candidates (boilerplate/near-universal shingles are what
+#: blow the Σ bucket² of an inverted index; a pair sharing ONLY such
+#: shingles has low Jaccard anyway unless both docs are tiny)
+
+
+def ngram_jaccard_dups(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = NGRAM_MAX_DF
+) -> DataFrame:
+    """N-gram-Jaccard near-dup pairs with EXACT scores: inverted-index
+    candidate generation over document-frequency-capped shingles, then
+    full-set Jaccard verification for candidates only (pair_jaccard).
+
+    The DF cap is the standard stop-shingle trick — candidate cost is
+    Σ_uncapped bucket² ≤ docs·max_df instead of unbounded on
+    near-universal shingles. Scores are computed on the FULL shingle
+    sets, so the cap affects recall only for pairs whose every common
+    shingle is near-universal. The cap is computed with an
+    s-partitioned count window, which leaves the rows hash-partitioned
+    on the self-join key — the candidate join adds no further
+    exchange."""
+    from pyspark.sql import Window
+
     sh = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
         F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    w = Window.partitionBy("s")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cands = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return pair_jaccard(docs, cands).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

@@ -161,13 +161,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # replays the Spark side exactly: DF-capped candidate generation
+    # (stop-shingles above NGRAM_MAX_DF docs generate no candidates),
+    # then FULL-set Jaccard for candidates only
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    keep AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM tok)
+      WHERE df <= {dedup.NGRAM_MAX_DF}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id),
     inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      SELECT c.da, c.db, count(*) AS i
+      FROM cands c
+      JOIN tok ta ON ta.doc_id = c.da
+      JOIN tok tb ON tb.doc_id = c.db AND tb.s = ta.s
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT da AS doc_a, db AS doc_b,

@@ -281,3 +281,40 @@ def test_approx_aggregates_within_tolerance(spark):
         F.percentile("value", F.lit(0.5)).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / max(row.exact, 1e-9) < 0.05
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingle_candidates(spark):
+    """The DF cap changes CANDIDATE GENERATION only: a pair whose every
+    common shingle is near-universal produces no candidate, while pairs
+    sharing any uncapped shingle are scored on their FULL shingle sets
+    (the universal shingle still counts toward their Jaccard)."""
+    boiler = "terms of service apply"
+    rows = [
+        # identical tiny docs whose only content is the boilerplate
+        (0, boiler),
+        (1, boiler),
+        # near-identical docs sharing rare shingles AND the boilerplate
+        (2, "alpha beta gamma delta " + boiler),
+        (3, "alpha beta gamma delta " + boiler),
+    ] + [
+        # enough extra carriers to push every boilerplate shingle over the cap
+        (10 + i, f"filler{i} unique{i} words{i} " + boiler)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_dups(docs, threshold=0.5, max_df=5).collect()
+    }
+    # docs 0/1 are identical (true jaccard 1.0) but share ONLY capped
+    # shingles -> no candidate, excluded by design
+    assert (0, 1) not in got
+    # docs 2/3 share uncapped shingles -> found, scored on full sets
+    assert got[(2, 3)] == 1.0
+    # no-cap baseline finds the boilerplate-only pair too
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dups(docs, threshold=0.5, max_df=10**9).collect()
+    }
+    assert (0, 1) in uncapped and (2, 3) in uncapped
