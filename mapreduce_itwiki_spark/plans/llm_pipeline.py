@@ -437,6 +437,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _head_bytes(text: str, n: int) -> bytes:
+    """First ``n`` bytes of a document for the real-codec entries,
+    padded to EXACTLY the oracle's out-of-range semantics.
+
+    The oracles compute ``ascii(substr(text, i, 1))`` per position:
+    past the end of a short document that is ``ascii('') = 0``, so the
+    Python side pads with ``\\x00`` (for WAV, byte 0 → sample −128 ==
+    the oracle's ``ascii('') − 128``) — short documents now agree BY
+    CONSTRUCTION instead of by corpus accident (ADVICE r2). Non-ASCII
+    is a hard error: multi-byte UTF-8 shifts byte/char positions apart,
+    which no padding rule can reconcile."""
+    head = text[:n]
+    if not head.isascii():
+        raise ValueError(f"real-codec entries require an ASCII prefix: {head[:40]!r}")
+    return head.encode("ascii").ljust(n, b"\x00")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    # one uniform 8×8 block per text byte → DC-only blocks whose DC
+    # step (8) makes the lossy round-trip EXACT, so a real baseline
+    # JPEG decode (Huffman → dequant → IDCT) has an exact SQL oracle:
+    # decoded mean pixel == mean of the first 64 bytes
+    oracle="""
+    SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           round(list_avg(list_transform(range(1, 65),
+                                         i -> ascii(substr(text, i, 1)))), 6)
+             AS mean_pixel
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL lossy-image pipeline, the JPEG twin of
+    multimodal_png_decode: each document's first 64 bytes become a
+    64×64 grayscale baseline JFIF (valid file: DQT/SOF0/DHT/SOS,
+    Annex-K Huffman, byte stuffing — operators/multimodal.py:
+    encode_jpeg_gray, one uniform 8×8 block per byte), and the full
+    baseline decoder (entropy decode → dequantize → batched IDCT)
+    recovers dims + mean pixel through Arrow-batched mapInPandas.
+    Completes the codec family: PNG (lossless image), WAV (audio),
+    JPEG (lossy image); only video remains stubbed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_jpeg_gray, encode_jpeg_gray, image_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                vals = np.frombuffer(_head_bytes(t, 64), dtype=np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(8, 8), 8, 0), 8, 1)
+                blobs.append(encode_jpeg_gray(img.tobytes(), 64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": blobs})
+
+    images = docs.mapInPandas(
+        to_jpeg,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+        ),
+    )
+    return image_stats(images, blob_col="jpeg", decoder=decode_jpeg_gray)
+
+
 @register(
     "multimodal_png_decode",
     # pixels are the first 64 text bytes (ASCII corpus ⇒ byte == ascii),
@@ -470,8 +537,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "png": [
-                        encode_png_gray(t.encode("utf-8")[:64].ljust(64, b"\x00"), 8)
-                        for t in pdf["text"]
+                        encode_png_gray(_head_bytes(t, 64), 8) for t in pdf["text"]
                     ],
                 }
             )
@@ -520,9 +586,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "wav": [
-                        encode_wav_pcm16(
-                            [b - 128 for b in t.encode("utf-8")[:32].ljust(32, b"\x80")]
-                        )
+                        encode_wav_pcm16([b - 128 for b in _head_bytes(t, 32)])
                         for t in pdf["text"]
                     ],
                 }

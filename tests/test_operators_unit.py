@@ -318,3 +318,115 @@ def test_ngram_jaccard_df_cap_drops_stop_shingle_candidates(spark):
         for r in dedup.ngram_jaccard_dups(docs, threshold=0.5, max_df=10**9).collect()
     }
     assert (0, 1) in uncapped and (2, 3) in uncapped
+
+
+def test_jpeg_uniform_blocks_roundtrip_exact():
+    """DC-only blocks with DC quant step 8 reconstruct bit-exactly —
+    the property the multimodal_jpeg_decode oracle relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    img = np.repeat(np.repeat(np.frombuffer(vals, np.uint8).reshape(8, 8), 8, 0), 8, 1)
+    payload = multimodal.encode_jpeg_gray(img.tobytes(), 64)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    w, h, px = multimodal.decode_jpeg_gray(payload)
+    assert (w, h) == (64, 64)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(64, 64), img)
+
+
+def test_jpeg_general_image_lossy_but_close():
+    """The codec is a real baseline JPEG, not a uniform-block special
+    case: arbitrary (non-square, AC-heavy) images survive the full
+    DCT → quant → Huffman → dequant → IDCT loop within the quantization
+    error bound; smooth content reconstructs almost exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    w, h, px = multimodal.decode_jpeg_gray(
+        multimodal.encode_jpeg_gray(noise.tobytes(), 40)
+    )
+    assert (w, h) == (40, 32)
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(32, 40).astype(int) - noise)
+    assert err.max() <= 48 and err.mean() <= 8
+
+    grad = np.fromfunction(lambda y, x: (x * 3 + y * 2) % 256, (16, 16)).astype(np.uint8)
+    _, _, px2 = multimodal.decode_jpeg_gray(
+        multimodal.encode_jpeg_gray(grad.tobytes(), 16)
+    )
+    err2 = np.abs(np.frombuffer(px2, np.uint8).reshape(16, 16).astype(int) - grad)
+    assert err2.max() <= 8
+
+
+def test_jpeg_decoder_reads_tables_from_file():
+    """The decoder honors the DQT embedded in the file rather than
+    assuming the encoder's table: hand-patch a different AC quant value
+    and the decode must change accordingly (proves table parsing)."""
+    import numpy as np
+
+    grad = np.fromfunction(lambda y, x: (x * 7) % 256, (8, 8)).astype(np.uint8)
+    payload = bytearray(multimodal.encode_jpeg_gray(grad.tobytes(), 8))
+    _, _, before = multimodal.decode_jpeg_gray(bytes(payload))
+    # DQT payload starts after FFDB + length(2) + PqTq(1); zigzag idx 1
+    # is the first AC entry
+    i = payload.index(b"\xff\xdb") + 5 + 1
+    assert payload[i] == 16
+    payload[i] = 255
+    _, _, after = multimodal.decode_jpeg_gray(bytes(payload))
+    assert before != after
+
+
+def test_codec_padding_matches_oracle_past_end_semantics(spark, duck):
+    """ADVICE r2: a document SHORTER than the codec window must agree
+    with the oracle's out-of-range arithmetic (ascii('') = 0 ⇒ pixel 0,
+    WAV sample −128) by construction, not corpus accident."""
+    from mapreduce_itwiki_spark.plans.llm_pipeline import _head_bytes
+
+    assert _head_bytes("short", 8) == b"short\x00\x00\x00"
+    with pytest.raises(ValueError):
+        _head_bytes("héllo", 8)
+
+    rows = [(1, "tiny doc"), (2, "x")]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    import pandas as pd
+
+    def to_wav(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        multimodal.encode_wav_pcm16(
+                            [b - 128 for b in _head_bytes(t, 32)]
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    audio = sdf.mapInPandas(
+        to_wav,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+        ),
+    )
+    got = {r.doc_id: r.rms for r in multimodal.audio_stats(audio).collect()}
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE tiny_docs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO tiny_docs VALUES (?, ?)", rows)
+    oracle = dict(
+        duck.execute(
+            """
+            SELECT doc_id,
+                   round(sqrt(list_avg(list_transform(range(1, 33),
+                         i -> (ascii(substr(text, i, 1)) - 128)
+                              * (ascii(substr(text, i, 1)) - 128)))), 6)
+            FROM tiny_docs
+            """
+        ).fetchall()
+    )
+    assert got == oracle
