@@ -42,20 +42,25 @@ def main() -> None:
     spark = get_spark("bench")
     qs = catalog.queries()
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         # two warm-ups: codegen'd md5/regex-heavy plans need a couple of
         # passes before C2 JIT settles
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
         # best-of-3: the shared host shows multi-second contention
         # spikes; two samples can both land on one
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        # min/median spread so round-over-round deltas under ~10% can be
+        # classified as noise vs real movement
+        spread[name] = {"min": round(samples[0], 3), "med": round(samples[1], 3)}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +69,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

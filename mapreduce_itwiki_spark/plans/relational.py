@@ -10,6 +10,8 @@ on both engines (see catalog.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -157,7 +159,11 @@ def join_orders_lineitem_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
 
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    ot, lt = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    # per-process suffix: bench and pytest may run concurrently against
+    # the same warehouse dir — without it, one session's overwrite races
+    # the other's scan (ADVICE r2)
+    pid_tag = f"{sf_tag}_p{os.getpid()}"
+    ot, lt = f"orders_bkt_{pid_tag}", f"lineitem_bkt_{pid_tag}"
     # overwrite every run: a stale table must never poison correctness
     # (the write IS the operator's point — it's the amortized shuffle).
     # Warehouse dirs outlive the per-session metastore, so clear both.

@@ -41,9 +41,15 @@ def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None =
         # stops compiling and generated code runs INTERPRETED (measured
         # 2 s → 15 s on signature queries late in a bench session).
         # Reserve enough for the whole catalog up front.
+        # appended to (not replacing) any user-supplied driver JVM opts
+        # from $SPARK_GRAFT_DRIVER_JAVA_OPTIONS, so callers can still
+        # pass their own flags (GC logging, heap dumps, …)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTIONS", "")
+                + " -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
     )
