@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata;
 the Spark-side contract — schema, Arrow batch shape, partitioning —
-is real and tested, while the codec step is stubbed (no image/audio
-libraries in this container) behind a deterministic fake + a clearly
-marked NotImplementedError for the real path.
+is real and tested. Four codecs are REAL pure-stdlib implementations
+(PNG, baseline JPEG, WAV PCM16, animated GIF — no image/audio
+libraries in this container); formats that genuinely need external
+libraries sit behind a clearly marked NotImplementedError plus a
+deterministic fake for plumbing tests.
 
 Scale notes: blobs ride the same parquet row groups as their metadata;
 ``spark.sql.files.maxPartitionBytes`` governs scan granularity, and all
@@ -53,11 +55,12 @@ def attach_blob(docs: DataFrame) -> DataFrame:
 
 
 def decode_blob(payload: bytes) -> list[float]:
-    """REAL codec entry point for formats needing external libraries —
-    JPEG/audio/video decode is not available in this container. PNG has
-    a REAL pure-stdlib implementation below (:func:`decode_png_gray`);
-    swap this in for the other formats when codec libs exist on the
-    executors."""
+    """REAL codec entry point for formats needing external libraries
+    (WebP, H.264/MP4, MP3/Opus, …) — not available in this container.
+    Four formats have REAL pure-stdlib implementations below — PNG
+    (:func:`decode_png_gray`), JPEG (:func:`decode_jpeg_gray`), WAV
+    (:func:`decode_wav_pcm16`), animated GIF (:func:`decode_gif_gray`);
+    swap this in for the rest when codec libs exist on the executors."""
     raise NotImplementedError("codec libraries (PIL/ffmpeg/soundfile) not installed")
 
 
@@ -630,3 +633,266 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
         ]
     )
     return blobs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL animated-GIF codec (GIF89a, 8-bit grayscale palette), pure stdlib:
+# variable-width LZW per Appendix F of the GIF89a spec (dictionary
+# growth, KwKwK case, 12-bit cap with clear-code reset), LSB-first bit
+# packing, sub-block framing, Graphic Control Extensions and a Netscape
+# loop block. This is the VIDEO member of the codec family (PNG =
+# lossless image, JPEG = lossy image, WAV = audio): one blob carries N
+# frames, and the decoder fans them back out. Encoder output opens in
+# any browser/viewer; decoder handles any non-interlaced 8-bit GIF.
+#
+# Reference parity note: the reference engine has no multimodal surface
+# at all (SURVEY.md §2 "Categories with NO implementation") — this is
+# north-star ⊕ scope.
+
+
+class _LSBBitWriter:
+    """LSB-first bit packer (GIF's bit order — PNG/JPEG above are MSB)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+class _LSBBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        val = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return val
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW. Width grows one step EARLIER on the encode side
+    than the decode side (emitter's next_code leads the reader's by one
+    dictionary add), which the symmetric bit_length() formulas below
+    encode exactly — see the matched reader in :func:`_lzw_decode_gif`."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w_out = _LSBBitWriter()
+
+    def width(limit: int) -> int:
+        return max(min_code_size + 1, limit.bit_length())
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    w_out.write(clear, width(next_code - 1))
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        # max emittable code here is next_code - 1
+        w_out.write(table[w], width(next_code - 1))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:  # table full: reset rather than defer (decoder-friendly)
+            w_out.write(clear, width(next_code - 1))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        w = bytes([byte])
+    if w:
+        w_out.write(table[w], width(next_code - 1))
+    w_out.write(eoi, width(next_code - 1))
+    return w_out.flush()
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    reader = _LSBBitReader(data)
+
+    def width(limit: int) -> int:
+        # reader must accommodate code == next_code (the KwKwK case),
+        # hence bit_length(next_code) vs the encoder's next_code - 1
+        return min(12, max(min_code_size + 1, limit.bit_length()))
+
+    table: dict[int, bytes] = {}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = reader.read(width(next_code))
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:  # first code after a clear: literal only
+            entry = table[code]
+        elif code in table or code < clear:
+            entry = table[code] if code in table else bytes([code])
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        prev = entry
+
+
+_GIF_HDR = b"GIF89a"
+
+
+def encode_gif_gray(frames: list[bytes], width: int, delay_cs: int = 4) -> bytes:
+    """Encode N same-sized 8-bit grayscale frames as an animated GIF89a
+    (global 256-gray palette, GCE per frame, Netscape loop block)."""
+    import struct
+
+    if not frames or width <= 0 or any(len(f) != len(frames[0]) or len(f) % width for f in frames):
+        raise ValueError("frames must be equal-length positive multiples of width")
+    height = len(frames[0]) // width
+    out = bytearray(_GIF_HDR)
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for frame in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([8])  # LZW minimum code size
+        comp = _lzw_encode_gif(frame, 8)
+        for j in range(0, len(comp), 255):
+            sub = comp[j : j + 255]
+            out += bytes([len(sub)]) + sub
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a non-interlaced 8-bit GIF → (width, height, [frame pixel
+    rows...]). Pixels are palette indices mapped through the gray
+    palette's red channel (== index for our encoder's identity ramp,
+    but read from the file so foreign palettes decode honestly)."""
+    import struct
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _ar = payload[10], payload[11], payload[12]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[bytes] = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, fw, fh = struct.unpack("<HHHH", payload[pos : pos + 8])
+        fpacked = payload[pos + 8]
+        pos += 9
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        local = palette
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            local = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(bytes(comp), min_code)
+        if len(idx) != fw * fh:
+            raise ValueError(f"frame pixel count {len(idx)} != {fw}x{fh}")
+        if local is None:
+            raise ValueError("no palette")
+        frames.append(bytes(local[3 * i] for i in idx))  # gray = red channel
+    return width, height, frames
+
+
+def video_stats(videos: DataFrame, blob_col: str = "gif") -> DataFrame:
+    """REAL video decode over an animated-GIF blob column: Arrow-batched
+    mapInPandas runs the in-repo GIF decoder and fans each blob out to
+    per-frame rows (dims + mean pixel) — the 1→N video shape of
+    :func:`frame_sample` but with a working codec. Zero shuffles; frame
+    fan-out happens inside the Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "mean_pixel": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                w, h, frames = decode_gif_gray(bytes(blob))
+                for i, px in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    # exact for power-of-two frame sizes (see image_stats)
+                    out["mean_pixel"].append(round(sum(px) / len(px), 6))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+    return videos.mapInPandas(run, schema)

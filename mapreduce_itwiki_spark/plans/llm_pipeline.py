@@ -477,7 +477,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline decoder (entropy decode → dequantize → batched IDCT)
     recovers dims + mean pixel through Arrow-batched mapInPandas.
     Completes the codec family: PNG (lossless image), WAV (audio),
-    JPEG (lossy image); only video remains stubbed."""
+    JPEG (lossy image), GIF (video)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -523,8 +523,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     CRCs — operators/multimodal.py:encode_png_gray), and the pure-stdlib
     decoder (inflate + scanline un-filter) recovers dims + mean pixel
     through Arrow-batched mapInPandas. Unlike the fake_decode plumbing
-    entries, the codec here is real — only JPEG/audio/video remain
-    stubbed behind decode_blob's NotImplementedError."""
+    entries, the codec here is real — as are the JPEG
+    (multimodal_jpeg_decode), WAV (multimodal_wav_decode) and GIF video
+    (multimodal_gif_video_decode) twins; only formats requiring
+    external libraries stay behind decode_blob's NotImplementedError."""
     import pandas as pd
 
     from ..operators.multimodal import encode_png_gray, image_stats
@@ -599,6 +601,58 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return audio_stats(audio)
+
+
+@register(
+    "multimodal_gif_video_decode",
+    # 4 frames of 4×4 = bytes [16f, 16f+16); a mean of 16 bytes is an
+    # exact 4-fractional-bit binary fraction, so round 6 is exact on
+    # both engines. range(0,4) cross join renders the frame fan-out.
+    oracle="""
+    SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           round(list_avg(list_transform(range(1, 17),
+                 i -> ascii(substr(d.text, CAST(16 * f.f AS INTEGER) + i, 1)))), 6)
+             AS mean_pixel
+    FROM documents d, range(0, 4) f(f)
+    """,
+)
+def multimodal_gif_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL video pipeline, completing the codec family
+    (PNG = lossless image, JPEG = lossy image, WAV = audio, GIF =
+    video): each document's first 64 bytes become a 4-frame 4×4
+    grayscale animated GIF89a (valid file: logical screen descriptor,
+    256-gray global palette, per-frame GCE, Netscape loop block,
+    variable-width LZW — operators/multimodal.py:encode_gif_gray), and
+    the full decoder (sub-block reassembly → LZW with dictionary growth
+    and KwKwK handling → palette mapping) fans each blob back out to
+    per-frame rows through Arrow-batched mapInPandas. The 1→N frame
+    fan-out happens inside the Arrow batch: zero shuffles, the true
+    100 TB video-corpus shape."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import encode_gif_gray, video_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_gif(batches):
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                raw = _head_bytes(t, 64)
+                blobs.append(
+                    encode_gif_gray([raw[16 * i : 16 * i + 16] for i in range(4)], 4)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": blobs})
+
+    videos = docs.mapInPandas(
+        to_gif,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("gif", T.BinaryType())]
+        ),
+    )
+    return video_stats(videos)
 
 
 # ---------------------------------------------------------------------------
