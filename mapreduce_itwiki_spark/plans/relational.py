@@ -733,6 +733,90 @@ def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "countmin_heavy_hitters",
+    # the sketch uses a deterministic universal-hash family
+    # (md5 → 15-hex-char int, the engine-portable recipe the minhash
+    # family uses), so the ESTIMATES THEMSELVES hash-match the oracle —
+    # stronger than an error-contract check
+    oracle="""
+    WITH exact AS (
+      SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT user_id, exact_n FROM exact
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    sketch AS (
+      SELECT j.j,
+             ('0x' || substr(md5(j.j::VARCHAR || ':' || e.user_id::VARCHAR),
+                             1, 15))::BIGINT % 512 AS bucket,
+             count(*) AS c
+      FROM events e CROSS JOIN range(0, 4) j(j)
+      GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.exact_n, min(s.c) AS cms_estimate,
+           min(s.c) >= p.exact_n AS never_underestimates
+    FROM probes p
+    CROSS JOIN range(0, 4) j(j)
+    JOIN sketch s
+      ON s.j = j.j
+     AND s.bucket = ('0x' || substr(md5(j.j::VARCHAR || ':'
+                                        || p.user_id::VARCHAR),
+                                    1, 15))::BIGINT % 512
+    GROUP BY 1, 2
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=512 buckets) probed for the top-10
+    heavy hitters, next to their exact counts — the frequency-sketch
+    companion to the HLL (distinct) and KLL-style (percentile) entries,
+    and the standard heavy-hitter pass of a training-data curation
+    pipeline (boilerplate/spam keys, per-user caps).
+
+    100 TB shape: the sketch is an explode(d) → groupBy(row, bucket)
+    count — whole-stage codegen end to end, partial-aggregated map-side
+    to ≤ d×w rows per task, so the sketch-build shuffle carries at most
+    d×w×tasks rows no matter the input size (THE point of a sketch).
+    The probe side is a broadcast of 10×d cells against the d×w-row
+    sketch; min-over-rows gives the classic never-underestimating
+    CMS bound, which the result column pins as a checked claim."""
+    d_rows, w_buckets = 4, 512
+    events = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j_col, key_col):
+        cell = F.concat_ws(":", j_col.cast("string"), key_col.cast("string"))
+        return (
+            F.conv(F.substring(F.md5(cell), 1, 15), 16, 10).cast("long")
+            % w_buckets
+        )
+
+    j_explode = F.explode(F.array(*[F.lit(j) for j in range(d_rows)])).alias("j")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(10)
+    sketch = (
+        events.select("user_id", j_explode)
+        .select("j", bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_cells = probes.select("user_id", "exact_n", j_explode).withColumn(
+        "bucket", bucket(F.col("j"), F.col("user_id"))
+    )
+    return (
+        sketch.join(F.broadcast(probe_cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "partitioned_events_prune",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
