@@ -230,6 +230,62 @@ def salted_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "bloom_runtime_filter_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned join (Catalyst's InjectRuntimeFilter):
+    a selective dimension-side predicate is turned into a bloom filter
+    that prunes the FACT side's shuffle — at 100 TB, the ~96% of
+    lineitem rows whose order is not URGENT are dropped at the scan's
+    Filter instead of being shuffled and discarded by the join.
+
+    This plan is Spark's DEFAULT at production scale
+    (``runtime.bloomFilter.enabled`` is true; only the 10 GB
+    application-side-scan threshold keeps it out of toy plans — any
+    real lineitem dwarfs that). The builder scopes that one threshold
+    down while forcing optimization so the 100 TB plan materializes at
+    test scale, then restores it so no other catalog entry is affected;
+    the already-optimized plan stays cached on this DataFrame's
+    QueryExecution. Semantics are threshold-independent — the bloom is
+    a may-contain pre-filter and the join stays exact, which the shared
+    oracle proves. A plan gate pins ``might_contain`` +
+    ``bloom_filter_agg`` (tests/test_plan_quality.py)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    app_thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast_thr = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_thr), spark.conf.get(bcast_thr)
+    spark.conf.set(app_thr, "1KB")
+    spark.conf.set(bcast_thr, "-1")  # tiny test dims would broadcast, hiding the shuffle this prunes
+    try:
+        out._jdf.queryExecution().executedPlan()  # pin the scaled-up plan
+    finally:
+        spark.conf.set(app_thr, old_app)
+        spark.conf.set(bcast_thr, old_bcast)
+    return out
+
+
+# --------------------------------------------------------------------------
+@register(
     "jsonl_sink_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

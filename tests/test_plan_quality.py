@@ -193,6 +193,24 @@ def test_q5_supplier_broadcast_is_size_gated(spark):
         )
 
 
+def test_bloom_runtime_filter_prunes_fact_scan(spark):
+    """The bloom entry's pinned plan must carry Catalyst's runtime
+    filter — bloom_filter_agg on the selective orders side and a
+    might_contain filter on the lineitem side BEFORE the join — and the
+    builder must restore the session confs it scoped (a leak would
+    inject bloom subqueries into every later shuffle join and disable
+    dim broadcasts session-wide)."""
+    df = catalog.queries()["bloom_runtime_filter_join"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    # the probe sits in a Filter over the lineitem scan's join key
+    probe = [l for l in plan.splitlines() if "might_contain" in l]
+    assert probe and any("l_orderkey" in l for l in probe), plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    app_thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    assert spark.conf.get(app_thr).lower() not in ("1kb", "1024b")
+
+
 def test_minhash_candidates_reuse_signature_exchange(spark):
     """minhash_candidate_pairs scale gate: the band self-join must read
     ONE shuffle of band rows from both sides (ReusedExchange on the
