@@ -186,6 +186,70 @@ register(
 )(enrich_join_stream)
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with dual watermarks and an event-time
+    range condition — click→purchase attribution (a purchase matches
+    every click by the same user in the preceding 30 minutes). This is
+    the one join shape the other streaming entries don't cover: BOTH
+    sides are unbounded, so Spark buffers each side in state keyed by
+    user and the time-range predicate plus the two watermarks bound how
+    long a click is held (state eviction, the thing that makes the join
+    runnable forever at 100 TB/day). Inner-join matches emit as soon as
+    both sides arrive — the finite feed drained with
+    processAllAvailable therefore yields exactly the batch range-join
+    answer, which the oracle replays."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    name = f"stream_ss_join_{next(_counter)}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+    )
+
+
+register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)(stream_stream_join)
+
+
 def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (2-hour window, 1-hour slide): every
     event lands in exactly two overlapping windows — the
