@@ -33,6 +33,13 @@ def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None =
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps written without isAdjustedToUTC (naive
+        # micros, as the driver's events table is) would otherwise infer
+        # as TIMESTAMP_NTZ, which unix_micros/epoch arithmetic rejects.
+        # Read them as session-TZ TIMESTAMP instead: with the UTC session
+        # timezone above this is exactly DuckDB's naive-=-UTC semantics,
+        # so oracle epoch math agrees byte-for-byte.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # whole-stage codegen compiles one JVM class per query stage; a

@@ -39,14 +39,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scan (manual column pruning in the reference is
     ``CountReference.java:228-232``; here it is automatic).
 
-    The events table carries parquet TIMESTAMP(NANOS), which Spark 4
-    refuses outright (PARQUET_TYPE_ILLEGAL); read it as nano-epoch longs
-    (legacy conf) and truncate to a microsecond timestamp — integer
-    ``div 1000``, the same ns→µs truncation DuckDB applies on read."""
+    The events table's timestamp shape has varied by driver round and
+    both forms need runtime (not builder) conf, because the driver calls
+    these queries on a VANILLA SparkSession:
+
+    - TIMESTAMP(NANOS), which Spark 4 refuses outright
+      (PARQUET_TYPE_ILLEGAL): read as nano-epoch longs (legacy conf) and
+      truncate to a microsecond timestamp — integer ``div 1000``, the
+      same ns→µs truncation DuckDB applies on read.
+    - naive micros (isAdjustedToUTC=false), which Spark 4 infers as
+      TIMESTAMP_NTZ — a type ``unix_micros``/epoch arithmetic rejects:
+      disable NTZ inference so the stored micros read as epoch-micros
+      TIMESTAMP, exactly DuckDB's naive-=-UTC semantics."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
