@@ -776,6 +776,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "neardup_apply_keep",
+    # same closure as dedup_connected_components, then a verdict for
+    # EVERY document: keep iff it is its cluster's minimum (docs in no
+    # cluster keep themselves — comp IS NULL on the left join)
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach (a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+    closure AS (
+      SELECT a AS node, b AS m FROM reach
+      UNION SELECT a, a FROM e2),
+    comp AS (SELECT node, min(m) AS comp FROM closure GROUP BY node)
+    SELECT d.doc_id,
+           (comp.comp IS NULL OR comp.comp = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    """,
+)
+def neardup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup CAPSTONE — the full apply path a curation run
+    ships: MinHash signatures → LSH band join → Jaccard verify → pair
+    list → connected components → one keep/drop verdict PER DOCUMENT
+    (keep the cluster minimum; untouched docs keep themselves). This is
+    what `dedup_apply_keep` is to exact dedup, lifted to near-dup
+    clusters: a~b, b~c ⇒ exactly one of {a,b,c} survives even though
+    (a,c) was never emitted as a pair. Scale shape: the only
+    corpus-sized stages are the signature scan and the final left join
+    on doc_id; everything between runs on the (tiny) pair list through
+    the O(log n) large-star/small-star loop (operators/graph.py)."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        (F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))).alias("keep"),
+    )
+
+
 _KM_K = 4  #: clusters for the k-means demo
 _KM_DIST = (
     "round(list_sum(list_transform(range(1, 65), "

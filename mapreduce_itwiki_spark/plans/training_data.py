@@ -629,3 +629,182 @@ def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cust",
         "n_supp",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "repetition_quality",
+    # docs with a single token produce no bigrams: LEFT JOIN + coalesce 0
+    # on both engines so they still get a row
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)),
+    n AS (SELECT doc_id, count(*) AS n_tokens,
+                 count(DISTINCT tok) AS n_distinct
+          FROM toks GROUP BY 1),
+    ttop AS (SELECT doc_id, max(c) AS top_tok FROM (
+               SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+             GROUP BY 1),
+    bg AS (SELECT doc_id, tok AS w1,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM toks),
+    btop AS (SELECT doc_id, max(c) AS top_bigram FROM (
+               SELECT doc_id, w1, w2, count(*) AS c FROM bg
+               WHERE w2 IS NOT NULL GROUP BY 1, 2, 3)
+             GROUP BY 1)
+    SELECT n.doc_id,
+           round(1.0 - n.n_distinct * 1.0 / n.n_tokens, 6) AS dup_token_frac,
+           round(ttop.top_tok * 1.0 / n.n_tokens, 6) AS top_token_frac,
+           round(coalesce(btop.top_bigram * 2.0 / n.n_tokens, 0.0), 6)
+             AS top_bigram_frac
+    FROM n JOIN ttop ON n.doc_id = ttop.doc_id
+           LEFT JOIN btop ON n.doc_id = btop.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard pretraining quality gates the reference has no analogue
+    for): per document, the duplicate-token fraction
+    (1 − distinct/total), the fraction of tokens taken by the most
+    frequent token, and the fraction covered by the most frequent
+    bigram. High scorers are boilerplate/spam and get dropped upstream
+    of training. Shape: one posexplode stream feeds all three signals —
+    two grouped counts plus a lead-window bigram pass, every shuffle
+    keyed on high-cardinality doc_id, so tasks stay bounded at any
+    corpus size (unlike a per-language window). Ratios are exact-rounded
+    double divisions of integer counts — engine-identical, so even this
+    floating-point query hash-matches its oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    n = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    ttop = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.withColumn("w2", F.lead("tok").over(w)).filter(F.col("w2").isNotNull())
+    btop = (
+        bg.groupBy("doc_id", "tok", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"))
+    )
+    return (
+        n.join(ttop, "doc_id")
+        .join(btop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.lit(1.0) - F.col("n_distinct") * 1.0 / F.col("n_tokens"), 6)
+            .alias("dup_token_frac"),
+            F.round(F.col("top_tok") * 1.0 / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_bigram") * 2.0 / F.col("n_tokens"), F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+MIX_TEMPERATURE = 0.7  #: temperature for domain-mix resampling weights
+
+
+# --------------------------------------------------------------------------
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1, 2),
+    t AS (SELECT sum(n_tokens) AS tot FROM g),
+    p AS (SELECT lang, source, n_docs, n_tokens,
+                 pow(n_tokens * 1.0 / (SELECT tot FROM t), {MIX_TEMPERATURE})
+                   AS pw
+          FROM g),
+    z AS (SELECT sum(pw) AS zn FROM p)
+    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(pw / (SELECT zn FROM z), 6) AS mix_weight
+    FROM p
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multinomial-sampling recipe
+    of XLM-R / mT5): per (lang, source) stratum, resampling weight
+    ∝ token_share^T with T = 0.7 — upweights tail domains, downweights
+    the head, the knob that sets a pretraining data mixture. Shape: one
+    grouped count off the corpus scan, then all normalization happens on
+    the tiny strata frame via two 1-row aggregates folded in as
+    broadcast cross joins — no global window, no driver round-trip, and
+    the corpus-sized stage is a single partial+final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot"))
+    p = g.crossJoin(F.broadcast(tot)).withColumn(
+        "pw", F.pow(F.col("n_tokens") * 1.0 / F.col("tot"), F.lit(MIX_TEMPERATURE))
+    )
+    z = p.agg(F.sum("pw").alias("zn"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("pw") / F.col("zn"), 6).alias("mix_weight"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_K = 100  #: sample size for the weighted priority sample
+
+
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               * 1.0 / n_chars,
+             doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling (Duffield-Lund-Thorup
+    shape): each doc gets priority u/w where u is its md5 coin
+    (a 60-bit integer, the same idiom as sample_stratified_hash) and
+    w = n_chars; the k smallest priorities form a sample whose inclusion
+    odds scale with document size — longer docs are proportionally more
+    likely in, yet the selection is a pure function of the data
+    (rerunnable, engine-independent, no RNG state). Numerically exact
+    across engines: one int→double conversion and one division, both
+    correctly rounded IEEE ops — no transcendentals, so the ordering is
+    bit-identical and the top-k hash-matches. Spark shape: map-side
+    priority + TakeOrderedAndProject — per-partition heaps of k, a
+    single k-row merge at the driver, no global sort, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pri = u * F.lit(1.0) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "n_chars")
+    )
