@@ -128,22 +128,22 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band.
 
-    Reused-exchange self-join form: band rows are explicitly
-    repartitioned on the join key ONCE, then self-joined — Catalyst's
-    exchange reuse makes both join sides read the SAME shuffle files,
-    so the signature pipeline (the md5-per-shingle cost that dominates
-    a 100 TB pass) runs exactly once; a plan gate pins the
-    ``ReusedExchange``. Chosen over the round-2 bucket-expansion
-    (``collect_list`` per bucket + double explode) because a hot LSH
-    bucket there becomes one giant array row inside an
-    ObjectHashAggregate — un-splittable and an executor-OOM risk —
-    while here hot buckets flow through a shuffle join that AQE
-    skew-splits. Locally the two forms tie (TUNING.md); the skew story
-    is the tiebreak."""
-    n = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
-    bands = _minhash_bands(minhash_signatures(docs)).repartition(
-        n, F.col("band_id"), F.col("band_key")
-    )
+    Plain band self-join. Both join sides are the SAME subplan, so the
+    join's two hash exchanges canonicalize identically and exchange
+    reuse (AQE shuffle-stage reuse at runtime; a plan gate pins the
+    ``ReusedExchange``) makes the signature pipeline — the
+    md5-per-shingle cost that dominates a 100 TB pass — run exactly
+    once. Hot LSH buckets flow through a shuffle join that AQE
+    skew-splits, unlike a bucket-expansion (``collect_list`` + double
+    explode) where a hot bucket is one giant un-splittable array row in
+    an ObjectHashAggregate — an executor-OOM risk. An earlier variant
+    inserted an explicit ``repartition(n, band_id, band_key)`` before
+    the join to force reuse through a single exchange; measured at
+    sf0.1 that was >2× SLOWER (2.5 s vs 1.1 s min-of-3, with
+    pathological 19 s cold runs) — the fixed-width repartition fights
+    AQE's partition sizing and adds an exchange the join then
+    re-consumes, so the hint was removed (TUNING.md)."""
+    bands = _minhash_bands(minhash_signatures(docs))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_id", "band_key"])

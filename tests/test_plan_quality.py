@@ -212,21 +212,28 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark):
 
 
 def test_minhash_candidates_reuse_signature_exchange(spark):
-    """minhash_candidate_pairs scale gate: the band self-join must read
-    ONE shuffle of band rows from both sides (ReusedExchange on the
-    explicit (band_id, band_key) repartition) so the md5-per-shingle
-    signature pipeline — the dominant per-byte cost at 100 TB — runs
-    exactly once. AQE applies exchange reuse at runtime, so execute
-    first and inspect the final adaptive plan."""
-    from pyspark.sql import functions as F
-
+    """minhash_candidate_pairs scale gate: when the band self-join runs
+    as a shuffle join (the only shape possible at 100 TB — neither side
+    of a corpus-wide self-join broadcasts), both sides must read ONE
+    shuffle of band rows (ReusedExchange on the (band_id, band_key)
+    hash exchange) so the md5-per-shingle signature pipeline — the
+    dominant per-byte cost — runs exactly once. At sf0.001 AQE would
+    broadcast the tiny band table instead (reusing only the scan-side
+    exchange), so pin the at-scale shape by disabling auto-broadcast
+    for this one query. AQE applies exchange reuse at runtime, so
+    execute first and inspect the final adaptive plan."""
     from mapreduce_itwiki_spark.operators.dedup import minhash_candidate_pairs
     from mapreduce_itwiki_spark.sources.parquet import load_table
 
-    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
-    cands = minhash_candidate_pairs(docs)
-    cands.collect()
-    plan = cands._jdf.queryExecution().executedPlan().toString()
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+        cands = minhash_candidate_pairs(docs)
+        cands.collect()
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert "isFinalPlan=true" in plan
     reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
     assert any("band_key" in l for l in reused), plan
