@@ -25,11 +25,17 @@ from ..plans.catalog import register
 _counter = itertools.count()
 
 
-def hourly_event_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming hourly (window × event_type) counts + value sums."""
-    # events carries TIMESTAMP(NANOS): stream it as nano-longs and truncate
-    # to µs in-stream (same read path as sources/parquet.py:load_table)
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, with the SAME timestamp
+    normalization as ``sources/parquet.py:load_table`` — both confs set
+    at RUNTIME because the driver invokes catalog queries on a vanilla
+    session (builder-level conf never reaches it): TIMESTAMP(NANOS)
+    reads as nano-longs (legacy conf) rebuilt via ``timestamp_micros``,
+    and NTZ inference is disabled so naive-micros timestamps read as
+    epoch-UTC TIMESTAMP — the type watermarks and ``unix_micros``
+    require (TIMESTAMP_NTZ is rejected by both)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -38,6 +44,12 @@ def hourly_event_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_event_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly (window × event_type) counts + value sums."""
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -86,13 +98,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("us", F.expr("ts div 1000"))
     else:
@@ -153,13 +159,7 @@ def enrich_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; no state, no watermark needed for inner stream-static
     joins). Finite feed ⇒ equals the batch join, which the oracle
     checks."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -198,15 +198,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides arrive — the finite feed drained with
     processAllAvailable therefore yields exactly the batch range-join
     answer, which the oracle replays."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
@@ -250,21 +242,91 @@ register(
 )(stream_stream_join)
 
 
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution query that also
+    reports clicks that never converted. Outer results are what make
+    this a genuinely different operator from the inner form: a
+    null-extended row for a click may only emit once the join state
+    KNOWS no purchase can still arrive — i.e. when the click's entire
+    30-minute match window has passed the watermark and its state is
+    evicted (Spark emits these in the no-data micro-batch that follows
+    the feed). Clicks whose window is still open when the feed drains
+    stay buffered and produce NO row — so this is NOT the batch left
+    join, and the oracle replays the eviction rule explicitly: matches,
+    plus null rows only for unmatched clicks with
+    click_ts + 30 min < the final JOINT watermark. Each watermark
+    operator sits after its event-type filter, so it advances off that
+    side's own max event time, and the joint watermark is the MIN
+    across operators: least(max click_ts, max purchase_ts) − 1 h —
+    verified empirically (using max over ALL events over-emits one null
+    row for the final click at sf0.001)."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "leftOuter",
+    )
+    name = f"stream_ss_louter_{next(_counter)}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+    )
+
+
+register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                    - INTERVAL 1 HOUR AS w),
+    m AS (
+      SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+    u AS (
+      SELECT c.user_id, c.ts AS click_ts
+      FROM c
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+    SELECT user_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+    FROM m
+    UNION ALL
+    SELECT user_id, strftime(click_ts, '%Y-%m-%d %H:%M:%S'), NULL FROM u
+    """,
+)(stream_stream_left_outer_join)
+
+
 def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (2-hour window, 1-hour slide): every
     event lands in exactly two overlapping windows — the
     moving-aggregate view a monitoring pipeline reads. Complete mode +
     finite feed ⇒ equals the batch expansion the oracle runs (each
     event duplicated into its two window starts)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "2 hours", "1 hour"))
@@ -306,15 +368,7 @@ def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     not an aggregation, so append mode never holds rows back); with the
     finite file feed every duplicate arrives inside the watermark, so
     the output is exactly the batch DISTINCT — which the oracle checks."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "30 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -357,13 +411,7 @@ def running_stats_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
 
     class RunningStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
