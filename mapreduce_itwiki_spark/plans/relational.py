@@ -1946,3 +1946,111 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the second columnar format Spark
+    ships natively (the Hive-ecosystem interchange peer of parquet).
+    Same contract as the parquet/JSONL/CSV roundtrips: written
+    distributed, read back, aggregated; equality with the direct oracle
+    proves the trip lossless, and the scan side gets the same
+    pushdown/pruning treatment as parquet (ORC carries min/max strides
+    and column projection)."""
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_orc_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "csv_malformed_handling",
+    # the corruption rule is deterministic (custkey % 7 == 0 gets a
+    # non-numeric suffix), so the oracle can replay the parse outcome
+    # without ever seeing the dirty file
+    oracle="""
+    SELECT CAST(count(CASE WHEN c_custkey % 7 <> 0 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(count(CASE WHEN c_custkey % 7 = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           round(sum(CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END), 2)
+             AS good_acctbal,
+           CAST(sum(CASE WHEN c_custkey % 7 <> 0 THEN c_custkey END) AS BIGINT)
+             AS good_custkey_sum
+    FROM customer
+    """,
+)
+def csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input robustness of the CSV source: a deterministically
+    corrupted feed (every custkey divisible by 7 is rendered with a
+    trailing 'x', unparsable as int) is read back in PERMISSIVE mode
+    with an explicit ``_corrupt_record`` column — malformed lines
+    surface as rows with the raw line captured and typed columns null,
+    instead of failing the job or silently vanishing (the behavior a
+    100 TB ingest needs: quarantine and count, don't crash). Subtlety
+    the aggregate is shaped around: the CSV parser only PARSES the
+    columns the query references (column pruning), so a query that
+    never touches the malformed field sees zero corruption — the
+    aggregate therefore checksums ``c_custkey`` (the corrupted field)
+    alongside ``c_acctbal``, forcing a full parse; referencing data
+    columns also keeps it clear of Spark's corrupt-record-only
+    projection restriction. Output: good/corrupt counts + checksum
+    aggregates over the cleanly parsed rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty_lines = cust.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                F.concat(F.col("c_custkey").cast("string"), F.lit("x")),
+            ).otherwise(F.col("c_custkey").cast("string")),
+            F.col("c_acctbal").cast("string"),
+        ).alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"itwiki_dirty_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    dirty_lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("c_custkey int, c_acctbal double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("c_acctbal"))), 2
+        ).alias("good_acctbal"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("c_custkey")))
+        .cast("long")
+        .alias("good_custkey_sum"),
+    )

@@ -808,3 +808,62 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", "n_chars")
     )
+
+
+CHUNK_WINDOW = 64  #: tokens per chunk
+CHUNK_STRIDE = 48  #: tokens between chunk starts (overlap = WINDOW - STRIDE)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + CASE WHEN n <= {CHUNK_WINDOW} THEN 0
+                    ELSE (n - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                    END)) AS chunk_id,
+             toks
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(n - chunk_id * {CHUNK_STRIDE}, {CHUNK_WINDOW}) AS BIGINT)
+             AS chunk_len,
+           md5(array_to_string(
+             toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                  chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking — the context-window splitter every
+    RAG index and long-document pretraining pipeline runs: windows of
+    64 tokens starting every 48 tokens (16-token overlap), so no
+    boundary sentence is lost to a hard cut. 1 → N fan-out as pure
+    column algebra: chunk count from token count, `posexplode` of a
+    `sequence`, `slice` for the window — no UDF, fully codegen'd, and
+    the shuffle-free map-side shape means 100 TB chunks at scan speed.
+    Chunk text is fingerprinted (md5) rather than carried, keeping the
+    output narrow; chunk_len exposes the ragged tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_extra = F.when(n <= CHUNK_WINDOW, F.lit(0)).otherwise(
+        F.floor((n - CHUNK_WINDOW + CHUNK_STRIDE - 1) / CHUNK_STRIDE)
+    )
+    base = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.col("n") - start, F.lit(CHUNK_WINDOW)).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), start + 1, CHUNK_WINDOW))).alias(
+            "chunk_fp"
+        ),
+    )
