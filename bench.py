@@ -33,6 +33,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_neardup_lsh",
     "text_quality",
+    # round 3 additions (existing keys above keep their definitions so
+    # round-over-round deltas stay comparable)
+    "neardup_apply_keep",
+    "repetition_quality",
+    "chunk_documents_overlap",
 ]
 
 

@@ -69,6 +69,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_count = cur.count()
+    # size the loop's partitioning to the EDGE COUNT, not the session
+    # default: near-dup edge lists are often orders of magnitude smaller
+    # than the corpus, and every round pays per-task scheduler overhead
+    # across ~8 jobs — on a 256-edge list at 32 partitions that overhead
+    # IS the runtime (measured 3.0 s → 1.7 s at sf0.1 by collapsing to 2).
+    # At billions of edges this leaves parallelism untouched.
+    n_parts = max(2, min(
+        raw.sparkSession.sparkContext.defaultParallelism,
+        prev_count // 1_000_000 + 1,
+    ))
+    if cur.rdd.getNumPartitions() > n_parts:
+        cur = cur.coalesce(n_parts)
     for _ in range(max_rounds):
         # large-star: every node connects its strictly-larger neighbors
         # to the minimum of its closed neighborhood

@@ -255,3 +255,31 @@ def test_minhash_verify_never_broadcasts_arrays(spark):
             assert "sh_" not in line and "sh#" not in line, (
                 f"BroadcastExchange carries a shingle array: {line}"
             )
+
+
+def test_chunker_is_map_side_only(spark):
+    """chunk_documents_overlap is pure 1→N column algebra (sequence +
+    explode + slice): its plan must contain NO Exchange at all — at
+    100 TB the chunker runs at scan speed, one stage, zero shuffle."""
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode fan-out
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """weighted_sample_topk must plan as TakeOrderedAndProject —
+    per-partition top-k heaps merged at the driver — never a global
+    Sort (a total order of 100 TB for a 100-row sample)."""
+    plan = plan_of(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan
+
+
+def test_repetition_quality_partial_aggs(spark):
+    """repetition_quality's three signals all aggregate on doc_id (high
+    cardinality): every aggregate must be partial+final (map-side
+    combine), and the only window partitions by doc_id — never by a
+    low-cardinality column like lang."""
+    plan = plan_of(spark, "repetition_quality")
+    assert plan.count("HashAggregate") >= 4
+    assert "partitionBy=[lang]" not in plan.replace(" ", "")
