@@ -821,6 +821,45 @@ def neardup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "recursive_cte_dup_closure",
+    # same recursion on both engines: the pair list is a DAG
+    # (doc_a < doc_b by construction), so UNION ALL terminates without
+    # cycle detection; DISTINCT collapses duplicate paths at the end
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    reach (a, b) AS (
+      SELECT doc_a, doc_b FROM dup_pairs
+      UNION ALL
+      SELECT r.a, p.doc_b FROM reach r JOIN dup_pairs p ON r.b = p.doc_a)
+    SELECT DISTINCT a AS doc_a, b AS doc_b FROM reach
+    """,
+)
+def recursive_cte_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE — transitive closure of the near-dup pair
+    list, in pure SQL on the ENGINE side this time (the iterative
+    DataFrame loop in operators/graph.py and the driver's DuckDB oracle
+    are the other two renderings of the same fixpoint; this one lets
+    Catalyst drive the iteration). The ordered pair list (doc_a < doc_b
+    always) is a DAG, so the recursion terminates under Spark's
+    UNION ALL-only recursion support — no cycle bookkeeping needed; a
+    final DISTINCT collapses multi-path duplicates. Surfaces implied
+    duplicates (a,c) that LSH banding emitted only as (a,b), (b,c)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    view = "dup_pairs_rec"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach (a, b) AS (
+          SELECT doc_a, doc_b FROM {view}
+          UNION ALL
+          SELECT r.a, p.doc_b FROM reach r JOIN {view} p ON r.b = p.doc_a)
+        SELECT DISTINCT a AS doc_a, b AS doc_b FROM reach
+        """
+    )
+
+
 _KM_K = 4  #: clusters for the k-means demo
 _KM_DIST = (
     "round(list_sum(list_transform(range(1, 65), "

@@ -2054,3 +2054,76 @@ def csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("good_custkey_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "lateral_topk_per_customer",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL-standard spelling of
+    per-row top-k (each customer's 2 largest orders), the surface a
+    SQL-first user reaches for before learning window functions. Spark
+    plans the correlation as a join + windowed rank under the hood, so
+    the execution is the same set-based shape as
+    ``window_topk_per_group``, not a per-customer loop."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "python_datasource_scan",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, md5(CAST(i AS VARCHAR)) AS fp,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT AS size
+      FROM range(5000) t(i))
+    SELECT substr(fp, 1, 1) AS bucket, count(*) AS n,
+           CAST(sum(size) AS BIGINT) AS total_size, CAST(min(id) AS BIGINT) AS first_id
+    FROM src GROUP BY 1
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's Python DataSource API
+    (sources/pyds.py) — the modern answer to the reference's hand-rolled
+    XmlInputFormat (CountReference.java:94-203): ``partitions()``
+    declares the splits, the planner schedules one Arrow-fed task per
+    split. The source is a deterministic generator, so the oracle
+    replays it with SQL ``range()`` — the aggregate hash-matching proves
+    every row arrived exactly once across 8 parallel partitions (no
+    boundary dupes/drops, the bug class the reference's 110 lines of
+    split arithmetic existed to prevent)."""
+    from ..sources.pyds import SynthDocsSource
+
+    try:
+        spark.dataSource.register(SynthDocsSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (
+        spark.read.format("synthdocs")
+        .option("n", "5000")
+        .option("parts", "8")
+        .load()
+    )
+    return src.groupBy(F.substring("fp", 1, 1).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("size").cast("long").alias("total_size"),
+        F.min("id").cast("long").alias("first_id"),
+    )
