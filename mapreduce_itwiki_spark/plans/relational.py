@@ -2127,3 +2127,121 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("long").alias("total_size"),
         F.min("id").cast("long").alias("first_id"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "observed_metrics_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(count(CASE WHEN n_chars >= 200 THEN 1 END) AS BIGINT)
+             AS n_quality
+    FROM documents
+    """,
+)
+def observed_metrics_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` — pipeline telemetry that piggybacks on the main
+    job: the metrics are accumulated DURING the pass the query was
+    already making (here a noop-sink drain of the corpus scan), not by
+    a second scan. At 100 TB this is how row counts, quality-gate
+    tallies, and freshness bounds reach the orchestrator for free —
+    the declarative analogue of the reference relying on Hadoop's
+    built-in job counters. The observed values are returned as a
+    one-row frame so the oracle can hash-check that observe() saw
+    every row exactly once."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_scan")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.count(F.when(F.col("n_chars") >= 200, 1)).alias("n_quality"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_chars"]),
+                int(m["min_doc"]),
+                int(m["max_doc"]),
+                int(m["n_quality"]),
+            )
+        ],
+        "n_rows long, total_chars long, min_doc long, max_doc long, n_quality long",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "profile_table_stats",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(l_linestatus) AS nn_status,
+             count(DISTINCT l_orderkey) AS nd_orderkey,
+             count(DISTINCT l_returnflag) AS nd_returnflag,
+             round(min(l_quantity), 2) AS min_qty,
+             round(max(l_quantity), 2) AS max_qty,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price
+      FROM lineitem)
+    SELECT col, metric, value FROM (
+      SELECT 'l_linestatus' AS col, 'null_frac' AS metric,
+             round(1.0 - nn_status * 1.0 / n_rows, 6) AS value FROM s
+      UNION ALL SELECT 'l_orderkey', 'n_distinct', nd_orderkey * 1.0 FROM s
+      UNION ALL SELECT 'l_returnflag', 'n_distinct', nd_returnflag * 1.0 FROM s
+      UNION ALL SELECT 'l_quantity', 'min', min_qty FROM s
+      UNION ALL SELECT 'l_quantity', 'max', max_qty FROM s
+      UNION ALL SELECT 'l_quantity', 'avg', avg_qty FROM s
+      UNION ALL SELECT 'l_extendedprice', 'min', min_price FROM s
+      UNION ALL SELECT 'l_extendedprice', 'max', max_price FROM s)
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling — the null fractions, distinct
+    cardinalities, and numeric ranges an engine surfaces before anyone
+    writes a query (and what a CBO's ANALYZE TABLE collects). ALL
+    metrics come from ONE scan: Catalyst fuses the nine aggregates into
+    a single partial+final pass (the two COUNT(DISTINCT)s expand to one
+    two-key expand-aggregate), then the wide row is unpivoted to the
+    (col, metric, value) long form a catalog stores. At 100 TB
+    profiling cost = one scan, not one scan per metric."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_linestatus").alias("nn_status"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.countDistinct("l_returnflag").alias("nd_returnflag"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    wide = s.select(
+        F.round(F.lit(1.0) - F.col("nn_status") * 1.0 / F.col("n_rows"), 6)
+        .alias("l_linestatus:null_frac"),
+        (F.col("nd_orderkey") * 1.0).alias("l_orderkey:n_distinct"),
+        (F.col("nd_returnflag") * 1.0).alias("l_returnflag:n_distinct"),
+        F.col("min_qty").alias("l_quantity:min"),
+        F.col("max_qty").alias("l_quantity:max"),
+        F.col("avg_qty").alias("l_quantity:avg"),
+        F.col("min_price").alias("l_extendedprice:min"),
+        F.col("max_price").alias("l_extendedprice:max"),
+    )
+    long = wide.unpivot([], list(wide.columns), "key", "value")
+    return long.select(
+        F.substring_index("key", ":", 1).alias("col"),
+        F.substring_index("key", ":", -1).alias("metric"),
+        "value",
+    )
