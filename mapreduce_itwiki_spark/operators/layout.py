@@ -1,0 +1,65 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+A 100 TB table filtered on TWO dimensions defeats single-column
+sorting: sorting by `a` gives tight per-file min/max ranges on `a` and
+useless ones on `b`. Interleaving the bits of both columns into one
+Morton key and range-partitioning + sorting by it gives every file a
+small RECTANGLE of (a, b) space, so parquet footer min/max stats prune
+files for box predicates on either or both dimensions — the same
+technique Delta/Iceberg expose as `OPTIMIZE ZORDER BY`, here as plain
+column algebra over the open formats Spark ships.
+
+The key is a pure integer expression (shifts/masks, fully codegen'd),
+so it is byte-reproducible in any engine — the catalog query's DuckDB
+oracle replays it exactly — and `tests/test_scale_layout.py` proves the
+pruning effect from the written files' actual parquet footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16  #: bits kept per dimension (32-bit Morton key)
+
+
+def zorder_key(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton key: interleave the low ``bits`` of x and y — x occupies
+    even bit positions, y odd. Monotone in the locality sense: keys
+    close together are close in BOTH dimensions at every scale."""
+    xs = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ys = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        acc = acc + F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return acc
+
+
+def minmax_scale(col: Column, lo: int, hi: int, bits: int = ZORDER_BITS) -> Column:
+    """Scale an integer column from [lo, hi] onto [0, 2**bits) — the
+    alignment step BEFORE interleaving. Dimensions of unequal
+    cardinality must occupy comparable bit-widths or the wider one
+    dominates the key and the curve degenerates to a single-column
+    sort (measured: raw 200-value partkey × 10-value suppkey interleave
+    prunes nothing on the suppkey side; scaled, it prunes ~75% of
+    files — tests/test_scale_layout.py). Production systems use
+    sampled range-ids per column for the same reason (skew-robust);
+    min/max scaling is the exact-arithmetic version that stays
+    oracle-reproducible."""
+    span = hi - lo + 1
+    return F.floor((col.cast("long") - F.lit(lo)) * F.lit(1 << bits) / F.lit(span)).cast(
+        "long"
+    )
+
+
+def zorder_key_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """The identical key as ANSI SQL text (for the DuckDB oracle)."""
+    mask = (1 << bits) - 1
+    # each term fully parenthesized: SQL's `+` binds TIGHTER than `<<`,
+    # so unparenthesized `a << 0 + b << 2` would parse as a << (0+b) << 2
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x} & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

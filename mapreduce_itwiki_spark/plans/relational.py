@@ -2245,3 +2245,50 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("key", ":", -1).alias("metric"),
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+
+    return f"""
+    SELECT CAST(zkey // 1024 AS BIGINT) AS zbucket,
+           count(*) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+    FROM (SELECT l_partkey, l_suppkey,
+                 {zorder_key_sql('l_partkey', 'l_suppkey')} AS zkey
+          FROM lineitem)
+    GROUP BY 1
+    """
+
+
+@register("zorder_cluster_stats", oracle=_zorder_oracle())
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional layout primitive (operators/layout.py): rows
+    are bucketed by their Morton key's upper bits (zkey div 1024) and each
+    bucket reports its (partkey, suppkey) bounding box. The tight,
+    non-overlapping boxes ARE the data-skipping story: written as files
+    (repartitionByRange(zkey) + sortWithinPartitions), a box predicate
+    on either dimension prunes most files from their footer stats —
+    proven against real parquet footers in
+    tests/test_scale_layout.py::test_zorder_layout_prunes_files. Pure
+    integer shift/mask algebra, byte-identical in the oracle."""
+    from ..operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zkey = zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select("l_partkey", "l_suppkey", zkey.alias("zkey"))
+        .groupBy(F.floor(F.col("zkey") / 1024).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
+    )

@@ -170,3 +170,78 @@ def test_csv_permissive_parse_quarantines_bad_rows(spark, tmp_path):
     n = back.count()
     expect = events.filter(F.col("event_type") == "purchase").count()
     assert n == expect
+
+
+def test_zorder_layout_prunes_files(spark, tmp_path):
+    """Z-order clustering vs single-column sorting, proven from the
+    ACTUAL parquet footers of written files: for a two-dimensional box
+    predicate, the fraction of files whose (l_partkey, l_suppkey)
+    min/max stats intersect the box must be substantially smaller under
+    the Morton layout — single-column sort gives tight ranges on the
+    sort key only, so nearly every file matches a suppkey-side
+    predicate. This is the evidence behind zorder_cluster_stats'
+    data-skipping claim (operators/layout.py)."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_itwiki_spark.operators.layout import minmax_scale, zorder_key
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 16
+
+    linear = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(n_files, F.col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zordered = str(tmp_path / "zordered")
+    # align the 200-value and 10-value dimensions to 8 bits each before
+    # interleaving — unscaled, partkey's extra bits dominate the key and
+    # the curve degenerates to a partkey sort (no suppkey pruning)
+    zk = zorder_key(
+        minmax_scale(F.col("l_partkey"), 0, 199, bits=8),
+        minmax_scale(F.col("l_suppkey"), 0, 9, bits=8),
+        bits=8,
+    )
+    (
+        li.withColumn("zkey", zk)
+        .repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(zordered)
+    )
+
+    # predicates probe the dimension the linear layout did NOT sort by:
+    # a suppkey slice. Linear files each span the full suppkey domain
+    # (sorted by partkey only), so every file survives; z-order files
+    # cover suppkey rectangles, so most are skipped from footer stats.
+    SUPP_LO, SUPP_HI = 3, 3  # one supplier of 0..9
+
+    def files_matching(path: str) -> tuple[int, int]:
+        import glob
+
+        matched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "l_suppkey" and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            total += 1
+            if lo <= SUPP_HI and hi >= SUPP_LO:
+                matched += 1
+        return matched, total
+
+    lin_m, lin_t = files_matching(linear)
+    zo_m, zo_t = files_matching(zordered)
+    assert lin_t >= n_files // 2 and zo_t >= n_files // 2  # both actually split
+    # the linear layout cannot skip anything on the non-sort dimension
+    assert lin_m == lin_t, (lin_m, lin_t)
+    # z-order must skip MOST files for the one-supplier slice
+    assert zo_m <= zo_t // 2, (zo_m, zo_t, lin_m, lin_t)
