@@ -57,9 +57,13 @@ def zorder_key_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
     """The identical key as ANSI SQL text (for the DuckDB oracle)."""
     mask = (1 << bits) - 1
     # each term fully parenthesized: SQL's `+` binds TIGHTER than `<<`,
-    # so unparenthesized `a << 0 + b << 2` would parse as a << (0+b) << 2
+    # so unparenthesized `a << 0 + b << 2` would parse as a << (0+b) << 2.
+    # BIGINT casts keep the shifts out of INT32 range (an integer-typed
+    # input would overflow at `1 << 31` in DuckDB)
+    xs = f"(CAST({x} AS BIGINT) & {mask})"
+    ys = f"(CAST({y} AS BIGINT) & {mask})"
     terms = []
     for i in range(bits):
-        terms.append(f"(((({x} & {mask}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((({y} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"

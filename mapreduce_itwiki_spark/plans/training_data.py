@@ -867,3 +867,60 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     )
+
+
+INCR_SPLIT = 250  #: doc_id boundary between "existing corpus" and "new batch"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id,
+                       md5(array_to_string(
+                         list_sort(list_distinct(string_split(text, ' '))), ' '))
+                         AS f
+                FROM documents),
+    old AS (SELECT DISTINCT f FROM fp WHERE doc_id < {INCR_SPLIT}),
+    new AS (SELECT doc_id, f FROM fp WHERE doc_id >= {INCR_SPLIT})
+    SELECT new.doc_id,
+           EXISTS (SELECT 1 FROM old WHERE old.f = new.f) AS dup_of_corpus,
+           new.doc_id > min(new.doc_id)
+             OVER (PARTITION BY new.f) AS dup_within_batch
+    FROM new
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a new crawl batch
+    (doc_id ≥ split) is deduped against the EXISTING corpus (doc_id <
+    split) without re-deduping the corpus itself. Two verdicts per new
+    doc: duplicate-of-corpus (left-semi membership probe against the
+    corpus fingerprint set — at 100 TB that set lives as a bucketed
+    table or bloom filter, and only the NEW batch is scanned hot) and
+    duplicate-within-batch (fingerprint window on the batch alone,
+    keep-first). Asymmetry is the point: corpus rows are never
+    re-emitted, so daily ingest cost is ∝ batch, not ∝ corpus.
+
+    The key is a bag-of-words fingerprint (md5 of the sorted distinct
+    token set): exact content hashing is vacuously unique on this
+    corpus (the planted duplicates are NEAR-dups), while same-vocabulary
+    matching catches reshuffled/boilerplate variants — 221 real
+    cross-split collisions at sf0.01, so both verdict columns exercise
+    both truth values."""
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", bow.alias("f")
+    )
+    old = docs.filter(F.col("doc_id") < INCR_SPLIT).select("f").distinct()
+    new = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    probed = new.join(
+        old.withColumn("in_corpus", F.lit(True)), "f", "left"
+    )
+    w = Window.partitionBy("f")
+    return probed.select(
+        "doc_id",
+        F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("dup_within_batch"),
+    )

@@ -159,3 +159,65 @@ def test_bands_cover_all_residues():
             j = b * BAND_BITS + r
             covered |= {i % 4 for i in range(dim) if hyperplane(j, dim)[i] != 0}
         assert covered == {0, 1, 2, 3}, (b, covered)
+
+
+def _morton_py(x: int, y: int, bits: int) -> int:
+    """Independent Python rendering of the Morton interleave."""
+    acc = 0
+    for i in range(bits):
+        acc |= ((x >> i) & 1) << (2 * i)
+        acc |= ((y >> i) & 1) << (2 * i + 1)
+    return acc
+
+
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=300)
+def test_morton_key_bijective_and_order(x, y):
+    """The SQL-text Morton key (operators/layout.py:zorder_key_sql) must
+    agree with an independent bitwise implementation, be a bijection on
+    (x, y) (deinterleave recovers both inputs), and respect the
+    quadrant order that makes range partitioning meaningful: any point
+    in the lower quadrant (both coords below 2^15) keys strictly below
+    any point in the upper quadrant (both coords at/above 2^15)."""
+    import duckdb
+
+    from mapreduce_itwiki_spark.operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql(str(x), str(y))
+    got = duckdb.sql(f"SELECT {expr} AS z").fetchone()[0]
+    expect = _morton_py(x, y, 16)
+    assert got == expect
+    # bijection: deinterleave
+    back_x = sum(((got >> (2 * i)) & 1) << i for i in range(16))
+    back_y = sum(((got >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (back_x, back_y) == (x, y)
+    # quadrant order
+    half = 1 << 15
+    if x < half and y < half:
+        assert got < _morton_py(half, half, 16)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    window=st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=200)
+def test_chunker_arithmetic_covers_every_token(n, window):
+    """The chunk arithmetic used by chunk_documents_overlap (pure
+    integer formulas, verified here without Spark): with stride
+    s = 3w/4, chunks [i*s, i*s+w) must cover tokens 0..n-1 with no gap,
+    the first chunk starts at 0, consecutive starts differ by exactly
+    the stride, and every chunk is non-empty."""
+    stride = max(1, (window * 3) // 4)
+    n_extra = 0 if n <= window else -(-(n - window) // stride)  # ceil
+    starts = [i * stride for i in range(n_extra + 1)]
+    assert starts[0] == 0
+    covered = set()
+    for s0 in starts:
+        length = min(window, n - s0)
+        assert length >= 1  # chunk never empty
+        covered.update(range(s0, s0 + length))
+    assert covered == set(range(n))  # no token lost to a boundary
