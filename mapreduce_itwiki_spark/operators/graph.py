@@ -55,12 +55,6 @@ def connected_components(
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    nodes = (
-        raw.select(F.col("a").alias("node"))
-        .union(raw.select(F.col("b").alias("node")))
-        .distinct()
-        .persist()
-    )
     cur = (
         raw.select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
@@ -69,6 +63,17 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_count = cur.count()
+    # node set DERIVED FROM THE CHECKPOINT, not from `raw`: the input may
+    # be an expensive pipeline (e.g. the whole MinHash-LSH pass), and a
+    # raw-based node frame would re-execute it once more when first
+    # materialized. Self-loops were already dropped, so the checkpointed
+    # ordered pairs carry exactly the same endpoint set.
+    nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
     # size the loop's partitioning to the EDGE COUNT, not the session
     # default: near-dup edge lists are often orders of magnitude smaller
     # than the corpus, and every round pays per-task scheduler overhead
