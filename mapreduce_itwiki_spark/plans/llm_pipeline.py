@@ -1044,3 +1044,88 @@ def pagerank_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).select(
         "node", F.round(F.col("rank"), 8).alias("rank")
     )
+
+
+#: 2x2-average-pooled pixel expressions for the resize oracle — source
+#: pixel (r, c) of the 8x8 image sits at text index r*8 + c + 1; the
+#: pool is an exact integer mean, generated here so both engines share
+#: one arithmetic by construction (same style as _SIG_EXPRS above)
+def _pool_pix_sql(r: int, c: int) -> str:
+    idx = [
+        2 * r * 8 + 2 * c + 1,
+        2 * r * 8 + 2 * c + 2,
+        (2 * r + 1) * 8 + 2 * c + 1,
+        (2 * r + 1) * 8 + 2 * c + 2,
+    ]
+    return "((" + " + ".join(f"ascii(substr(text, {i}, 1))" for i in idx) + ") // 4)"
+
+
+_POOL_PIX = ", ".join(_pool_pix_sql(r, c) for r in range(4) for c in range(4))
+
+
+@register(
+    "multimodal_resize_pool",
+    oracle=f"""
+    SELECT doc_id, CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+           CAST(p[1] AS BIGINT) AS p00, CAST(p[4] AS BIGINT) AS p03,
+           CAST(p[13] AS BIGINT) AS p30, CAST(p[16] AS BIGINT) AS p33,
+           CAST(list_max(p) AS BIGINT) AS max_pool
+    FROM (SELECT doc_id, [{_POOL_PIX}] AS p FROM documents)
+    """,
+)
+def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path: encode the 8×8 PNG
+    (same deterministic image as multimodal_png_decode), DECODE it back
+    (pure-stdlib inflate + un-filter), then 2×2 average-pool to 4×4
+    with integer floor division — the downsample step of a thumbnail /
+    vision-preprocessing pipeline, vectorized in numpy inside one
+    Arrow-batched mapInPandas (decode → reshape(4,2,4,2) → block sum
+    → //4). Integer arithmetic end to end, so every output pixel is
+    engine-exact against the oracle's per-pixel replay — proving the
+    decode→transform→features chain, not just the decode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_png_gray, encode_png_gray
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                png = encode_png_gray(_head_bytes(t, 64), 8)
+                _w, _h, pix = decode_png_gray(png)
+                img = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                img = img.reshape(8, 8)
+                pooled = img.reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+                rows.append(
+                    (
+                        doc_id, 4, 4,
+                        int(pooled[0, 0]), int(pooled[0, 3]),
+                        int(pooled[3, 0]), int(pooled[3, 3]),
+                        int(pooled.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_w", "out_h", "p00", "p03", "p30", "p33",
+                    "max_pool",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("p00", T.LongType()),
+            T.StructField("p03", T.LongType()),
+            T.StructField("p30", T.LongType()),
+            T.StructField("p33", T.LongType()),
+            T.StructField("max_pool", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(resize, schema)
