@@ -320,6 +320,86 @@ register(
 )(stream_stream_left_outer_join)
 
 
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — both unmatched sides surface,
+    each under its OWN eviction rule (the asymmetry is the point): an
+    unconverted click emits null once its entire 30-minute match window
+    passes the joint watermark (click_ts + 30 min < wm, as in the
+    left-outer form), but an orphan purchase only needs the watermark
+    to pass its own timestamp (purchase_ts < wm) — every click that
+    could still match it (click_ts ∈ [purchase_ts − 30 min,
+    purchase_ts]) has then provably arrived. The oracle replays both
+    rules against the min-of-sides final watermark."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "fullOuter",
+    )
+    name = f"stream_ss_fouter_{next(_counter)}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+    )
+
+
+register(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                    - INTERVAL 1 HOUR AS w),
+    m AS (
+      SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+    uc AS (
+      SELECT c.user_id, c.ts AS click_ts
+      FROM c
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)),
+    up AS (
+      SELECT p.user_id, p.ts AS purchase_ts
+      FROM p
+      WHERE NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        AND p.ts < (SELECT w FROM wm))
+    SELECT user_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+    FROM m
+    UNION ALL
+    SELECT user_id, strftime(click_ts, '%Y-%m-%d %H:%M:%S'), NULL FROM uc
+    UNION ALL
+    SELECT user_id, NULL, strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') FROM up
+    """,
+)(stream_stream_full_outer_join)
+
+
 def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (2-hour window, 1-hour slide): every
     event lands in exactly two overlapping windows — the
