@@ -1,0 +1,54 @@
+"""The driver-facing contract (__spark_entry__.py + bench.py) — cheap
+structural checks with no SparkSession, so a broken rename or a
+bench-list typo fails in seconds instead of silently degrading the
+per-round driver record."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def test_every_oracle_key_is_a_query():
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    # the catalog's contract this round: every query is oracle-paired
+    assert set(qs) == set(osql), sorted(set(qs) ^ set(osql))
+
+
+def test_bench_headline_names_resolve():
+    import bench
+    from mapreduce_itwiki_spark.plans import catalog
+
+    qs = catalog.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+
+
+def test_priority_slots_cover_every_family():
+    """The driver's correctness harness records only the FIRST 50
+    registered queries; the pinned priority list must keep covering
+    every SURVEY §2 family so each round's driver record stays
+    representative."""
+    from mapreduce_itwiki_spark.plans import catalog
+
+    first50 = list(catalog.queries())[:50]
+    family_probes = {
+        "reference": "wiki_incoming_refs",
+        "dedup": "dedup_minhash_lsh",
+        "similarity": "ann_cosine_topk",
+        "multimodal": "multimodal_png_decode",
+        "text": "text_quality",
+        "graph": "dedup_connected_components",
+        "curation": "token_budget_head",
+        "relational": "q1_pricing_summary",
+        "streaming": "streaming_hourly_rollup",
+    }
+    missing = {fam: q for fam, q in family_probes.items() if q not in first50}
+    assert not missing, missing
