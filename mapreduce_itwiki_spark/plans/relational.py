@@ -2112,6 +2112,9 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     split arithmetic existed to prevent)."""
     from ..sources.pyds import SynthDocsSource
 
+    # runtime conf (vanilla driver session): a reader that implements
+    # pushFilters() refuses to initialize unless pushdown is enabled
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(SynthDocsSource)
     except Exception:
@@ -2291,4 +2294,48 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_suppkey").cast("long").alias("min_supp"),
             F.max("l_suppkey").cast("long").alias("max_supp"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "python_datasource_pushdown",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, md5(CAST(i AS VARCHAR)) AS fp,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT AS size
+      FROM range(5000) t(i))
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(size) AS BIGINT) AS total_size,
+           CAST(min(id) AS BIGINT) AS first_id, CAST(max(id) AS BIGINT) AS last_id
+    FROM src WHERE id >= 4000 AND id < 4500
+    """,
+)
+def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO the custom connector: the range filter on
+    ``id`` reaches SynthDocsReader.pushFilters at planning time, which
+    narrows the split range so ``partitions()`` never emits a task for
+    the other 90% of the id space — the custom-source twin of
+    PushedFilters on a parquet scan (and asserted structurally in
+    tests/test_sources_roundtrip.py: 8 partitions unfiltered, fewer
+    and bounds-narrowed with the predicate). The oracle replays the
+    filtered generator, proving pruning lost no qualifying row."""
+    from ..sources.pyds import SynthDocsSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SynthDocsSource)
+    except Exception:
+        pass
+    src = (
+        spark.read.format("synthdocs")
+        .option("n", "5000")
+        .option("parts", "8")
+        .load()
+        .filter((F.col("id") >= 4000) & (F.col("id") < 4500))
+    )
+    return src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("size").cast("long").alias("total_size"),
+        F.min("id").cast("long").alias("first_id"),
+        F.max("id").cast("long").alias("last_id"),
     )

@@ -18,7 +18,16 @@ partition boundaries.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 SYNTH_NAME = "synthdocs"
 
@@ -41,15 +50,48 @@ class SynthDocsReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.n = int(options.get("n", "1000"))
         self.parts = int(options.get("parts", "8"))
+        self.lo_bound = 0  #: narrowed by pushed id predicates
+        self.hi_bound = self.n  # exclusive
+
+    def pushFilters(self, filters):
+        """Predicate pushdown into the connector (the Python-source
+        analogue of PushedFilters on a parquet scan): range predicates
+        on the ordered ``id`` column narrow [lo_bound, hi_bound), and
+        ``partitions()`` then never emits a split outside it — pruning
+        happens at PLANNING time, before any task launches. Filters we
+        can't interpret are yielded back for Spark to evaluate."""
+        for f in filters:
+            if f.attribute == ("id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo_bound = max(self.lo_bound, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi_bound = min(self.hi_bound, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+            yield f  # not handled here — Spark evaluates it post-scan
 
     def partitions(self):
-        """Static range split — the planner runs one task per returned
-        partition, in parallel across executors (the Python-source
-        analogue of InputFormat.getSplits)."""
-        step = -(-self.n // self.parts)  # ceil
+        """Static range split over the (possibly filter-narrowed) id
+        range — the planner runs one task per returned partition, in
+        parallel across executors (the Python-source analogue of
+        InputFormat.getSplits)."""
+        lo0, hi0 = self.lo_bound, max(self.lo_bound, self.hi_bound)
+        if lo0 >= hi0:
+            return [InputPartition((0, 0))]  # planner requires >= 1
+        step = -(-(hi0 - lo0) // self.parts)  # ceil
         return [
-            InputPartition((lo, min(lo + step, self.n)))
-            for lo in range(0, self.n, step)
+            InputPartition((lo, min(lo + step, hi0)))
+            for lo in range(lo0, hi0, step)
         ]
 
     def read(self, partition):

@@ -60,3 +60,24 @@ def test_unavailable_connectors_fail_loudly(spark, tmp_path):
 
     with pytest.raises((AnalysisException, Py4JJavaError, Exception)):
         _orders(spark).write.format("delta").save(str(tmp_path / "delta"))
+
+
+def test_python_datasource_pushdown_prunes_partitions():
+    """SynthDocsReader.pushFilters narrows the split range at planning
+    time: range predicates on id are consumed (not yielded back) and
+    partitions() emits splits only inside the narrowed bounds."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from mapreduce_itwiki_spark.sources.pyds import SynthDocsReader
+
+    r = SynthDocsReader({"n": "5000", "parts": "8"})
+    assert len(r.partitions()) == 8
+    leftovers = list(
+        r.pushFilters([GreaterThanOrEqual(("id",), 4000), LessThan(("id",), 4500)])
+    )
+    assert leftovers == []  # both consumed by the reader
+    parts = r.partitions()
+    bounds = [p.value for p in parts]
+    assert all(lo >= 4000 and hi <= 4500 for lo, hi in bounds), bounds
+    covered = sorted(x for lo, hi in bounds for x in (lo, hi))
+    assert min(covered) == 4000 and max(covered) == 4500
