@@ -2339,3 +2339,59 @@ def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("long").alias("first_id"),
         F.max("id").cast("long").alias("last_id"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "grouped_arrow_agg",
+    # value-weighted mean event value per type, plus the exact integer
+    # microsecond span of the group — arithmetic chosen to be
+    # engine-exact (sum/sum division is one correctly-rounded IEEE op)
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * value) / sum(value), 6) AS weighted_mean,
+           CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT)
+             AS span_us
+    FROM events GROUP BY 1
+    """,
+)
+def grouped_arrow_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — Spark 4's Arrow-NATIVE grouped map: the group
+    arrives as a ``pyarrow.Table`` and pyarrow.compute kernels (C++)
+    do the math, one less conversion than applyInPandas (no
+    Arrow→pandas materialization). This is the right boundary for
+    custom per-group logic that pandas semantics would slow down or
+    subtly alter (object dtype coercions, NaN vs null). Same scale
+    shape as any grouped map: one shuffle on the group key, bounded
+    group state. The self-weighted mean Σv²/Σv is a single
+    correctly-rounded division of two exact-order-independent sums…
+    which ARE order-dependent in float — so both engines round to 6
+    decimals, the catalog's standard float discipline."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+
+    # NOTE: no type annotations on the UDF — applyInArrow infers its
+    # (key, table) vs (table) calling convention from resolvable type
+    # hints, and a quoted forward reference fails that inspection
+    def stats(key, table):
+        v = table["value"]
+        wmean = pc.sum(pc.multiply(v, v)).as_py() / pc.sum(v).as_py()
+        ts = table["ts"]
+        span = pc.subtract(pc.max(ts), pc.min(ts)).as_py()  # timedelta
+        return pa.Table.from_pydict(
+            {
+                "event_type": [key[0].as_py()],
+                "n": [table.num_rows],
+                "weighted_mean": [round(wmean, 6)],
+                "span_us": [span // datetime.timedelta(microseconds=1)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInArrow(
+        stats, "event_type string, n long, weighted_mean double, span_us long"
+    )
