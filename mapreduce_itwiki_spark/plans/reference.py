@@ -369,6 +369,39 @@ def xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "from_xml_extract",
+    oracle="""
+    SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(strlen(text) AS BIGINT) AS body_len
+    FROM documents
+    """,
+)
+def from_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O2 parse through Spark 4's BUILT-IN XML support: ``from_xml``
+    parses each <page> string into a typed STRUCT entirely JVM-side —
+    the schema-first alternative to both the XPath expression above and
+    the Arrow pandas_udf parser in sources/xml_pages.py (which remains
+    the path for REAL dumps: from_xml wants one well-formed document
+    per row, not a byte-split stream). Same roundtrip proof shape: the
+    oracle derives the embedded values from the source columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<page><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><text>"),
+        F.col("text"),
+        F.lit("</text></page>"),
+    )
+    parsed = F.from_xml(xml, "STRUCT<title: STRING, text: STRING>")
+    return docs.select(
+        "doc_id",
+        parsed.getField("title").alias("title"),
+        F.length(parsed.getField("text")).cast("long").alias("body_len"),
+    )
+
+
+# --------------------------------------------------------------------------
 # O1+O2 through the driver contract: round-trip the documents corpus as a
 # MediaWiki-style dump and run the token pipeline on the parsed result.
 @register(
