@@ -1046,6 +1046,49 @@ def pagerank_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_cluster_sizes",
+    # closure → per-cluster size → histogram of sizes: the shape of a
+    # dedup report ("how much mass sits in clusters of size k")
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach (a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+    closure AS (
+      SELECT a AS node, b AS m FROM reach
+      UNION SELECT a, a FROM e2),
+    comp AS (SELECT node, min(m) AS comp FROM closure GROUP BY node),
+    sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT: distribution of near-dup cluster sizes (how
+    many clusters of size k, and how many documents they hold) — the
+    number a curation run publishes to show how much of the corpus was
+    duplicate mass. Downstream of the same LSH pair list and
+    connected-components closure as neardup_apply_keep; the histogram
+    itself is two tiny aggregations over the (cluster, size) frame."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
 #: 2x2-average-pooled pixel expressions for the resize oracle — source
 #: pixel (r, c) of the 8x8 image sits at text index r*8 + c + 1; the
 #: pool is an exact integer mean, generated here so both engines share

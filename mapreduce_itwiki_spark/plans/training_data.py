@@ -924,3 +924,60 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
         (F.col("doc_id") > F.min("doc_id").over(w)).alias("dup_within_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "quality_blend_zscore",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS n_tok,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents),
+    m AS (SELECT avg(n_tok) AS mu_t, stddev_pop(n_tok) AS sd_t,
+                 avg(distinct_ratio) AS mu_d, stddev_pop(distinct_ratio) AS sd_d
+          FROM sig)
+    SELECT doc_id,
+           round(((n_tok - (SELECT mu_t FROM m)) / (SELECT sd_t FROM m)
+                  + (distinct_ratio - (SELECT mu_d FROM m))
+                    / (SELECT sd_d FROM m)) / 2, 6) AS quality_z
+    FROM sig
+    """,
+)
+def quality_blend_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality blending — the way separate heuristics
+    (length, lexical diversity, …) become ONE ranking score: each
+    signal is z-normalized against corpus statistics and averaged.
+    Scale shape: the stats are a 1-row aggregate folded back as a
+    broadcast cross join (same pattern as domain_mix_weights) — no
+    global window, the corpus-sized stage is one scan + one partial+
+    final agg, and scoring is a map. Rounded at 6 decimals on both
+    engines (sums of doubles are order-dependent; the z-scores
+    divide two near-identical aggregates, so 6 dp absorbs ulp drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sig = docs.select(
+        "doc_id",
+        (F.size(toks) * F.lit(1.0)).alias("n_tok"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+    )
+    m = sig.agg(
+        F.avg("n_tok").alias("mu_t"),
+        F.stddev_pop("n_tok").alias("sd_t"),
+        F.avg("distinct_ratio").alias("mu_d"),
+        F.stddev_pop("distinct_ratio").alias("sd_d"),
+    )
+    return sig.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        F.round(
+            (
+                (F.col("n_tok") - F.col("mu_t")) / F.col("sd_t")
+                + (F.col("distinct_ratio") - F.col("mu_d")) / F.col("sd_d")
+            )
+            / 2,
+            6,
+        ).alias("quality_z"),
+    )
