@@ -52,3 +52,20 @@ def test_priority_slots_cover_every_family():
     }
     missing = {fam: q for fam, q in family_probes.items() if q not in first50}
     assert not missing, missing
+
+
+def test_coverage_doc_lists_every_query():
+    """COVERAGE.md is the judge-facing inventory — every registered
+    catalog query must appear in it (and it must not list ghosts)."""
+    import re
+
+    import __spark_entry__ as E
+
+    qs = set(E.queries())
+    cov = (REPO / "COVERAGE.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)`", cov, flags=re.M))
+    for m in re.findall(r"\| `([a-z0-9_]+)` / `([a-z0-9_]+)`(?: / `([a-z0-9_]+)`)?", cov):
+        listed.update(x for x in m if x)
+    listed.discard("streaming_running_stats_tws")  # protobuf-gated
+    assert qs - listed == set(), sorted(qs - listed)
+    assert listed - qs == set(), sorted(listed - qs)
