@@ -2395,3 +2395,64 @@ def grouped_arrow_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInArrow(
         stats, "event_type string, n long, weighted_mean double, span_us long"
     )
+
+
+PARAM_PRICE_FLOOR = 450_000.0  #: named-parameter binding demo threshold
+
+
+# --------------------------------------------------------------------------
+@register(
+    "parameterized_sql_topk",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > {PARAM_PRICE_FLOOR}
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def parameterized_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the value
+    arrives as a BOUND PARAMETER (:floor), not string interpolation —
+    the injection-safe API a query service builds on, and the binding
+    is visible to Catalyst as a literal so pushdown/pruning still
+    apply. Plan shape: pushed filter + TakeOrderedAndProject."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > :floor
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        args={"floor": PARAM_PRICE_FLOOR},
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "union_by_name_drift",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, o_orderpriority, 'v2'
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-DRIFT union: two feed generations project different
+    column sets and ``unionByName(allowMissingColumns=True)`` aligns
+    them BY NAME with null fill — the API-level twin of the storage-
+    level ``mergeSchema`` query. A positional union here would silently
+    pair o_totalprice with o_orderpriority; by-name alignment is what
+    makes pipelines survive schema evolution."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("src", F.lit("v1"))
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("src", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
