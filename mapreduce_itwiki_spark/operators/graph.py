@@ -52,27 +52,26 @@ def connected_components(
     node points straight at its component minimum — so labels fall out
     of the final edge set with one left join for isolated/root nodes.
     """
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
-    )
+    # ONE materialization of the input pipeline (it may be the whole
+    # MinHash-LSH pass): everything downstream — the deduped ordered
+    # pairs AND the node set — derives from this checkpoint, never from
+    # the input lineage. Nodes come from the UNFILTERED edge list so a
+    # node appearing only in self-loop edges still gets its
+    # (node, node) label instead of vanishing from the output.
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     cur = (
-        raw.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        )
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     prev_count = cur.count()
-    # node set DERIVED FROM THE CHECKPOINT, not from `raw`: the input may
-    # be an expensive pipeline (e.g. the whole MinHash-LSH pass), and a
-    # raw-based node frame would re-execute it once more when first
-    # materialized. Self-loops were already dropped, so the checkpointed
-    # ordered pairs carry exactly the same endpoint set.
     nodes = (
-        cur.select(F.col("u").alias("node"))
-        .union(cur.select(F.col("v").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
-        .persist()
     )
     # size the loop's partitioning to the EDGE COUNT, not the session
     # default: near-dup edge lists are often orders of magnitude smaller
@@ -111,6 +110,11 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .union(ss_min.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
+            # one materialized snapshot per round; the Python reference
+            # to the PREVIOUS round's checkpoint dies on reassignment
+            # below, so Spark's ContextCleaner reclaims its blocks
+            # asynchronously — peak storage is a couple of rounds of the
+            # (shrinking) edge list, not O(total rounds)
             .localCheckpoint(eager=True)
         )
         new_count = ss.count()
@@ -127,7 +131,6 @@ def connected_components(
         "node",
         "left",
     ).select("node", F.coalesce("comp", "node").alias("comp"))
-    nodes.unpersist()
     return labels
 
 

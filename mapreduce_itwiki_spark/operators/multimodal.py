@@ -496,8 +496,11 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline non-interlaced grayscale JPEG → (width, height,
     pixels). All tables are read from the file (DQT/DHT/SOF0/SOS walked
-    per T.81), so any compliant single-component baseline file decodes —
-    not just this module's encoder output."""
+    per T.81) rather than assumed, so foreign single-component baseline
+    files decode too — within two restrictions this decoder does NOT
+    lift: dimensions must be multiples of 8 (no partial-MCU edge
+    handling) and restart markers (DRI/RSTn) are not supported. This
+    module's encoder always satisfies both."""
     import struct
 
     import numpy as np
@@ -740,7 +743,11 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
         # hence bit_length(next_code) vs the encoder's next_code - 1
         return min(12, max(min_code_size + 1, limit.bit_length()))
 
-    table: dict[int, bytes] = {}
+    # initial table carries the literal ramp: GIF89a Appendix F makes
+    # the root table implicit, so a stream need not OPEN with a clear
+    # code — a foreign encoder that starts straight with a literal must
+    # decode, not KeyError on an empty dict
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
     next_code = eoi + 1
     out = bytearray()
     prev: bytes | None = None

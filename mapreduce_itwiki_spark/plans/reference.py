@@ -354,11 +354,24 @@ def xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     check proves XPath faithfully recovers what was embedded — the
     roundtrip pattern of csv/jsonl/wiki_xml, at expression level."""
     docs = load_table(spark, sf_dir, "documents")
+    # XML-escape the embedded text (& first): the corpus is ASCII word
+    # soup today, but a regenerated fixture containing & < > would
+    # otherwise yield malformed XML and a silent oracle divergence; the
+    # parser unescapes on extraction, so lengths still match the oracle
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     xml = F.concat(
         F.lit("<page><title>doc "),
         F.col("doc_id").cast("string"),
         F.lit("</title><text>"),
-        F.col("text"),
+        esc,
         F.lit("</text></page>"),
     )
     return docs.select(
@@ -386,11 +399,24 @@ def from_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row, not a byte-split stream). Same roundtrip proof shape: the
     oracle derives the embedded values from the source columns."""
     docs = load_table(spark, sf_dir, "documents")
+    # XML-escape the embedded text (& first): the corpus is ASCII word
+    # soup today, but a regenerated fixture containing & < > would
+    # otherwise yield malformed XML and a silent oracle divergence; the
+    # parser unescapes on extraction, so lengths still match the oracle
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     xml = F.concat(
         F.lit("<page><title>doc "),
         F.col("doc_id").cast("string"),
         F.lit("</title><text>"),
-        F.col("text"),
+        esc,
         F.lit("</text></page>"),
     )
     parsed = F.from_xml(xml, "STRUCT<title: STRING, text: STRING>")

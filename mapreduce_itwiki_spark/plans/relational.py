@@ -171,6 +171,21 @@ def join_orders_lineitem_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     for t in (ot, lt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    # reap bucketed dirs left by DEAD processes (each pid creates its own
+    # pair; without a sweep the warehouse grows by two fact-table copies
+    # per bench/pytest run forever). Live pids are left alone — that is
+    # exactly the race the pid suffix exists to avoid.
+    import glob as _glob
+
+    for d in _glob.glob(f"{warehouse}/*_bkt_{sf_tag}_p*"):
+        try:
+            stale_pid = int(d.rsplit("_p", 1)[-1])
+            os.kill(stale_pid, 0)  # raises if no such process
+        except ValueError:
+            continue
+        except OSError:
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     ob, lb = spark.table(ot), spark.table(lt)
@@ -284,6 +299,32 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-process scratch path for sink round-trip queries: the pid
+    suffix keeps concurrent bench/pytest sessions from overwriting each
+    other's dir mid-scan (ADVICE r2 race class), and dirs left by DEAD
+    pids are reaped here so repeated runs don't accumulate in tempdir.
+    Live pids' dirs are untouched — that's the race the suffix avoids."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = tempfile.gettempdir()
+    for d in glob.glob(os.path.join(base, f"{prefix}_{tag}_p*")):
+        try:
+            stale = int(d.rsplit("_p", 1)[-1])
+            os.kill(stale, 0)
+        except ValueError:
+            continue
+        except OSError:
+            shutil.rmtree(d, ignore_errors=True)
+    return os.path.join(base, f"{prefix}_{tag}_p{os.getpid()}")
+
+
 # --------------------------------------------------------------------------
 @register(
     "jsonl_sink_roundtrip",
@@ -298,15 +339,8 @@ def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with an EXPLICIT schema (inference is a full extra scan at
     100 TB), then aggregated; equality with the direct oracle proves the
     round trip lossless."""
-    import hashlib
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"itwiki_jsonl_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _scratch_dir("itwiki_jsonl_sink", sf_dir)
     docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
     return back.groupBy("lang").agg(
@@ -887,15 +921,8 @@ def partitioned_events_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (plan gate in tests/test_plan_quality.py). The directory
     layout is the coarse index of a 100 TB lake; pruning happens at
     planning time, before any I/O."""
-    import hashlib
-    import os
-    import tempfile
-
     events = load_table(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"itwiki_events_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _scratch_dir("itwiki_events_part", sf_dir)
     events.withColumn("etype", F.col("event_type")).write.partitionBy("etype").mode(
         "overwrite"
     ).parquet(out)
@@ -1125,15 +1152,8 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-pad the new column and vice versa. The counts prove which rows
     carry which columns. (mergeSchema costs a footer scan per file; at
     100 TB pin the unified schema explicitly instead.)"""
-    import hashlib
-    import os
-    import tempfile
-
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"itwiki_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _scratch_dir("itwiki_schema_evo", sf_dir)
     orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
         f"{out}/gen=1"
     )
@@ -1965,15 +1985,8 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the trip lossless, and the scan side gets the same
     pushdown/pruning treatment as parquet (ORC carries min/max strides
     and column projection)."""
-    import hashlib
-    import os
-    import tempfile
-
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"itwiki_orc_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _scratch_dir("itwiki_orc_sink", sf_dir)
     orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
         "overwrite"
     ).orc(out)
@@ -2018,10 +2031,6 @@ def csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns also keeps it clear of Spark's corrupt-record-only
     projection restriction. Output: good/corrupt counts + checksum
     aggregates over the cleanly parsed rows."""
-    import hashlib
-    import os
-    import tempfile
-
     cust = load_table(spark, sf_dir, "customer")
     dirty_lines = cust.select(
         F.concat_ws(
@@ -2033,10 +2042,7 @@ def csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("string"),
         ).alias("value")
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"itwiki_dirty_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _scratch_dir("itwiki_dirty_csv", sf_dir)
     dirty_lines.write.mode("overwrite").text(out)
     parsed = (
         spark.read.schema("c_custkey int, c_acctbal double, _corrupt_record string")

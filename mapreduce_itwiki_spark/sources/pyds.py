@@ -61,7 +61,10 @@ class SynthDocsReader(DataSourceReader):
         happens at PLANNING time, before any task launches. Filters we
         can't interpret are yielded back for Spark to evaluate."""
         for f in filters:
-            if f.attribute == ("id",):
+            # getattr guard: composite shapes (Not, And/Or wrappers)
+            # carry no .attribute — they must be yielded back, not crash
+            # the planner with an AttributeError
+            if getattr(f, "attribute", None) == ("id",):
                 if isinstance(f, GreaterThanOrEqual):
                     self.lo_bound = max(self.lo_bound, f.value)
                     continue

@@ -99,10 +99,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = _events_stream(spark, sf_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("us", F.expr("ts div 1000"))
-    else:
-        stream = stream.withColumn("us", F.unix_micros(F.col("ts")))
+    # _events_stream already normalized ts to TIMESTAMP whatever the
+    # parquet physical type, so epoch micros is one expression
+    stream = stream.withColumn("us", F.unix_micros(F.col("ts")))
 
     gap_us = 1_800_000_000
 

@@ -487,3 +487,19 @@ def test_codec_padding_matches_oracle_past_end_semantics(spark, duck):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_connected_components_keeps_selfloop_only_nodes(spark):
+    """A node that appears ONLY in self-loop edges must still receive its
+    (node, node) label — deriving the node set from the self-loop-filtered
+    edge frame silently dropped such nodes (round-3 review finding)."""
+    from mapreduce_itwiki_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5)}, got
