@@ -981,3 +981,69 @@ def quality_blend_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality_z"),
     )
+
+
+BLOCK_TOKENS = 16  #: tokens per block for sub-document dedup
+
+
+# --------------------------------------------------------------------------
+@register(
+    "block_dedup_fraction",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[i * {BLOCK_TOKENS} + 1 : (i + 1) * {BLOCK_TOKENS}], ' '))
+               AS fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+           UNNEST(range(0, (n + {BLOCK_TOKENS} - 1) // {BLOCK_TOKENS}))
+             AS t(i)),
+    df AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM b GROUP BY fp)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(CASE WHEN df.ndocs > 1 THEN 1 END) AS BIGINT)
+             AS n_shared,
+           round(count(CASE WHEN df.ndocs > 1 THEN 1 END) * 1.0 / count(*), 6)
+             AS shared_frac
+    FROM b JOIN df ON b.fp = df.fp
+    GROUP BY b.doc_id
+    """,
+)
+def block_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup (the RefinedWeb/CCNet line-level idea, on
+    16-token blocks): fingerprint every block, count how many documents
+    each fingerprint appears in, and report per document the fraction
+    of its blocks shared with ANY other document — the signal that
+    catches boilerplate headers/footers and templated passages that
+    whole-document dedup (exact or MinHash) never sees, because the
+    surrounding text differs. Shape: one explode → two grouped counts
+    joined back on the fingerprint — every shuffle keys on
+    high-cardinality block fingerprints, so it scales like exact dedup,
+    not like pairwise comparison. The keep/drop policy downstream is a
+    threshold on shared_frac."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.floor((F.size(toks) + BLOCK_TOKENS - 1) / BLOCK_TOKENS).cast("int")
+    b = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * BLOCK_TOKENS + 1, BLOCK_TOKENS)
+            )
+        ).alias("fp"),
+    )
+    df_ = b.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
+    joined = b.join(df_, "fp")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_shared"),
+        F.round(
+            F.count(F.when(F.col("ndocs") > 1, 1)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("shared_frac"),
+    )
