@@ -2462,3 +2462,41 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src", F.lit("v2"))
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "cached_scan_reuse",
+    oracle="""
+    SELECT 'by_status' AS dim, o_orderstatus AS key,
+           CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'by_priority', o_orderpriority, count(*), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority
+    """,
+)
+def cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-consumer CACHE reuse: one filtered projection is persisted
+    and two independent aggregations read it — the fan-out shape of a
+    reporting job, where recomputing the (possibly expensive) upstream
+    per consumer would double the scan. The plan gate asserts BOTH
+    branches read InMemoryTableScan rather than re-scanning parquet.
+    Memory-and-disk storage level, and unpersist is left to session end
+    (blocking unpersist here would defeat the demonstration — the
+    returned frame still reads the cache when the driver collects).
+    At 100 TB the same decision appears as: cache iff the upstream is
+    expensive relative to its size; otherwise let the scans repeat."""
+    orders = load_table(spark, sf_dir, "orders")
+    hot = (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .persist()
+    )
+    by_status = hot.groupBy(F.col("o_orderstatus").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(F.lit("by_status").alias("dim"), "key", "n", "total")
+    by_prio = hot.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(F.lit("by_priority").alias("dim"), "key", "n", "total")
+    return by_status.unionAll(by_prio)

@@ -283,3 +283,15 @@ def test_repetition_quality_partial_aggs(spark):
     plan = plan_of(spark, "repetition_quality")
     assert plan.count("HashAggregate") >= 4
     assert "partitionBy=[lang]" not in plan.replace(" ", "")
+
+
+def test_cached_scan_reuse_reads_cache_twice(spark):
+    """cached_scan_reuse's two aggregation branches must BOTH read the
+    persisted frame (InMemoryTableScan) instead of re-scanning parquet —
+    the point of caching a multi-consumer upstream."""
+    plan = plan_of(spark, "cached_scan_reuse")
+    # (the formatted plan re-prints the cached relation's BUILD plan —
+    # including its parquet scan — under every consumer, so counting
+    # "Scan parquet" can't distinguish live scans; the InMemoryTableScan
+    # per branch is the property that matters)
+    assert plan.count("InMemoryTableScan") >= 2, plan
