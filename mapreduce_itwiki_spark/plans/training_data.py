@@ -1047,3 +1047,56 @@ def block_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("ndocs") > 1, 1)) * 1.0 / F.count(F.lit(1)), 6
         ).alias("shared_frac"),
     )
+
+
+#: fixed BPE merge table (applied IN ORDER — order is part of the vocab).
+#: Symbols never contain '|' or ' ', so word boundaries (space chars,
+#: which become the unmergeable symbol '| |') are respected for free.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+)
+
+
+# --------------------------------------------------------------------------
+def _bpe_oracle() -> str:
+    expr = "regexp_replace(text, '(.)', '|\\1|', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    SELECT doc_id,
+           CAST((strlen(enc) - strlen(replace(enc, '|', ''))) // 2
+                - (strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM (SELECT doc_id, text, {expr} AS enc FROM documents)
+    """
+
+
+@register("bpe_encode_tokens", oracle=_bpe_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE encoding (fixed merge table) as pure column algebra —
+    not the whitespace/regex approximation: every character is wrapped
+    as a '|c|' symbol, then each merge (A,B) → AB is one string
+    replace of '|A||B|' with '|AB|'. Sequential non-overlapping
+    left-to-right replacement IS the greedy-left BPE merge rule, and
+    both engines implement replace() identically, so the token count
+    is exact — the oracle replays the same merge cascade. Space
+    characters become the unmergeable '| |' symbol, giving word
+    boundaries for free; the final count subtracts them. Per-doc BPE
+    token counts are the budgeting currency of a pretraining run
+    (token_budget_head's whitespace counter is the cheap proxy; this
+    is the faithful one). All JVM codegen string ops, zero Python,
+    one map-side pass at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = F.regexp_replace(F.col("text"), "(.)", "|$1|")
+    for a, b in BPE_MERGES:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_pipe_syms = (
+        F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit("")))
+    ) / 2
+    n_spaces = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return docs.select(
+        "doc_id", (n_pipe_syms - n_spaces).cast("long").alias("n_bpe_tokens")
+    )

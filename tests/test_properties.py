@@ -221,3 +221,36 @@ def test_chunker_arithmetic_covers_every_token(n, window):
         assert length >= 1  # chunk never empty
         covered.update(range(s0, s0 + length))
     assert covered == set(range(n))  # no token lost to a boundary
+
+
+def _bpe_ref_merge(word: str, merges) -> list[str]:
+    """Independent greedy-left BPE: one left-to-right pass per merge."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@given(word=st.text(alphabet="theandorinst", min_size=0, max_size=24))
+@settings(max_examples=500)
+def test_bpe_replace_cascade_equals_greedy_bpe(word):
+    """The replace-cascade trick behind bpe_encode_tokens must equal a
+    symbol-list BPE implementation: replacing '|A||B|' with '|AB|' via
+    sequential non-overlapping left-to-right string replacement IS the
+    greedy-left merge rule, for every word over the merge alphabet."""
+    import re
+
+    from mapreduce_itwiki_spark.plans.training_data import BPE_MERGES
+
+    enc = re.sub(r"(.)", r"|\1|", word)
+    for a, b in BPE_MERGES:
+        enc = enc.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    assert enc.count("|") // 2 == len(_bpe_ref_merge(word, BPE_MERGES))
