@@ -399,6 +399,60 @@ register(
 )(stream_stream_full_outer_join)
 
 
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — converted clicks only: a click
+    emits (once, without purchase columns) as soon as SOME purchase in
+    its 30-minute window arrives, and state still evicts on the same
+    dual watermarks. Distinct from the inner form in both output shape
+    (no row multiplication per matching purchase) and state behavior (a
+    matched click can be dropped immediately). Finite feed ⇒ equals the
+    batch EXISTS, which needs no watermark modeling in the oracle —
+    unmatched clicks simply never emit."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "leftSemi",
+    )
+    name = f"stream_ss_semi_{next(_counter)}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+    )
+
+
+register(
+    "streaming_stream_stream_semi",
+    oracle="""
+    SELECT c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase'
+                    AND p.user_id = c.user_id
+                    AND p.ts >= c.ts
+                    AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    """,
+)(stream_stream_semi_join)
+
+
 def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (2-hour window, 1-hour slide): every
     event lands in exactly two overlapping windows — the
