@@ -1021,8 +1021,12 @@ def block_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     surrounding text differs. Shape: one explode → two grouped counts
     joined back on the fingerprint — every shuffle keys on
     high-cardinality block fingerprints, so it scales like exact dedup,
-    not like pairwise comparison. The keep/drop policy downstream is a
-    threshold on shared_frac."""
+    not like pairwise comparison. The block frame feeds BOTH the join
+    probe and the document-frequency aggregate; as a stateless catalog
+    query it recomputes that frame (deliberate — no cache leaks past
+    the call), while a production run materializes it once via
+    persist/checkpoint, the cached_scan_reuse pattern. The keep/drop
+    policy downstream is a threshold on shared_frac."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_blocks = F.floor((F.size(toks) + BLOCK_TOKENS - 1) / BLOCK_TOKENS).cast("int")
@@ -1060,7 +1064,12 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 
 # --------------------------------------------------------------------------
 def _bpe_oracle() -> str:
-    expr = "regexp_replace(text, '(.)', '|\\1|', 'g')"
+    # chr(1) pre-escape: a literal '|' in text would corrupt the |sym|
+    # encoding (odd pipe counts); map it to an out-of-band byte first,
+    # identically on both engines. (?s) makes '.' match line terminators
+    # the SAME way in Java regex and RE2 — without it Spark skips \r
+    # while DuckDB wraps it, a latent one-token-per-CR divergence.
+    expr = "regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')"
     for a, b in BPE_MERGES:
         expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
     return f"""
@@ -1086,9 +1095,15 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts are the budgeting currency of a pretraining run
     (token_budget_head's whitespace counter is the cheap proxy; this
     is the faithful one). All JVM codegen string ops, zero Python,
-    one map-side pass at any corpus size."""
+    one map-side pass at any corpus size. Input hygiene: literal '|'
+    is pre-mapped to chr(1) so it cannot forge symbol boundaries (the
+    count treats it as one ordinary character; chr(1) itself in input
+    is the single precondition), and the wrap regex runs DOTALL so
+    line terminators count identically under Java regex and RE2."""
     docs = load_table(spark, sf_dir, "documents")
-    enc = F.regexp_replace(F.col("text"), "(.)", "|$1|")
+    # same chr(1) pipe escape + DOTALL as the oracle (see _bpe_oracle)
+    pre = F.replace(F.col("text"), F.lit("|"), F.lit("\x01"))
+    enc = F.regexp_replace(pre, "(?s)(.)", "|$1|")
     for a, b in BPE_MERGES:
         enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
     n_pipe_syms = (

@@ -185,6 +185,31 @@ register(
 )(enrich_join_stream)
 
 
+def _clicks_purchases(stream: DataFrame):
+    """The shared two-sided attribution setup of all four stream-stream
+    join queries (inner / leftOuter / fullOuter / leftSemi): click and
+    purchase substreams with 1-hour watermarks, plus the join condition
+    (same user, purchase within 30 minutes after the click). One
+    definition so the window/watermark can never desynchronize across
+    the four variants and their oracles."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    return clicks, purchases, cond
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM inner join with dual watermarks and an event-time
     range condition — click→purchase attribution (a purchase matches
@@ -198,21 +223,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     processAllAvailable therefore yields exactly the batch range-join
     answer, which the oracle replays."""
     stream = _events_stream(spark, sf_dir)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-    )
+    clicks, purchases, cond = _clicks_purchases(stream)
     joined = clicks.join(
         purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        cond,
     )
     name = f"stream_ss_join_{next(_counter)}"
     q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -260,21 +274,10 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     verified empirically (using max over ALL events over-emits one null
     row for the final click at sf0.001)."""
     stream = _events_stream(spark, sf_dir)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-    )
+    clicks, purchases, cond = _clicks_purchases(stream)
     joined = clicks.join(
         purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        cond,
         "leftOuter",
     )
     name = f"stream_ss_louter_{next(_counter)}"
@@ -330,21 +333,10 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     purchase_ts]) has then provably arrived. The oracle replays both
     rules against the min-of-sides final watermark."""
     stream = _events_stream(spark, sf_dir)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-    )
+    clicks, purchases, cond = _clicks_purchases(stream)
     joined = clicks.join(
         purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        cond,
         "fullOuter",
     )
     name = f"stream_ss_fouter_{next(_counter)}"
@@ -409,21 +401,10 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch EXISTS, which needs no watermark modeling in the oracle —
     unmatched clicks simply never emit."""
     stream = _events_stream(spark, sf_dir)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-    )
+    clicks, purchases, cond = _clicks_purchases(stream)
     joined = clicks.join(
         purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        cond,
         "leftSemi",
     )
     name = f"stream_ss_semi_{next(_counter)}"
