@@ -1115,3 +1115,77 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", (n_pipe_syms - n_spaces).cast("long").alias("n_bpe_tokens")
     )
+
+
+MIX_BOOST = 12.0  #: stratum rate = min(1, weight * MIX_BOOST) — saturates
+#: head strata (rate 1.0) while tail strata stay fractional, so the
+#: acceptance test exercises both branches
+_TWO60 = 1 << 60
+
+
+# --------------------------------------------------------------------------
+@register(
+    "resample_apply_mix",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1, 2),
+    t AS (SELECT sum(n_tokens) AS tot FROM g),
+    p AS (SELECT lang, source,
+                 pow(n_tokens * 1.0 / (SELECT tot FROM t), {MIX_TEMPERATURE})
+                   AS pw
+          FROM g),
+    z AS (SELECT sum(pw) AS zn FROM p),
+    r AS (SELECT lang, source,
+                 CAST(floor(least(1.0, pw / (SELECT zn FROM z) * {MIX_BOOST})
+                            * {_TWO60}) AS BIGINT) AS threshold
+          FROM p)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang AND d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < r.threshold
+    """,
+)
+def resample_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING the data mixture — the apply step domain_mix_weights
+    computes the knob for (as dedup_apply_keep is to dedup_exact): each
+    (lang, source) stratum gets acceptance rate min(1, weight·boost),
+    and a document survives iff its md5 coin clears the stratum's
+    threshold. The threshold is materialized as an INTEGER
+    (floor(rate·2^60)) so the accept test is pure integer comparison —
+    deterministic, auditable, rerunnable; the float work (pow/sum) only
+    ever touches the ~|strata| tiny frame, broadcast back onto the
+    corpus scan. Head strata saturate at rate 1, tail strata thin —
+    the actual mechanics of temperature resampling at 100 TB: one scan,
+    one broadcast join, zero shuffles of corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot"))
+    p = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.pow(F.col("n_tokens") * 1.0 / F.col("tot"), F.lit(MIX_TEMPERATURE)).alias(
+            "pw"
+        ),
+    )
+    z = p.agg(F.sum("pw").alias("zn"))
+    r = p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "source",
+        F.floor(
+            F.least(F.lit(1.0), F.col("pw") / F.col("zn") * MIX_BOOST) * F.lit(_TWO60)
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    return (
+        docs.join(F.broadcast(r), ["lang", "source"])
+        .filter(coin < F.col("threshold"))
+        .select("doc_id", "lang", "source")
+    )
