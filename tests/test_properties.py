@@ -254,3 +254,39 @@ def test_bpe_replace_cascade_equals_greedy_bpe(word):
     for a, b in BPE_MERGES:
         enc = enc.replace(f"|{a}||{b}|", f"|{a}{b}|")
     assert enc.count("|") // 2 == len(_bpe_ref_merge(word, BPE_MERGES))
+
+
+@given(
+    u=st.integers(min_value=1, max_value=(1 << 60) - 1),
+    w1=st.integers(min_value=1, max_value=10_000),
+    w2=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=300)
+def test_weighted_priority_monotone_in_weight(u, w1, w2):
+    """weighted_sample_topk's priority u/w must be monotone: for the
+    same coin, a larger weight gives a smaller (better) priority — the
+    property that makes inclusion odds scale with document size."""
+    if w1 < w2:
+        assert u / w1 >= u / w2
+    elif w1 > w2:
+        assert u / w1 <= u / w2
+
+
+@given(word=st.text(alphabet="theandorinst", min_size=0, max_size=24))
+@settings(max_examples=300)
+def test_bpe_merge_cascade_is_idempotent(word):
+    """Re-running the merge cascade on already-encoded text changes
+    nothing: after one pass no '|A||B|' pattern remains for any merge
+    (each pass consumed them all), so BPE encoding is a fixpoint —
+    the property that makes re-tokenizing a tokenized shard safe."""
+    import re
+
+    from mapreduce_itwiki_spark.plans.training_data import BPE_MERGES
+
+    enc = re.sub(r"(.)", r"|\1|", word)
+    for a, b in BPE_MERGES:
+        enc = enc.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    once = enc
+    for a, b in BPE_MERGES:
+        enc = enc.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    assert enc == once
