@@ -38,6 +38,8 @@ HEADLINE = [
     "neardup_apply_keep",
     "repetition_quality",
     "chunk_documents_overlap",
+    # round 4 additions
+    "ann_ivf_topk",
 ]
 
 

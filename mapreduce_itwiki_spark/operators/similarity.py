@@ -196,6 +196,123 @@ def bucketed_neardup_pairs(
     return pairs.distinct()
 
 
+IVF_NLIST = 8  #: coarse-quantizer cells (inverted lists)
+IVF_NPROBE = 2  #: query-time cells scanned
+
+
+def sq_dist(v: Column, cv: Column) -> Column:
+    """Rounded squared L2 distance — sequential left-to-right double
+    sum, rounded to 6 decimals on BOTH engines so summation-order ulp
+    drift can never flip an argmin (same contract as kmeans_two_rounds,
+    plans/llm_pipeline.py)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, cv, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
+    """IVF coarse quantizer: ``nlist`` centroids seeded from the
+    ``nlist`` smallest vec_ids (deterministic, engine-portable), refined
+    by ONE Lloyd round with per-position averages rounded to 6 decimals
+    — the same fixed-iteration-oracle trick as kmeans_two_rounds.
+
+    Returns (cid, cv). Scale shape: the seed filter is a map-side scan,
+    the assignment is a broadcast nested-loop over nlist rows (a map
+    stage), and the update is a posexplode partial+final avg whose
+    shuffle carries nlist×dim rows per partition regardless of corpus
+    size. Train on a sample at 100 TB; the index assignment below is
+    the only full scan."""
+    base = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    c0 = base.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    a1 = (
+        base.crossJoin(F.broadcast(c0))
+        .select("vec_id", "cid", "v", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        a1.select("cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cv")
+        )
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Inverted-list assignment: (vec_id, cid) — each vector to its
+    nearest centroid (rounded distance, cid tie-break). Broadcast
+    centroids + windowed argmin partitioned by vec_id: one map-heavy
+    stage, shuffle ∝ corpus rows × 1 (the argmin window), never a
+    corpus×corpus join. At 100 TB this output IS the index: persist it
+    partitioned by cid so a query scans only its nprobe cells."""
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k — the third member of the similarity trio
+    (brute-force exact, LSH-banded, IVF coarse-quantized), and the
+    standard billion-vector index shape (FAISS IVFFlat): rank the
+    query's ``nprobe`` nearest cells, scan ONLY those inverted lists,
+    exact cosine on ~nprobe/nlist of the corpus. Approximate by design
+    (a true neighbor assigned to an unprobed cell is missed), exactly
+    reproducible by construction — integer-seeded deterministic
+    centroids + rounded distances mean the DuckDB oracle replays the
+    identical index.
+
+    Plan shape: centroids and the nprobe cell list are broadcast
+    (nlist rows); the candidate restriction is a semi-join on cid that
+    at scale becomes partition pruning over the cid-partitioned index;
+    top-k is TakeOrderedAndProject (per-partition heaps, no full
+    sort)."""
+    cents = ivf_centroids(emb, nlist)
+    lists = ivf_assign(emb, cents)
+    wq = Window.partitionBy(F.lit(1)).orderBy("d", "cid")
+    probe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(vectors.as_double(F.col("embedding")).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("cid")
+    )
+    cand_ids = lists.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != query_vec_id
+    ).select("vec_id")
+    query = emb.filter(F.col("vec_id") == query_vec_id)
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    scored = with_cosine_to_query(cands, query)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 def lsh_bucket_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 10, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:

@@ -252,6 +252,65 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+#: rounded squared L2 — twin of similarity.sq_dist (sequential
+#: left-to-right double sum, rounded so ulp drift can't flip an argmin)
+_IVF_DIST = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6)"
+)
+_IVF_QDIST = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    # replays the identical index: seed centroids = vec_id < NLIST, one
+    # Lloyd round with per-position avg rounded to 6, argmin assignment
+    # (distance, cid) — then probes the query's NPROBE nearest cells and
+    # scores only their members. Same unrolled-iteration-oracle trick as
+    # kmeans_two_rounds.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {similarity.IVF_NLIST}),
+    d1 AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d, e.v FROM e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid, v FROM (
+             SELECT vec_id, cid, v,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1long AS (SELECT cid, pos, round(avg(val), 6) AS val FROM (
+                 SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+                 FROM a1)
+               GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM c1long GROUP BY cid),
+    d2 AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d FROM e CROSS JOIN c1 c),
+    lists AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM d2) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM c1 c, q) WHERE rn <= {similarity.IVF_NPROBE}),
+    cand AS (SELECT l.vec_id FROM lists l JOIN probe USING (cid)
+             WHERE l.vec_id <> 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (FAISS IVF shape): deterministic 1-round-Lloyd
+    coarse quantizer → inverted lists → probe the query's nearest
+    NPROBE cells → exact cosine on ~NPROBE/NLIST of the corpus. The
+    scale path when LSH banding's recall curve doesn't fit the data;
+    at 100 TB the lists are persisted partitioned by cid and the probe
+    becomes partition pruning. See operators/similarity.py:ivf_topk."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 @register(
     "embedding_centroids",
     oracle="""

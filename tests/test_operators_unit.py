@@ -70,6 +70,40 @@ def test_lsh_bucket_is_subset_of_bruteforce(spark):
         assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF's only approximation is the probe restriction: with
+    nprobe == nlist every inverted list is scanned, so the result must
+    equal the exact brute-force top-k row for row — the index
+    (centroid training + assignment) provably loses nothing."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute = similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    full_probe = similarity.ivf_topk(
+        emb, query_vec_id=0, k=10, nlist=similarity.IVF_NLIST, nprobe=similarity.IVF_NLIST
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in full_probe] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
+
+
+def test_ivf_probe_results_are_exact_cosines(spark):
+    """Precision is exact even when recall isn't: every row the probed
+    IVF search returns carries the true cosine (it must appear in the
+    brute-force ranking with the same score), and assignment is a
+    partition — each vec_id lands in exactly one inverted list."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute_scores = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_topk(emb, query_vec_id=0, k=10**9).collect()
+    }
+    approx = similarity.ivf_topk(emb, query_vec_id=0, k=10).collect()
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
+    lists = similarity.ivf_assign(emb, similarity.ivf_centroids(emb)).collect()
+    assert len(lists) == emb.count()  # one list per vector — a partition
+    assert len({r.vec_id for r in lists}) == len(lists)
+
+
 def test_band_cap_is_deterministic(spark):
     """Bucket caps are part of the operator semantics: every (band, key)
     bucket keeps exactly its max_bucket SMALLEST vec_ids — an order any
