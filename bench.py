@@ -50,24 +50,33 @@ def main() -> None:
     qs = catalog.queries()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    # Interleaved passes, min per query across passes. Two reasons this
+    # beats per-query best-of-N batches:
+    # * the virtualization host shows multi-second CPU-steal BURSTS — a
+    #   query sampled 3× back-to-back can land every sample in one
+    #   burst, while samples a full pass apart are decorrelated in time;
+    # * the md5-heavy codegen plans keep JIT-improving for ~5
+    #   executions — by the later passes every plan is fully warm.
+    # Pass 1 is the untimed global warm-up.
+    n_passes = 4
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for name in HEADLINE:
-        fn = qs[name]
-        # two warm-ups: codegen'd md5/regex-heavy plans need a couple of
-        # passes before C2 JIT settles
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        # best-of-3: the shared host shows multi-second contention
-        # spikes; two samples can both land on one
-        samples = []
-        for _ in range(3):
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for _ in range(n_passes):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[0], 3)
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+    for name in HEADLINE:
+        s = sorted(samples[name])
+        timings[name] = round(s[0], 3)
         # min/median spread so round-over-round deltas under ~10% can be
         # classified as noise vs real movement
-        spread[name] = {"min": round(samples[0], 3), "med": round(samples[1], 3)}
+        spread[name] = {
+            "min": round(s[0], 3),
+            "med": round(s[len(s) // 2], 3),
+            "n": len(s),
+        }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -292,7 +292,14 @@ def ivf_topk(
     at scale becomes partition pruning over the cid-partitioned index;
     top-k is TakeOrderedAndProject (per-partition heaps, no full
     sort)."""
-    cents = ivf_centroids(emb, nlist)
+    # Train ONCE: the centroid table is nlist rows, but the training
+    # subtree contains a full corpus scan — without cutting lineage it
+    # would be re-executed by every consumer below (assignment, probe),
+    # and Spark has no cross-branch common-subplan elimination. At
+    # cluster scale this is "train the quantizer once, persist it";
+    # locally a lazy localCheckpoint materializes it on first use and
+    # every other branch reads the nlist cached rows.
+    cents = ivf_centroids(emb, nlist).localCheckpoint(eager=False)
     lists = ivf_assign(emb, cents)
     wq = Window.partitionBy(F.lit(1)).orderBy("d", "cid")
     probe = (
