@@ -40,6 +40,7 @@ HEADLINE = [
     "chunk_documents_overlap",
     # round 4 additions
     "ann_ivf_topk",
+    "knn_graph_lsh",
 ]
 
 

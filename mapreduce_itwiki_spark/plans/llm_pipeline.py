@@ -252,6 +252,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+@register(
+    "knn_graph_lsh",
+    # replays the banded candidate generation + cap, one rounded cosine
+    # per undirected pair, symmetrize, per-source top-k
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT va, vb,
+             round(list_dot_product(ea.v, eb.v) /
+                   (sqrt(list_dot_product(ea.v, ea.v)) *
+                    sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+      FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb),
+    sym AS (
+      SELECT va AS src, vb AS dst, cosine FROM scored
+      UNION ALL
+      SELECT vb AS src, va AS dst, cosine FROM scored)
+    SELECT src, dst, cosine FROM (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+      FROM sym) WHERE rn <= 3
+    """,
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (k=3) over the embedding corpus — the
+    all-pairs lift of ann_lsh_topk and the input to semantic clustering
+    (k-NN graph → connected components). Banded LSH candidates keep the
+    cost Σ bucket² instead of n²; the per-source top-k runs as
+    WindowGroupLimit. See operators/similarity.py:knn_graph."""
+    return similarity.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
 #: rounded squared L2 — twin of similarity.sq_dist (sequential
 #: left-to-right double sum, rounded so ulp drift can't flip an argmin)
 _IVF_DIST = (

@@ -104,6 +104,44 @@ def test_ivf_probe_results_are_exact_cosines(spark):
     assert len({r.vec_id for r in lists}) == len(lists)
 
 
+def test_knn_graph_scores_exact_and_bounded(spark):
+    """k-NN graph: precision is exact (every edge's cosine matches a
+    numpy recomputation), every source has at most k neighbors, no
+    self-edges, and each source's list is its TRUE top-k among the
+    band-candidate set (the only approximation is candidate
+    generation, never the ranking)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    cand = {}
+    for r in similarity.capped_band_rows(emb).collect():
+        cand.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
+    neighbors: dict[int, set[int]] = {}
+    for ids in cand.values():
+        for x in ids:
+            neighbors.setdefault(x, set()).update(y for y in ids if y != x)
+
+    got: dict[int, list] = {}
+    for r in similarity.knn_graph(emb, k=3).collect():
+        assert r.src != r.dst
+        assert abs(cos(r.src, r.dst) - r.cosine) < 1e-6
+        got.setdefault(r.src, []).append((r.cosine, r.dst))
+    for src, edges in got.items():
+        assert len(edges) <= 3
+        want = sorted(
+            ((round(cos(src, d), 6), d) for d in neighbors[src]),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        have = sorted(edges, key=lambda t: (-t[0], t[1]))
+        assert [d for _, d in have] == [d for _, d in want], src
+
+
 def test_band_cap_is_deterministic(spark):
     """Bucket caps are part of the operator semantics: every (band, key)
     bucket keeps exactly its max_bucket SMALLEST vec_ids — an order any
