@@ -377,6 +377,177 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_at_k",
+    # the evaluation harness every index deployment runs: exact top-10
+    # vs LSH-candidate top-10 for the first 8 query vectors, recall per
+    # query. Both rankings round cosine to 6 BEFORE ranking and break
+    # ties by vec_id, so the two engines rank identically.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT q.qid, e.vec_id, {_COSINE_SQL} AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid))
+      WHERE rn <= 10),
+    cand AS (SELECT DISTINCT cq.vec_id AS qid, c.vec_id
+             FROM capped c JOIN capped cq
+               ON c.band_id = cq.band_id AND c.band_key = cq.band_key
+             WHERE cq.vec_id < 8 AND c.vec_id <> cq.vec_id),
+    appx AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT cand.qid, cand.vec_id, {_COSINE_SQL} AS cosine
+            FROM cand JOIN e ON e.vec_id = cand.vec_id
+                      JOIN q ON q.qid = cand.qid))
+      WHERE rn <= 10),
+    hits AS (SELECT exact.qid, count(*) AS n_hits
+             FROM exact JOIN appx
+               ON exact.qid = appx.qid AND exact.vec_id = appx.vec_id
+             GROUP BY 1)
+    SELECT q.qid, COALESCE(n_hits, 0) AS n_hits,
+           round(COALESCE(n_hits, 0) / 10.0, 6) AS recall_at_10
+    FROM q LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation — recall@10 of the banded-LSH candidate
+    search against exact brute force, for the first 8 query vectors.
+    This is the query a pipeline runs to TUNE nprobe/band counts before
+    trusting an approximate index at 100 TB. Shape: the 8-row query set
+    is broadcast against the corpus for the exact ranking (map stage +
+    per-query WindowGroupLimit); the approximate side reuses the capped
+    band join; recall is a tiny per-qid agg. Nothing is ever corpus²."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q, k = 8, 10
+    ev = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    q = ev.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    capped = similarity.capped_band_rows(emb)
+    cq = capped.select(
+        F.col("vec_id").alias("qid"), "band_id", "band_key"
+    ).filter(F.col("qid") < n_q)
+    cand = (
+        capped.join(F.broadcast(cq), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    appx = topk(
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    hits = exact.join(appx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    # quantized code = floor(x/scale + 0.5): explicit half-up instead
+    # of round() so both engines share ONE tie convention; scale is
+    # NOT pre-rounded (that would change which integer some coords hit)
+    # — only the reported metrics are rounded at the output boundary
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+                 list_transform(v, x -> floor(x / scale + 0.5)) AS code,
+                 v
+          FROM s),
+    err AS (SELECT vec_id, scale,
+                   list_max(list_transform(code, c -> abs(c))) AS max_code,
+                   sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                        i -> (v[i] - code[i] * scale) * (v[i] - code[i] * scale)))
+                        / len(v)) AS rmse
+            FROM q)
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(max_code AS BIGINT) AS max_code,
+           round(rmse, 6) AS rmse
+    FROM err
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embedding corpus —
+    the 4× storage/bandwidth reduction step every large vector index
+    ships (FAISS SQ8 shape): per-vector scale = max|x|/127, code_i =
+    floor(x_i/scale + 0.5) ∈ [−127, 127], plus the reconstruction
+    error the pipeline monitors (rmse) and the code-range proof
+    (max_code). Pure column algebra over the array — one map stage, no
+    shuffle, no Python; at 100 TB this runs at scan speed. Half-up via
+    floor(x+0.5) is spelled explicitly so Spark and the oracle share
+    one tie convention (testdata embeddings are strictly positive-max;
+    scale > 0 always — enforced by the non-vacuity parity gate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    scale = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / 127
+    # internal name `scale_raw` ≠ output alias `scale`: a same-select
+    # expression referencing F.col("scale") would LATERALLY resolve to
+    # the rounded sibling alias (Spark ≥3.4), silently quantizing the
+    # error math against round(scale, 6) instead of the true scale
+    code = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)))
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("code"),
+        lambda x, c: (x - c * F.col("scale_raw")) * (x - c * F.col("scale_raw")),
+    )
+    return (
+        emb.select("vec_id", v.alias("v"), scale.alias("scale_raw"))
+        .withColumn("code", code)
+        .select(
+            "vec_id",
+            F.round(F.col("scale_raw"), 6).alias("scale"),
+            F.aggregate(
+                F.col("code"), F.lit(0.0), lambda a, c: F.greatest(a, F.abs(c))
+            )
+            .cast("long")
+            .alias("max_code"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x)
+                    / F.size(F.col("v"))
+                ),
+                6,
+            ).alias("rmse"),
+        )
+    )
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,

@@ -69,6 +69,28 @@ def test_ann_broadcasts_query_vector(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_probe_broadcasts_and_heaps_topk(spark):
+    """IVF ANN: the nlist-row centroid/probe frames must ride
+    broadcasts (never shuffle the corpus against them), the candidate
+    restriction must stay a semi-join (at scale: partition pruning on
+    the cid-partitioned index), and the final top-k must be a
+    per-partition heap, not a total sort."""
+    plan = plan_of(spark, "ann_ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_topk_is_group_limited(spark):
+    """k-NN graph: the per-source top-k must run as WindowGroupLimit
+    (per-partition heap before the exchange) and candidate generation
+    must be the banded equi-join, never a cartesian pair blow-up."""
+    plan = plan_of(spark, "knn_graph_lsh")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_query_is_shuffle_free(spark):
     """join_orders_lineitem_bucketed: the orderkey join must read
     co-located buckets with ZERO Exchange on either join side — the only
