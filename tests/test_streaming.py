@@ -118,6 +118,53 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert got == batch
 
 
+def test_upsert_merge_idempotent_under_redelivery(spark, tmp_path):
+    """The versioned foreachBatch upsert store must be SAFE under batch
+    redelivery — a retried/replayed (batch_df, batch_id) pair folds in
+    zero new state (the applied-id set travels with the store version,
+    so a crash between write and repoint also replays cleanly) — and
+    the merged store must equal the one-shot batch aggregate."""
+    import os
+
+    from mapreduce_itwiki_spark.streaming.events import _make_upsert_merge
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    store = str(tmp_path / "store")
+    merge = _make_upsert_merge(spark, store)
+
+    halves = [
+        events.filter(F.col("user_id") % 2 == 0),
+        events.filter(F.col("user_id") % 2 == 1),
+    ]
+    merge(halves[0], 0)
+    merge(halves[1], 1)
+
+    def snapshot():
+        cur = merge.current()
+        df = spark.read.parquet(os.path.join(store, cur["version"]))
+        return sorted(
+            (r.user_id, r.n_events, r.last_ts, round(r.total_value, 6))
+            for r in df.collect()
+        )
+
+    first = snapshot()
+    merge(halves[0], 0)  # redelivered batches: must be no-ops
+    merge(halves[1], 1)
+    assert snapshot() == first
+
+    expect = sorted(
+        (r.user_id, r.n_events, r.last_ts, round(r.total_value, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    )
+    assert first == expect
+
+
 def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
     """foreachBatch: the escape hatch for sinks without native streaming
     support — each micro-batch lands as an idempotent overwrite keyed by
