@@ -259,6 +259,79 @@ def audio_stats(audio: DataFrame, blob_col: str = "wav") -> DataFrame:
     return audio.mapInPandas(run, schema)
 
 
+def audio_frame_energy(
+    audio: DataFrame, blob_col: str = "wav", frame: int = 8
+) -> DataFrame:
+    """Windowed audio FEATURE EXTRACTION over a WAV blob column: decode
+    with the stdlib PCM codec, split samples into fixed ``frame``-sample
+    windows, emit per-frame RMS energy in long form (doc_id, frame_id,
+    energy) — the spectrogram-shaped 1→N fan-out every audio curation
+    pipeline runs (VAD, silence trimming, energy filtering). Integer
+    samples make the energy sums exact, so the oracle replays them
+    bit-for-bit."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_l, frame_l, energy_l = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                _, samples = decode_wav_pcm16(bytes(blob))
+                for f in range(len(samples) // frame):
+                    chunk = samples[f * frame : (f + 1) * frame]
+                    doc_l.append(doc_id)
+                    frame_l.append(f)
+                    energy_l.append(
+                        round(math.sqrt(sum(s * s for s in chunk) / frame), 6)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": doc_l, "frame_id": frame_l, "energy": energy_l}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_id", T.IntegerType()),
+            T.StructField("energy", T.DoubleType()),
+        ]
+    )
+    return audio.mapInPandas(run, schema)
+
+
+def image_histogram(
+    images: DataFrame, blob_col: str = "png", decoder=None, n_bins: int = 4
+) -> DataFrame:
+    """Pixel-intensity histogram over a decoded image blob column —
+    the image-statistics feature (exposure/contrast screening) in long
+    form (doc_id, bin, n_pixels), all ``n_bins`` bins present per image
+    so the output shape is deterministic. Decode runs per-blob in
+    Arrow-batched mapInPandas; counting is exact integer work."""
+    dec = decoder or decode_png_gray
+    width_per_bin = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_l, bin_l, n_l = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                _, _, pixels = dec(bytes(blob))
+                counts = [0] * n_bins
+                for p in pixels:
+                    counts[p // width_per_bin] += 1
+                for b, c in enumerate(counts):
+                    doc_l.append(doc_id)
+                    bin_l.append(b)
+                    n_l.append(c)
+            yield pd.DataFrame({"doc_id": doc_l, "bin": bin_l, "n_pixels": n_l})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n_pixels", T.LongType()),
+        ]
+    )
+    return images.mapInPandas(run, schema)
+
+
 def image_stats(images: DataFrame, blob_col: str = "png", decoder=None) -> DataFrame:
     """REAL image decode over an image blob column: Arrow-batched
     mapInPandas runs a working in-repo decoder per blob (PNG by

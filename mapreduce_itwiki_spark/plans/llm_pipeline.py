@@ -873,6 +873,102 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_energy",
+    # frame f covers samples (ascii − 128) of bytes [8f+1, 8f+8]; the
+    # energy sum is exact integer work, avg of 8 ints is an exact
+    # binary fraction, IEEE sqrt correctly rounded ⇒ engine-exact at 6
+    # decimals. range cross join renders the 1→4 frame fan-out.
+    oracle="""
+    SELECT d.doc_id, CAST(f.fr AS INTEGER) AS frame_id,
+           round(sqrt(list_avg(list_transform(range(1, 9),
+                 i -> (ascii(substr(d.text, CAST(8 * f.fr AS INTEGER) + i, 1)) - 128)
+                      * (ascii(substr(d.text, CAST(8 * f.fr AS INTEGER) + i, 1)) - 128)))),
+                 6) AS energy
+    FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS fr) f
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION beyond whole-file stats: per-frame RMS
+    energy (4 frames × 8 samples) through the real WAV codec — the
+    windowed-energy fan-out a speech pipeline runs for VAD / silence
+    trimming / energy filtering. Encode → decode → frame split all in
+    Arrow-batched mapInPandas; zero shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import audio_frame_energy, encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        encode_wav_pcm16([b - 128 for b in _head_bytes(t, 32)])
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    audio = docs.mapInPandas(
+        to_wav,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+        ),
+    )
+    return audio_frame_energy(audio, frame=8)
+
+
+@register(
+    "multimodal_image_histogram",
+    # 4 intensity bins of width 64 over the 64 decoded pixels; counting
+    # is exact integer work, and every (doc, bin) row is present so the
+    # shape is deterministic (ASCII pixels land in bins 0–1; the zero
+    # rows for bins 2–3 prove the fan-out, not vacuity — the doc rows
+    # carry real counts)
+    oracle="""
+    SELECT d.doc_id, CAST(b.b AS INTEGER) AS bin,
+           CAST(len(list_filter(range(1, 65),
+                i -> ascii(substr(d.text, i, 1)) // 64 = b.b)) AS BIGINT) AS n_pixels
+    FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS b) b
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image STATISTICS through the real PNG codec: 4-bin pixel
+    intensity histogram per image (exposure/contrast screening — the
+    image twin of the audio energy frames). Decode + exact integer
+    counting in Arrow-batched mapInPandas, long-form output with all
+    bins present per image."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import encode_png_gray, image_histogram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_png(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png": [
+                        encode_png_gray(_head_bytes(t, 64), 8) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    images = docs.mapInPandas(
+        to_png,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+        ),
+    )
+    return image_histogram(images, n_bins=4)
+
+
+@register(
     "multimodal_gif_video_decode",
     # 4 frames of 4×4 = bytes [16f, 16f+16); a mean of 16 bytes is an
     # exact 4-fractional-bit binary fraction, so round 6 is exact on
