@@ -969,6 +969,86 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_binaryfile_ingest",
+    # one real PNG FILE per document on storage, ingested back through
+    # Spark's binaryFile source and decoded — same invariants as the
+    # blob-column path, so the png_decode oracle applies unchanged
+    oracle="""
+    SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           round(list_avg(list_transform(range(1, 65),
+                                         i -> ascii(substr(text, i, 1)))), 6)
+             AS mean_pixel
+    FROM documents
+    """,
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal INGESTION path: images live as individual
+    FILES on object storage, not as blob columns — so this query writes
+    one valid PNG per document (distributed, one file per row from the
+    executors), reads them back through Spark's ``binaryFile`` source
+    (path/length/content rows, pathGlobFilter pruning), recovers the
+    key from the file name, and decodes with the stdlib codec. At
+    100 TB this is the S3-bucket-of-images → DataFrame bridge;
+    ``binaryFile`` parallelizes by file and never loads the corpus on
+    the driver."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_png_gray, encode_png_gray
+    from .relational import _scratch_dir
+
+    base = _scratch_dir("binfiles", sf_dir)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_files(batches):
+        for pdf in batches:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                blob = encode_png_gray(_head_bytes(t, 64), 8)
+                with open(_os.path.join(base, f"{doc_id}.png"), "wb") as fh:
+                    fh.write(blob)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # eager: the files must exist before the binaryFile scan plans
+    docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(base)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            ids, ws, hs, means = [], [], [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_png_gray(bytes(blob))
+                ids.append(int(_os.path.splitext(_os.path.basename(path))[0]))
+                ws.append(w)
+                hs.append(h)
+                means.append(round(sum(pixels) / len(pixels), 6))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "mean_pixel": means}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+    return files.mapInPandas(decode, schema)
+
+
+@register(
     "multimodal_gif_video_decode",
     # 4 frames of 4×4 = bytes [16f, 16f+16); a mean of 16 bytes is an
     # exact 4-fractional-bit binary fraction, so round 6 is exact on

@@ -127,6 +127,8 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "streaming_sliding_counts",
         "csv_sink_roundtrip",
         "jsonl_sink_roundtrip",
+        "multimodal_binaryfile_ingest",  # writes the per-doc PNG files eagerly
+        "streaming_foreach_batch_upsert",  # drains the stream on build
         "wiki_xml_roundtrip",
         "join_orders_lineitem_bucketed",
         "schema_evolution_merge",
