@@ -44,7 +44,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: per-round driver record covers every SURVEY.md §2 row directly.
 #: Everything else keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # reference surface O1–O13 (16)
+    # reference surface O1–O13 (15; the UDTF rendering of Mapper1 and
+    # the from_xml/native-XPath variants stay in the catalog for the
+    # judge's full sweep — O-coverage here is complete without them)
     "wiki_incoming_refs",
     "wiki_xml_roundtrip",
     "scan_filter_project",
@@ -59,7 +61,6 @@ _PRIORITY: tuple[str, ...] = (
     "two_stage_agg",
     "wiki_incoming_refs_salted",
     "wiki_incoming_refs_sql",
-    "udtf_token_explode",
     "xpath_extract",
     # ⊕ dedup (7)
     "dedup_exact",
@@ -69,9 +70,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "simhash_signature",
     "dedup_simhash",
-    # ⊕ similarity search (3)
+    # ⊕ similarity search (4)
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup_lsh",
     # ⊕ multimodal (5; real-codec trio + plumbing — multimodal_features
     # stays in the catalog for the judge's sweep, driver-checked in r02)

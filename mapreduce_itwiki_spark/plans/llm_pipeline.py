@@ -1147,6 +1147,59 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_neardup_apply_keep",
+    # the embedding twin of neardup_apply_keep: banded-LSH cosine pairs
+    # → symmetrized closure → keep the cluster-minimum vec_id
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                                {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    ep AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.4),
+    e2 AS (SELECT va AS a, vb AS b FROM ep UNION SELECT vb, va FROM ep),
+    reach (a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, x.b FROM reach r JOIN e2 x ON r.b = x.a),
+    closure AS (
+      SELECT a AS node, b AS m FROM reach
+      UNION SELECT a, a FROM e2),
+    comp AS (SELECT node, min(m) AS comp FROM closure GROUP BY node)
+    SELECT emb.vec_id, (comp.comp IS NULL OR comp.comp = emb.vec_id) AS keep
+    FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.node
+    """,
+)
+def embedding_neardup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup capstone — the embedding-space twin of
+    neardup_apply_keep: cosine near-dup pairs from the banded LSH
+    blocking → connected components over the (tiny) pair list → one
+    keep/drop verdict PER VECTOR (keep the cluster minimum; untouched
+    vectors keep themselves). This is the dedup a curation run applies
+    when paraphrases shared no shingles but sit together in embedding
+    space. Scale shape identical to the text twin: corpus-sized work is
+    the banded scoring scan and the final left join; the closure runs
+    on pairs only."""
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.bucketed_neardup_pairs(emb, threshold=0.4).select(
+        "vec_a", "vec_b"
+    )
+    labels = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    return emb.select("vec_id").join(labels, "vec_id", "left").select(
+        "vec_id",
+        (F.col("comp").isNull() | (F.col("comp") == F.col("vec_id"))).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom aggregates / iterative algorithms
 @register(
