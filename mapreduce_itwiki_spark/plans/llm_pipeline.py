@@ -1193,7 +1193,9 @@ def embedding_neardup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.bucketed_neardup_pairs(emb, threshold=0.4).select(
         "vec_a", "vec_b"
     )
-    labels = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    labels = connected_components(pairs, src="vec_a", dst="vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
     return emb.select("vec_id").join(labels, "vec_id", "left").select(
         "vec_id",
         (F.col("comp").isNull() | (F.col("comp") == F.col("vec_id"))).alias("keep"),

@@ -869,6 +869,93 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_DIVISOR = 16  #: boundary when the 2-token rolling hash % this == 0
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """CONTENT-DEFINED chunking: a chunk boundary opens before token i
+    whenever the md5 hash of the (token_{i−1}, token_i) bigram ≡ 0
+    (mod CDC_DIVISOR) — boundaries depend only on LOCAL content, so an
+    insertion early in a document shifts every fixed-window chunk but
+    leaves all CDC chunks after the next boundary byte-identical (the
+    rsync/LBFS trick, and why storage dedup and sub-document corpus
+    dedup chunk this way; pinned by the shift-stability property test).
+    Expected chunk length = CDC_DIVISOR tokens.
+
+    Shape: posexplode → map-side boundary bit (one md5 per token) →
+    per-document running sum (window bounded by document length — never
+    a corpus-wide partition) → (doc_id, chunk_id) hash agg assembling
+    the chunk fingerprint. Columns: doc_id, chunk_id, n_tokens,
+    chunk_fp."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos0", "tok")
+    )
+    prev = F.element_at(F.col("toks"), F.col("pos0"))  # 1-based ⇒ previous token
+    bigram_hash = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", prev, F.col("tok"))), 1, 15), 16, 10
+        ).cast("long")
+        % CDC_DIVISOR
+    )
+    b = F.when(F.col("pos0") == 0, F.lit(0)).otherwise(
+        F.when(bigram_hash == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = base.select(
+        "doc_id", "pos0", "tok", F.sum(b).over(w).alias("chunk_id")
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("chunk_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "chunk_documents_cdc",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM t),
+    flagged AS (
+      SELECT doc_id, pos, toks[pos] AS tok,
+             CASE WHEN pos = 1 THEN 0
+                  WHEN ('0x' || substr(md5(toks[pos - 1] || ' ' || toks[pos]), 1, 15))::BIGINT
+                       % {CDC_DIVISOR} = 0 THEN 1
+                  ELSE 0 END AS b
+      FROM pos),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM flagged)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+    FROM chunked GROUP BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus — the dedup-STABLE
+    twin of chunk_documents_overlap: fixed windows shift under a
+    single-token insertion, CDC boundaries re-synchronize at the next
+    content-determined cut, so duplicated passages fingerprint
+    identically wherever they sit (the input sub-document dedup wants).
+    See cdc_chunks for shape and the shift-stability property test."""
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
 INCR_SPLIT = 250  #: doc_id boundary between "existing corpus" and "new batch"
 
 

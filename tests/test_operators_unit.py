@@ -142,6 +142,33 @@ def test_knn_graph_scores_exact_and_bounded(spark):
         assert [d for _, d in have] == [d for _, d in want], src
 
 
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The property that justifies content-defined chunking: inserting
+    a token at the FRONT of a document shifts every fixed-window chunk,
+    but CDC boundaries re-synchronize at the first content-determined
+    cut — every chunk after it fingerprints identically. The fixed
+    chunker shares (almost) nothing under the same edit."""
+    from mapreduce_itwiki_spark.plans.training_data import cdc_chunks
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    toks = [vocab[(7 * i + 3) % len(vocab)] for i in range(240)]
+    base = " ".join(toks)
+    shifted = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    chunks = {0: [], 1: []}
+    for r in cdc_chunks(df).collect():
+        chunks[r.doc_id].append((r.chunk_id, r.n_tokens, r.chunk_fp))
+    fps0 = [fp for _, _, fp in sorted(chunks[0])]
+    fps1 = [fp for _, _, fp in sorted(chunks[1])]
+    assert len(fps0) > 3, "corpus must actually chunk for the test to bite"
+    # everything after doc 0's first chunk must reappear verbatim in
+    # doc 1 (the first chunk absorbs the insertion, then boundaries
+    # re-sync because they depend only on local bigrams)
+    assert fps0[1:] == fps1[len(fps1) - len(fps0) + 1 :]
+
+
 def test_band_cap_is_deterministic(spark):
     """Bucket caps are part of the operator semantics: every (band, key)
     bucket keeps exactly its max_bucket SMALLEST vec_ids — an order any
