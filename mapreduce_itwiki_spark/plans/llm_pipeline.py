@@ -1148,6 +1148,68 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_recall_report",
+    # the text-dedup twin of ann_recall_at_k: the sh/tok/sz CTEs from
+    # the MinHash chain double as the exact side's shingle tables, so
+    # both pair lists provably share one tokenization
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES},
+    nkeep AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM tok)
+      WHERE df <= {dedup.NGRAM_MAX_DF}),
+    ncand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM nkeep a JOIN nkeep b ON a.s = b.s AND a.doc_id < b.doc_id),
+    ninter AS (
+      SELECT c.da, c.db, count(*) AS i
+      FROM ncand c
+      JOIN tok ta ON ta.doc_id = c.da
+      JOIN tok tb ON tb.doc_id = c.db AND tb.s = ta.s
+      GROUP BY 1, 2),
+    nexact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT da AS doc_a, db AS doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM ninter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id)
+      WHERE jaccard >= 0.5),
+    common AS (
+      SELECT doc_a, doc_b FROM nexact
+      INTERSECT SELECT doc_a, doc_b FROM dup_pairs)
+    SELECT (SELECT count(*) FROM nexact) AS n_exact,
+           (SELECT count(*) FROM dup_pairs) AS n_lsh,
+           (SELECT count(*) FROM common) AS n_common,
+           round((SELECT count(*) FROM common) * 1.0
+                 / (SELECT count(*) FROM nexact), 6) AS recall
+    """,
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation — the recall harness a curation run
+    executes before trusting probabilistic dedup at 100 TB: MinHash-LSH
+    verified pairs vs the exact inverted-index Jaccard baseline (same
+    shingles, same threshold). LSH precision is 1 by construction (the
+    verify step rescoring true Jaccard); what can be lost is recall —
+    a true pair whose signatures never collide in any band — and this
+    measures exactly that. One-row report: n_exact, n_lsh, n_common,
+    recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    lsh = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+@register(
     "embedding_neardup_apply_keep",
     # the embedding twin of neardup_apply_keep: banded-LSH cosine pairs
     # → symmetrized closure → keep the cluster-minimum vec_id
