@@ -1383,6 +1383,64 @@ def neardup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VAL_PCT = 10  #: held-out fraction (percent) for split_leakage_safe
+
+
+@register(
+    "split_leakage_safe",
+    # same closure as neardup_apply_keep, then the SPLIT coin is thrown
+    # on the cluster representative, never the document itself
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach (a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+    closure AS (
+      SELECT a AS node, b AS m FROM reach
+      UNION SELECT a, a FROM e2),
+    comp AS (SELECT node, min(m) AS comp FROM closure GROUP BY node)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))
+                     ::BIGINT % 100 < {VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM (SELECT d.doc_id, COALESCE(comp.comp, d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/validation split — the eval-hygiene twin of
+    `decontaminate_against_eval`: a naive per-document coin puts one
+    copy of a near-duplicated page in train and another in val, and the
+    model is then graded on text it memorized. Here the md5 coin is
+    thrown on the near-dup CLUSTER representative (the connected-
+    component minimum; singletons represent themselves), so an entire
+    dup cluster lands on one side of the split by construction — the
+    rule real pretraining evals require. Scale shape is
+    neardup_apply_keep's: corpus-sized work is the signature scan and
+    one final left join on doc_id; the closure runs on the tiny pair
+    list (O(log n) large-star/small-star), and the coin is a map-side
+    expression on the joined representative."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    rep = F.coalesce(F.col("comp"), F.col("doc_id"))
+    coin = (
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        F.when(coin < VAL_PCT, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 @register(
     "recursive_cte_dup_closure",
     # same recursion on both engines: the pair list is a DAG

@@ -1276,3 +1276,162 @@ def resample_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(coin < F.col("threshold"))
         .select("doc_id", "lang", "source")
     )
+
+
+BPE_TRAIN_ROUNDS = 6  #: merges to learn (production: ~50k, on a sample)
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled replay of the BPE trainer: per round, extract adjacent
+    symbol pairs from the pipe encoding (list_zip of the two shifted
+    symbol slices), pick argmax (count DESC, pair ASC), apply it as one
+    replace, repeat. A linear CTE chain — no recursion needed because
+    the round count is a fixed hyperparameter."""
+    parts = ["""enc0 AS (
+      SELECT regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')
+               AS enc
+      FROM documents)"""]
+    for r in range(1, rounds + 1):
+        prev = f"enc{r - 1}"
+        parts.append(f"""cand{r} AS (
+      SELECT z[1] AS a, z[2] AS b
+      FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+            FROM (SELECT string_split(trim(enc, '|'), '||') AS syms FROM {prev}))
+      WHERE NOT contains(z[1], ' ') AND NOT contains(z[2], ' ')
+        AND NOT contains(z[1], chr(1)) AND NOT contains(z[2], chr(1)))""")
+        parts.append(f"""win{r} AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c
+      FROM cand{r} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)""")
+        parts.append(f"""enc{r} AS (
+      SELECT replace(e.enc, '|' || w.a || '||' || w.b || '|',
+                     '|' || w.a || w.b || '|') AS enc
+      FROM {prev} e CROSS JOIN win{r} w)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym,"
+        f" c AS pair_count FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def train_bpe(docs: DataFrame, rounds: int) -> list[tuple[str, str, int]]:
+    """The distributed BPE training loop over a (doc_id, text) frame —
+    see `bpe_train_merges` for semantics and scale notes. Returns the
+    learned merge list [(left, right, pair_count), ...] in rank order."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        # re-derive the encoding from text with the merges learned so
+        # far: keeps the per-round plan small (≤rounds replaces) and
+        # needs no caching between rounds
+        pre = F.replace(F.col("text"), F.lit("|"), F.lit("\x01"))
+        enc = F.regexp_replace(pre, "(?s)(.)", "|$1|")
+        for a, b, _c in merges:
+            enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        syms = F.split(
+            F.expr("substring(enc, 2, greatest(length(enc) - 2, 0))"), r"\|\|"
+        )
+        sized = docs.select(enc.alias("enc")).select(syms.alias("syms"))
+        n = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice("syms", 1, n).alias("a"), F.slice("syms", 2, n).alias("b")
+        )
+        win = (
+            sized.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .filter(
+                ~F.col("a").contains(" ")
+                & ~F.col("b").contains(" ")
+                & ~F.col("a").contains("\x01")
+                & ~F.col("b").contains("\x01")
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not win:  # degenerate corpus (no mergeable pair anywhere)
+            break
+        row = win[0]
+        merges.append((row["a"], row["b"], row["c"]))
+    return merges
+
+
+# --------------------------------------------------------------------------
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the other half of `bpe_encode_tokens`
+    (which applies a fixed merge table, this LEARNS one): per round,
+    count every adjacent symbol pair across the corpus, take the global
+    argmax (count DESC, then lexicographic — fully deterministic), add
+    it to the merge table, re-encode, repeat. Word-boundary discipline:
+    pairs touching the space symbol (or the chr(1) pipe escape) are
+    never candidates, so merges cannot cross words — the standard
+    pretokenization rule. Output is the learned vocabulary head:
+    (rank, left_sym, right_sym, pair_count).
+
+    Scale shape: each round is one corpus map pass (replace cascade +
+    split + shifted-slice zip, all codegen) into a partially-aggregated
+    pair count; the only driver traffic is the 1-row argmax per round —
+    the same inherently-iterative collect a k-means centroid update
+    makes (`kmeans_two_rounds`). The explode fans out to ~len(text)
+    pair rows per doc, but map-side combine collapses them to the
+    distinct-pair count per task before the (tiny) shuffle. At 100 TB
+    you train the tokenizer on a hash-sampled subset
+    (`sample_stratified_hash`) and broadcast the merge table back —
+    exactly how production BPE vocabularies are built. The oracle
+    replays all rounds as an unrolled CTE chain, so even the training
+    trajectory (not just the final table) is hash-checked."""
+    docs = dedup._fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    merges = train_bpe(docs, BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+NSHARDS = 8  #: output shards (production: O(100k) so tasks stay bounded)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "shuffle_shard_order",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY coin, doc_id)
+                AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {NSHARDS} AS shard,
+                 md5(CAST(doc_id AS VARCHAR)) AS coin
+          FROM documents)
+    """,
+)
+def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer step of a curation run: a deterministic GLOBAL
+    shuffle of the corpus into training shards. Shard = md5(doc_id) mod
+    NSHARDS; within-shard order = md5 hex (doc_id tie-break) — a
+    pseudorandom permutation that is a pure function of the keys, so
+    every rerun and every engine writes byte-identical shards (the
+    reproducibility property data-loader seeds can't give you). No
+    global row_number: position is assigned per shard, and with
+    production NSHARDS ~ corpus/shard_size each window task owns one
+    shard's worth of rows — bounded regardless of corpus size. This is
+    also exactly the layout a sharded data loader wants: shard files
+    consumed round-robin, order within each pre-randomized."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(coin, 1, 15), 16, 10).cast("long") % NSHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("coin", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), coin.alias("coin"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )

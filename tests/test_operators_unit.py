@@ -602,3 +602,29 @@ def test_connected_components_keeps_selfloop_only_nodes(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (5, 5)}, got
+
+
+def test_bpe_train_semantics_on_tiny_corpus(spark):
+    """Pin the BPE trainer's exact rules on a handcrafted corpus:
+    overlapping adjacency counting ('aaa' yields (a,a) twice), greedy
+    left-to-right merge application ('aaa' -> [aa][a]), the word-
+    boundary rule (pairs touching the space symbol are never
+    candidates), and the deterministic count-DESC-then-lexicographic
+    tie-break ((a,a) beats (a,b) at equal count; ('aa','a') beats
+    ('b','b'))."""
+    from mapreduce_itwiki_spark.plans.training_data import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bb"), (2, "ab ab")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, rounds=3)
+    assert merges == [("a", "a", 2), ("a", "b", 2), ("aa", "a", 1)]
+
+
+def test_bpe_train_degenerate_corpus_stops_early(spark):
+    """A corpus with no mergeable adjacency (every char pair spans a
+    space) must return an empty merge table, not loop or throw."""
+    from mapreduce_itwiki_spark.plans.training_data import train_bpe
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert train_bpe(docs, rounds=2) == []
