@@ -623,6 +623,88 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEEP_PCT = 50  #: quality_quantile_filter keeps the top KEEP_PCT% per lang
+
+#: the text_quality score as SQL (same expression as its oracle)
+_QUALITY_SQL = (
+    f"(least(strlen(text) / 500.0, 1.0) + least(({_STOP_RATIO}) * 4.0, 1.0)"
+    f" + (1.0 - least(({_PUNCT_RATIO}) * 10.0, 1.0))) / 3.0"
+)
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, round({_QUALITY_SQL}, 6) AS quality FROM documents),
+    counts AS (
+      SELECT lang, quality, CAST(count(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY lang, quality),
+    ranked AS (
+      SELECT lang, quality,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY quality DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS cnt_gt
+      FROM counts),
+    nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+           FROM scored GROUP BY lang),
+    cut AS (
+      SELECT r.lang, min(r.quality) AS cutoff
+      FROM ranked r JOIN nl ON r.lang = nl.lang
+      WHERE r.cnt_gt < (nl.n_lang * {KEEP_PCT} + 99) // 100
+      GROUP BY r.lang)
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN cut ON s.lang = cut.lang
+    WHERE s.quality >= cut.cutoff
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate — 'keep the top 50% by
+    quality within each language', the relative-threshold variant of
+    curate_corpus's absolute floor (absolute floors over- or
+    under-prune languages whose score distributions sit differently).
+
+    Exactness discipline: NO interpolated percentile — engines disagree
+    on interpolation arithmetic at the last float bit, and a cutoff is
+    a filter boundary where one bit flips rows. Instead the cutoff is
+    rank-defined on ROUNDED scores: a doc survives iff fewer than
+    ceil(n_lang·pct) docs in its language score strictly higher (ties
+    at the boundary all survive) — integer comparisons only, so both
+    engines agree exactly. Scale shape: the window that ranks scores
+    runs over the (lang, quality)-AGGREGATED frame, whose size is
+    bounded by distinct rounded scores (≤1e6 per lang at 6 decimals),
+    never corpus rows — the same bounded-task trick as
+    `_sharded_cum_tokens`; cutoffs (one row per lang) broadcast back
+    onto a map-side filter of the single corpus scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.round(TXT.quality_score(F.col("text")), 6).alias("quality")
+    )
+    counts = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "lang", "quality", (F.sum("cnt").over(w) - F.col("cnt")).alias("cnt_gt")
+    )
+    nl = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    cut = (
+        ranked.join(nl, "lang")
+        .filter(F.col("cnt_gt") < F.expr(f"(n_lang * {KEEP_PCT} + 99) div 100"))
+        .groupBy("lang")
+        .agg(F.min("quality").alias("cutoff"))
+    )
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .filter(F.col("quality") >= F.col("cutoff"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""

@@ -1281,14 +1281,18 @@ def resample_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 6  #: merges to learn (production: ~50k, on a sample)
 
 
-def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS, emit: str = "merges") -> str:
     """Unrolled replay of the BPE trainer: per round, extract adjacent
     symbol pairs from the pipe encoding (list_zip of the two shifted
     symbol slices), pick argmax (count DESC, pair ASC), apply it as one
     replace, repeat. A linear CTE chain — no recursion needed because
-    the round count is a fixed hyperparameter."""
+    the round count is a fixed hyperparameter. ``emit='merges'`` yields
+    the learned merge table; ``emit='tokens'`` carries (doc_id, text)
+    through every encoding step and yields the per-doc token count
+    under the learned vocabulary (the train→apply capstone)."""
     parts = ["""enc0 AS (
-      SELECT regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')
+      SELECT doc_id, text,
+             regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')
                AS enc
       FROM documents)"""]
     for r in range(1, rounds + 1):
@@ -1303,14 +1307,22 @@ def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
       SELECT a, b, CAST(count(*) AS BIGINT) AS c
       FROM cand{r} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)""")
         parts.append(f"""enc{r} AS (
-      SELECT replace(e.enc, '|' || w.a || '||' || w.b || '|',
+      SELECT e.doc_id, e.text,
+             replace(e.enc, '|' || w.a || '||' || w.b || '|',
                      '|' || w.a || w.b || '|') AS enc
       FROM {prev} e CROSS JOIN win{r} w)""")
-    sel = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym,"
-        f" c AS pair_count FROM win{r}"
-        for r in range(1, rounds + 1)
-    )
+    if emit == "tokens":
+        sel = f"""SELECT doc_id,
+           CAST((strlen(enc) - strlen(replace(enc, '|', ''))) // 2
+                - (strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
+             AS n_tokens_learned
+    FROM enc{rounds}"""
+    else:
+        sel = "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym,"
+            f" c AS pair_count FROM win{r}"
+            for r in range(1, rounds + 1)
+        )
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
@@ -1389,6 +1401,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+# --------------------------------------------------------------------------
+@register("bpe_train_encode", oracle=_bpe_train_oracle(emit="tokens"))
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer CAPSTONE — train then apply in one job: learn the
+    merge table from the corpus (`train_bpe`), then re-encode every
+    document under the LEARNED vocabulary and emit its faithful token
+    count. This is the full production loop (fit the tokenizer on the
+    data it will tokenize) rather than `bpe_encode_tokens`' fixed
+    table; at 100 TB the training loop runs on a hash-sampled subset
+    and the learned table — a few thousand string literals — compiles
+    into the same broadcast-free codegen replace cascade applied here.
+    The oracle replays training AND application round-for-round, so
+    the end-to-end trajectory is hash-checked, not just the counts."""
+    docs = dedup._fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    merges = train_bpe(docs, BPE_TRAIN_ROUNDS)
+    pre = F.replace(F.col("text"), F.lit("|"), F.lit("\x01"))
+    enc = F.regexp_replace(pre, "(?s)(.)", "|$1|")
+    for a, b, _c in merges:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_pipe_syms = (
+        F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit("")))
+    ) / 2
+    n_spaces = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return docs.select(
+        "doc_id", (n_pipe_syms - n_spaces).cast("long").alias("n_tokens_learned")
     )
 
 
