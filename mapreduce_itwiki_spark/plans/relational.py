@@ -2500,3 +2500,47 @@ def cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     ).select(F.lit("by_priority").alias("dim"), "key", "n", "total")
     return by_status.unionAll(by_prio)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "incremental_agg_merge",
+    # the oracle is the FULL recompute — equivalence to it is the
+    # entire point of a mergeable aggregation state
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable aggregation state — the lambda/incremental-view
+    pattern: a rollup maintained from yesterday's materialized partial
+    state plus today's delta batch must equal a from-scratch recompute.
+    Simulated by splitting events into two disjoint batches (event_id
+    parity), aggregating EACH to (count, sum) state rows, then merging
+    states with a second-level aggregate (counts add, sums add — the
+    algebraic-aggregate property that makes count/sum/min/max
+    incrementally maintainable; avg ships as sum+count, never as avg).
+    At 100 TB this is why a daily pipeline re-aggregates only the new
+    partition and folds it into stored state instead of rescanning the
+    corpus: the merge input is state rows (∝ groups), not events. The
+    oracle deliberately recomputes from scratch, pinning merge ≡
+    recompute."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def state(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    old = state(ev.filter(F.col("event_id") % 2 == 0))
+    delta = state(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        old.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+        )
+    )

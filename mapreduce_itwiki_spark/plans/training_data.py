@@ -1140,6 +1140,84 @@ def block_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+@register(
+    "remove_duplicate_blocks",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, i,
+             array_to_string(
+               toks[i * {BLOCK_TOKENS} + 1 : (i + 1) * {BLOCK_TOKENS}], ' ')
+               AS block
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+           UNNEST(range(0, (n + {BLOCK_TOKENS} - 1) // {BLOCK_TOKENS}))
+             AS t(i)),
+    df AS (SELECT md5(block) AS fp, count(DISTINCT doc_id) AS ndocs
+           FROM b GROUP BY md5(block)),
+    kept AS (SELECT b.doc_id, b.i, b.block
+             FROM b JOIN df ON md5(b.block) = df.fp WHERE df.ndocs = 1),
+    reb AS (SELECT doc_id, string_agg(block, ' ' ORDER BY i) AS t,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(reb.t, '') AS cleaned_text,
+           CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+)
+def remove_duplicate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM `block_dedup_fraction` only reports: rewrite every
+    document with its corpus-duplicated 16-token blocks REMOVED (the
+    CCNet/RefinedWeb boilerplate-stripping step — headers, footers,
+    templated passages vanish; unique prose survives in original
+    order). A block survives iff its fingerprint appears in exactly one
+    document. Shape: the same explode → document-frequency aggregate →
+    fingerprint join as the report, plus one reassembly agg keyed on
+    doc_id (collect blocks with their positions, sort, concat) and a
+    final left join so fully-boilerplate documents come back as empty
+    strings rather than disappearing — every shuffle keys on block
+    fingerprints or doc_id, both high-cardinality, so the transform
+    scales like exact dedup at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.floor((F.size(toks) + BLOCK_TOKENS - 1) / BLOCK_TOKENS).cast("int")
+    b = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("i") * BLOCK_TOKENS + 1, BLOCK_TOKENS)
+        ).alias("block"),
+    )
+    df_ = b.groupBy(F.md5(F.col("block")).alias("fp")).agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    kept = (
+        b.join(df_, F.md5(F.col("block")) == F.col("fp"))
+        .filter(F.col("ndocs") == 1)
+        .select("doc_id", "i", "block")
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "block"))),
+                lambda x: x["block"],
+            ),
+        ).alias("t"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return docs.select("doc_id").join(reb, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("t"), F.lit("")).alias("cleaned_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 #: fixed BPE merge table (applied IN ORDER — order is part of the vocab).
 #: Symbols never contain '|' or ' ', so word boundaries (space chars,
 #: which become the unmergeable symbol '| |') are respected for free.

@@ -135,6 +135,8 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "partitioned_events_prune",
         "pagerank_linkgraph",  # loop checkpoints eagerly
         "dedup_connected_components",
+        "bpe_train_merges",  # training loop collects per round on build
+        "bpe_train_encode",
     }
     offenders = {}
     for name in sorted(catalog.queries()):
@@ -319,3 +321,41 @@ def test_cached_scan_reuse_reads_cache_twice(spark):
     # "Scan parquet" can't distinguish live scans; the InMemoryTableScan
     # per branch is the property that matters)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_quality_quantile_windows_over_aggregate_only(spark):
+    """quality_quantile_filter scale gate: the ranking window must run
+    over the (lang, quality)-AGGREGATED frame (bounded by distinct
+    rounded scores), never over document rows — a lang-partitioned
+    window on the corpus would put a whole language on one task. Also
+    the per-lang cutoffs must come back as a broadcast join."""
+    import re
+
+    plan = plan_of(spark, "quality_quantile_filter")
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "no window in plan"
+    for s in specs:
+        assert "doc_id#" not in s, f"window over document rows: {s}"
+    assert "BroadcastHashJoin" in plan, "cutoffs not broadcast back"
+
+
+def test_shuffle_shard_order_window_is_shard_partitioned(spark):
+    """shuffle_shard_order scale gate: position assignment must window
+    per shard (bounded by shard size), never as one global total-order
+    row_number."""
+    import re
+
+    plan = plan_of(spark, "shuffle_shard_order")
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "no window in plan"
+    for s in specs:
+        assert "shard#" in s, f"global (unpartitioned) row_number window: {s}"
+
+
+def test_incremental_agg_merge_is_two_level_aggregate(spark):
+    """incremental_agg_merge must aggregate each batch to state rows
+    BEFORE the merge level — at least the two batch aggregates plus the
+    final merge must appear as hash aggregates with partial phases."""
+    plan = plan_of(spark, "incremental_agg_merge")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "partial" in plan.lower(), plan
