@@ -2544,3 +2544,133 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sv"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "dq_expectations_report",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (l_quantity > 30) AS BIGINT) AS v_qty,
+             CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS v_disc,
+             CAST(count(*) FILTER (l_returnflag NOT IN ('A', 'N')) AS BIGINT)
+               AS v_flag,
+             CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT) AS v_price,
+             CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS v_null
+      FROM lineitem)
+    SELECT rule, n_rows, n_violations,
+           round(n_violations * 1.0 / n_rows, 6) AS violation_frac
+    FROM (
+      SELECT 'quantity_le_30' AS rule, n_rows, v_qty AS n_violations FROM agg
+      UNION ALL SELECT 'discount_le_5pct', n_rows, v_disc FROM agg
+      UNION ALL SELECT 'returnflag_in_AN', n_rows, v_flag FROM agg
+      UNION ALL SELECT 'extendedprice_positive', n_rows, v_price FROM agg
+      UNION ALL SELECT 'orderkey_not_null', n_rows, v_null FROM agg)
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (the Deequ/Great-Expectations shape):
+    a rule set validated in ONE scan — every rule compiles to a
+    conditional count inside the same partial+final aggregate, so
+    adding a rule costs an expression, not a pass; the long-form
+    (rule, n_rows, n_violations, violation_frac) report then unpivots
+    from that single row. This is the admission gate a 100 TB ingest
+    runs before publishing a partition: one scan, map-side combine,
+    a 5-row result — and a threshold on violation_frac decides
+    publish/quarantine. Rules here mix passing and failing on purpose
+    (a report that can only say zero is untestable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") > 30, 1)).alias("v_qty"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("v_disc"),
+        F.count(F.when(~F.col("l_returnflag").isin("A", "N"), 1)).alias("v_flag"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("v_price"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("v_null"),
+    )
+    rules = one.select(
+        F.expr(
+            "stack(5,"
+            " 'quantity_le_30', v_qty,"
+            " 'discount_le_5pct', v_disc,"
+            " 'returnflag_in_AN', v_flag,"
+            " 'extendedprice_positive', v_price,"
+            " 'orderkey_not_null', v_null) AS (rule, n_violations)"
+        ),
+        "n_rows",
+    )
+    return rules.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias(
+            "violation_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id % 13 != 0 AND event_id % 97 != 0
+      GROUP BY user_id, event_type),
+    new AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id % 11 != 0
+      GROUP BY user_id, event_type)
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           COALESCE(o.event_type, n.event_type) AS event_type,
+           o.n AS n_old, n.n AS n_new,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL JOIN new n
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.n != n.n
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — change data capture between two versions of a
+    keyed rollup, the operator behind incremental sync/audit ('what
+    changed since yesterday's publish'). The two snapshots are derived
+    deterministically from events (old: misses churned users and ~1%
+    of events; new: a different user subset), so all three verdicts
+    are populated: keys only in new → 'added', only in old →
+    'removed', both-with-different-counts → 'changed'; unchanged keys
+    (the vast majority at scale) are filtered OUT — the diff's output
+    is ∝ drift, not table size. Shape: two partial+final aggregates
+    shuffled once on the same (user_id, event_type) key, then a
+    full-outer sort-merge join that reuses that co-partitioning —
+    integer count comparisons only, no float drift in the verdict."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(pred) -> DataFrame:
+        return (
+            ev.filter(pred)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    old = snap((F.col("user_id") % 13 != 0) & (F.col("event_id") % 97 != 0))
+    new = snap(F.col("user_id") % 11 != 0).withColumnRenamed("n", "n_new")
+    j = old.withColumnRenamed("n", "n_old").join(
+        new, ["user_id", "event_type"], "full_outer"
+    )
+    return j.select(
+        "user_id",
+        "event_type",
+        "n_old",
+        "n_new",
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    ).filter(
+        F.col("n_old").isNull()
+        | F.col("n_new").isNull()
+        | (F.col("n_old") != F.col("n_new"))
+    )
