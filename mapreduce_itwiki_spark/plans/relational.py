@@ -2674,3 +2674,40 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("n_new").isNull()
         | (F.col("n_old") != F.col("n_new"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "sql_udf_disc_price",
+    # the oracle inlines the UDF body — which is exactly what Spark's
+    # analyzer does to a SQL UDF, so the plans are provably equivalent
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side SQL UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`)
+    — the user-extension path that does NOT leave the JVM: the analyzer
+    inlines the function body into the plan, so the aggregate runs over
+    `p * (1 - d)` inside whole-stage codegen exactly as if written
+    inline (verify with .explain: no Python eval node, the expression
+    sits in partial_sum). This is the right first tool for shared
+    business logic at 100 TB — a catalog-registered expression, not a
+    Python UDF paying the serialization boundary. Python UDF surfaces
+    (Arrow-batched) live in grouped_custom_agg / udtf_token_explode
+    for the cases expressions can't cover."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+           RETURNS DOUBLE RETURN p * (1 - d)"""
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    return spark.sql(
+        """SELECT l_returnflag,
+                  round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                    AS revenue
+           FROM lineitem_sqludf GROUP BY l_returnflag"""
+    )

@@ -628,3 +628,59 @@ def test_bpe_train_degenerate_corpus_stops_early(spark):
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert train_bpe(docs, rounds=2) == []
+
+
+def test_split_leakage_safe_never_splits_a_dup_pair(spark):
+    """The semantic contract directly: for EVERY emitted near-dup pair,
+    both documents must land on the same side of the train/val split
+    (they share a cluster representative by construction)."""
+    from mapreduce_itwiki_spark.operators import dedup
+    from mapreduce_itwiki_spark.plans.llm_pipeline import split_leakage_safe
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    split = {
+        r["doc_id"]: r["split"]
+        for r in split_leakage_safe(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).collect()
+    assert pairs, "fixture has no near-dup pairs; property is vacuous"
+    for p in pairs:
+        assert split[p["doc_a"]] == split[p["doc_b"]], (
+            p["doc_a"], p["doc_b"])
+
+
+def test_remove_duplicate_blocks_output_is_ordered_subsequence(spark):
+    """Block removal may only DELETE whole blocks: every cleaned text
+    must be an in-order token subsequence of the original, docs with
+    no corpus-shared blocks must come back verbatim, and at least one
+    doc must actually lose text (non-vacuity)."""
+    from mapreduce_itwiki_spark.plans.training_data import (
+        remove_duplicate_blocks,
+    )
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_duplicate_blocks(spark, sf).collect()
+    }
+    original = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    assert set(cleaned) == set(original)
+    changed = 0
+    for doc_id, text in original.items():
+        out, src = cleaned[doc_id].split(), iter(text.split())
+        # subsequence check: consume source tokens greedily
+        for tok in out:
+            for s in src:
+                if s == tok:
+                    break
+            else:
+                raise AssertionError(f"{doc_id}: not a subsequence")
+        if cleaned[doc_id] != text:
+            changed += 1
+    assert changed > 0, "no doc lost any block; property is vacuous"
