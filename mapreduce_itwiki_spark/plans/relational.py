@@ -2711,3 +2711,429 @@ def sql_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS revenue
            FROM lineitem_sqludf GROUP BY l_returnflag"""
     )
+
+
+# ==========================================================================
+# TPC-H shape battery (round 3 widening): the remaining classic query
+# shapes expressible on the driver testdata's column subset (lineitem
+# has no commitdate/receiptdate/shipmode, there is no partsupp table —
+# q2/q9/q11/q12/q16/q20/q21 need those and are out of scope; predicates
+# are adapted to the synthetic data's 1995-2001 date range and single
+# -word p_type values). Each query keeps the canonical plan shape the
+# TPC-H number stresses, which is what matters for the 100 TB grade.
+#
+# Money discipline: revenue aggregates sum EXACT INTEGER CENTS
+# (round(x*100) per row, summed as BIGINT, divided back once at the
+# end) instead of doubles. A double sum is association-order-dependent;
+# at any scale some group's total lands within an ulp of a rounding
+# boundary and two engines (or two partitionings of the SAME engine)
+# disagree in the last cent — observed live on q10 before this fix.
+# Per-row rounding is engine-identical (both Spark and DuckDB round
+# half away from zero on the same input double), and the integer sum
+# is exact under any association order — so the result is deterministic
+# by construction, not by luck. This is also the production-correct
+# choice at 100 TB: partitioning changes can never move a reported
+# total.
+# ==========================================================================
+
+
+def _cents(col):
+    """Exact integer cents for a money expression (see block comment)."""
+    return F.round(col * 100).cast("long")
+
+
+#: oracle-side twin of _cents
+_CENTS = "CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a LEFT SEMI
+    join with an extra non-equi conjunct (l_shipdate > o_orderdate; the
+    spec's commitdate < receiptdate columns don't exist in the testdata).
+    The date filter prunes orders at the scan; the semi join shuffles
+    only the surviving quarter of orders and emits each order at most
+    once — no fan-out, no dedup pass. One final tiny agg on priority."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                 / 100.0, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.05
+      AND l_quantity < 25
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown litmus
+    test — all four predicates reach the parquet reader (PushedFilters)
+    and only 4 columns are read, so 100 TB of lineitem costs one
+    column-pruned scan and a 1-row partial+final agg. No shuffle beyond
+    the single-row final reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0, 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    The disjunctive nation-pair predicate can only be applied after BOTH
+    nation joins — but those are broadcasts, so the whole filter runs
+    map-side before the fact-fact shuffles; the l_shipdate range is
+    pushed to the scan. Two shuffle joins (l⋈o on orderkey, ⋈c on
+    custkey) and a 3-key agg — the minimum for this shape."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
+    return (
+        l.join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — selective date +
+    returnflag filters (both pushed to the scans), a 3-way join keyed on
+    custkey/orderkey, a per-customer agg, and a deterministic top-20
+    (revenue desc, custkey tiebreak → TakeOrderedAndProject, never a
+    full sort). nation broadcasts; the fact-fact joins shuffle only
+    filtered rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(round(l.l_extendedprice
+                                            * (1 - l.l_discount) * 100) AS BIGINT)
+                                  ELSE 0 END)
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT)), 4)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim
+    join. The month filter is pushed to the lineitem scan; part is
+    size-gated for broadcast (it scales with SF). Both sums ride one
+    partial+final agg — the ratio is computed once at the single final
+    row, so float association order is fixed and the 4-dp round is
+    engine-stable."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                / F.sum(disc_cents),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery-with-HAVING decorrelated to a
+    left-semi join against an aggregate. The heavy part — grouping all
+    of lineitem by orderkey — happens once on the slim
+    (l_orderkey, l_quantity) projection; survivors (a tiny set) then
+    semi-filter orders BEFORE the joins, so the re-join touches only
+    qualifying orders. Top-100 by totalprice is TakeOrdered with an
+    orderkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 150)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(l, o_big.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    spanning BOTH join sides — the predicate-splitting stress test.
+    Catalyst extracts the common single-side conjuncts (brand ∈ {...},
+    size/quantity lower bounds) below the join and keeps the cross-side
+    disjunction as the join's residual filter; the equi-key (partkey)
+    still drives a hash join rather than a nested loop."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        l.join(broadcast_if_small(p), p.p_partkey == l.l_partkey)
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey, count(*) AS numcust,
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for the spec's phone-prefix
+    country code; "never ordered" becomes "no order since 2000" — on
+    this dense synthetic data every customer has SOME order). Rich,
+    recently-inactive customers: scalar-subquery average folded in as a
+    broadcast cross join (1 row — no window, no driver round-trip), NOT
+    EXISTS as a left-anti join on custkey. The average and the filter
+    compare exact integer cents, so the above-average cut is
+    deterministic (see the money-discipline block comment). At 100 TB
+    the anti join shuffles only the above-average slice of customers;
+    orders arrives pre-filtered by the pushed-down date predicate and
+    pre-projected to its key column."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    cents = _cents(F.col("c_acctbal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg(cents).alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+        )
+    )
