@@ -1557,3 +1557,102 @@ def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("pos"),
         )
     )
+
+
+SPAN_K = 8  #: gram length (tokens) for exact-substring span detection
+
+
+# --------------------------------------------------------------------------
+@register(
+    "duplicate_span_extents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos : pos + {SPAN_K} - 1], ' ')) AS fp
+          FROM t, UNNEST(range(1, greatest(n - {SPAN_K} + 1, 0) + 1)) AS u(pos)),
+    dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.fp = dup.fp),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+            FROM d),
+    spans AS (SELECT doc_id, min(pos) AS start_pos,
+                     max(pos) + {SPAN_K} - 1 AS end_pos
+              FROM isl GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos)
+                AS BIGINT) AS span_id,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(end_pos AS BIGINT) AS end_pos,
+           CAST(end_pos - start_pos + 1 AS BIGINT) AS n_tokens
+    FROM spans
+    """,
+)
+def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup spans (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" operator, re-expressed
+    for Spark): for every document, the maximal token spans whose every
+    {SPAN_K}-gram also appears verbatim in at least one OTHER document —
+    the spans a dedup pass would cut, at ARBITRARY alignment (unlike the
+    16-token block family, which only sees block-aligned duplication;
+    a copied sentence straddling a block boundary is invisible there and
+    found here). The reference suffix-array construction is inherently
+    single-machine; the distributed equivalent is k-gram fingerprints +
+    island merge, identical output for spans >= k tokens:
+
+    1. one {SPAN_K}-gram md5 per token position (map-side explode, the
+       O3-style fan-out),
+    2. document frequency per fingerprint — partial+final agg keyed on
+       the fingerprint (high-cardinality, bounded tasks),
+    3. positions whose gram is cross-document duplicated, via a
+       left-semi join against the dup fingerprint set,
+    4. gap-and-islands merge (pos − row_number per doc) — windows
+       partition on doc_id, so the biggest task owns one document,
+       never a language or the corpus.
+
+    Output: (doc_id, span_id, start_pos, end_pos, n_tokens), 1-based
+    inclusive token positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty array — docs shorter than the gram must be filtered first
+    g = (
+        docs.filter(n >= SPAN_K)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(1), n - SPAN_K + 1)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), SPAN_K))).alias(
+                "fp"
+            ),
+        )
+    )
+    dup = (
+        g.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    d = g.join(dup, "fp", "left_semi")
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    isl = d.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w_isl)).alias("grp")
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + SPAN_K - 1).alias("end_pos"),
+    )
+    w_span = Window.partitionBy("doc_id").orderBy("start_pos")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_span).cast("long").alias("span_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        (F.col("end_pos") - F.col("start_pos") + 1).cast("long").alias("n_tokens"),
+    )
