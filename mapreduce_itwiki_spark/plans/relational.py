@@ -3137,3 +3137,162 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_12'
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 100) AS BIGINT) ELSE 0 END)
+                 * 1.0
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market by year —
+    an 8-way join where the numerator is a CONDITIONAL slice of the same
+    aggregate as the denominator (one pass, no self-join). nation/region
+    broadcast unconditionally; part/supplier are size-gated. Both sums
+    are exact integer cents, so the share ratio divides two exact
+    integers and rounds identically everywhere."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_12", cents).otherwise(zero)
+                )
+                * 1.0
+                / F.sum(cents),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           round(rv.total_cents / 100.0, 2) AS total_revenue
+    FROM supplier s JOIN revenue rv ON s.s_suppkey = rv.l_suppkey
+    WHERE rv.total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the MAX of an
+    aggregate view — aggregate once, compare against its own 1-row max
+    folded in as a broadcast cross join (the view is consumed by both
+    branches; at this size the re-aggregation is cheaper than a
+    checkpoint, and Catalyst reuses the shuffle exchange). Ties keep
+    every argmax row, exactly as the spec's WHERE total = (SELECT max)
+    — no arbitrary LIMIT 1. Revenue totals are exact integer cents, so
+    the max comparison is exact equality on integers, immune to the
+    float-equality trap the double form would have."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_cents"
+        )
+    )
+    mx = revenue.agg(F.max("total_cents").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * t.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (each line
+    compared against ITS part's average quantity) decorrelated into a
+    per-key aggregate + equi-join — the rewrite every optimizer performs
+    and the only shape that scales (the naive correlated form re-scans
+    lineitem per row). The per-part average divides an exact integer sum
+    (quantities are integer-valued) by an exact count, so the 0.5×avg
+    threshold is engine-deterministic. The brand filter prunes parts
+    before the join; the per-part aggregate runs over the full lineitem
+    (as the spec's subquery does), keyed on high-cardinality partkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    t = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .join(t, l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 4
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
