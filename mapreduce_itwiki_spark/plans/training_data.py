@@ -1613,7 +1613,13 @@ def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, span_id, start_pos, end_pos, n_tokens), 1-based
     inclusive token positions."""
-    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), SPAN_K)
+
+
+def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
+    """Core of duplicate_span_extents over any (doc_id, text) frame —
+    see the catalog query's docstring for semantics and scale shape."""
+    SPAN_K = k
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an

@@ -684,3 +684,45 @@ def test_remove_duplicate_blocks_output_is_ordered_subsequence(spark):
         if cleaned[doc_id] != text:
             changed += 1
     assert changed > 0, "no doc lost any block; property is vacuous"
+
+
+def test_duplicate_spans_planted_and_merged(spark):
+    """Plant one 12-token passage inside two otherwise-disjoint
+    documents at DIFFERENT offsets: the operator must report exactly one
+    maximal span per document covering the planted extent (the
+    block-aligned family can't see this — the copy is not block-aligned
+    in doc B), and a third document with no shared 8-grams must report
+    nothing."""
+    from mapreduce_itwiki_spark.plans.training_data import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    a = " ".join(f"a{i}" for i in range(5)) + " " + shared + " " + " ".join(
+        f"z{i}" for i in range(4)
+    )  # shared at positions 6..17
+    b = " ".join(f"b{i}" for i in range(9)) + " " + shared  # at 10..21
+    c = " ".join(f"c{i}" for i in range(20))  # no overlap
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    rows = {
+        (r.doc_id, r.start_pos, r.end_pos, r.n_tokens)
+        for r in duplicate_spans(df, 8).collect()
+    }
+    assert rows == {(1, 6, 17, 12), (2, 10, 21, 12)}
+
+
+def test_duplicate_spans_merge_islands_not_grams(spark):
+    """Two shared passages separated by a unique gap inside the same
+    document must come back as TWO spans (the island merge must not
+    bridge the gap), each with correct extents."""
+    from mapreduce_itwiki_spark.plans.training_data import duplicate_spans
+
+    p1 = " ".join(f"p{i}" for i in range(8))
+    p2 = " ".join(f"q{i}" for i in range(8))
+    a = p1 + " gapa0 gapa1 gapa2 " + p2          # p1 at 1..8, p2 at 12..19
+    b = p2 + " gapb0 gapb1 gapb2 gapb3 " + p1    # p2 at 1..8, p1 at 13..20
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = {
+        (r.doc_id, r.start_pos, r.end_pos) for r in duplicate_spans(df, 8).collect()
+    }
+    assert rows == {(1, 1, 8), (1, 12, 19), (2, 1, 8), (2, 13, 20)}

@@ -359,3 +359,66 @@ def test_incremental_agg_merge_is_two_level_aggregate(spark):
     plan = plan_of(spark, "incremental_agg_merge")
     assert plan.count("HashAggregate") >= 4, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    """TPC-H Q6 is the pushdown litmus test: all three predicate columns
+    must appear in PushedFilters and the scan must read only the 4
+    referenced columns."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    # 4 columns = 4 type colons + the "ReadSchema:" separator itself
+    assert read_schema.count(":") <= 5, read_schema
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    """The OR-of-ANDs predicate spans both join sides; Catalyst must
+    derive single-side disjunctions and push them into EACH parquet
+    scan (quantity bands → lineitem, brand/size bands → part) while the
+    equi-key keeps a hash join — never a nested loop."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed_blocks = [
+        seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("l_quantity" in b and "Or(" in b for b in pushed_blocks), pushed_blocks
+    assert any("p_brand" in b and "Or(" in b for b in pushed_blocks), pushed_blocks
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Correlated EXISTS must decorrelate to a left-semi (one output row
+    per order, no fan-out + dedup)."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q18_semi_filter_and_takeordered(spark):
+    """The HAVING subquery must semi-filter orders (not inner-join +
+    dedup) and the top-100 must be TakeOrdered, not a total sort."""
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_topk_is_takeordered(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    plan = plan_of(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+
+
+def test_duplicate_spans_partition_by_doc(spark):
+    """The island-merge windows must partition on doc_id (bounded by one
+    document) — never a single-partition window — and duplicated-gram
+    membership must be a semi join against the dup fingerprint set."""
+    plan = plan_of(spark, "duplicate_span_extents")
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    assert "LeftSemi" in plan
