@@ -41,6 +41,10 @@ HEADLINE = [
     # round 4 additions
     "ann_ivf_topk",
     "knn_graph_lsh",
+    # round 5 additions
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "duplicate_span_extents",
 ]
 
 
