@@ -1670,3 +1670,68 @@ def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
         F.col("end_pos").cast("long").alias("end_pos"),
         (F.col("end_pos") - F.col("start_pos") + 1).cast("long").alias("n_tokens"),
     )
+
+
+MIN_SOURCE_CHARS = 290.0  #: source-level mean-length floor
+MAX_SOURCE_DUP = 0.2  #: source-level exact-dup ceiling
+
+
+# --------------------------------------------------------------------------
+@register(
+    "source_reputation_filter",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             avg(n_chars) AS avg_chars,
+             1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*)
+               AS dup_frac
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           round(p.avg_chars, 4) AS src_avg_chars,
+           round(p.dup_frac, 6) AS src_dup_frac,
+           (p.avg_chars >= {MIN_SOURCE_CHARS}
+            AND p.dup_frac <= {MAX_SOURCE_DUP}) AS src_ok
+    FROM documents d JOIN per_source p ON d.source = p.source
+    """,
+)
+def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level curation (the C4/RefinedWeb URL-and-domain filtering
+    idea, with `source` standing in for the registered domain): a
+    source's reputation is an aggregate over ALL its documents — mean
+    document length and within-source exact-duplicate rate — and every
+    document inherits its source's pass/fail verdict. This catches what
+    per-document filters can't: a spam domain whose individual pages
+    each look fine but which mass-produces near-identical boilerplate.
+
+    Scale shape: one grouped rollup keyed on source (partial+final agg;
+    the dup rate is countDistinct over fingerprints, same machinery as
+    exact dedup), then the verdict joins the SMALL per-source frame
+    back to the corpus — size-gated broadcast (domains number ~1e7-1e8
+    at web scale: far under the corpus, not always under the broadcast
+    threshold). Determinism: avg_chars is an exact integer sum over an
+    exact count, dup_frac a ratio of exact counts — both
+    engine-identical before rounding, so the verdict booleans never sit
+    on a float boundary."""
+    from ..functions.text import fingerprint
+    from .relational import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(fingerprint(F.col("text"))) * 1.0 / F.count(F.lit(1))
+        ).alias("dup_frac"),
+    )
+    return docs.join(broadcast_if_small(per_source), "source").select(
+        "doc_id",
+        "source",
+        F.round("avg_chars", 4).alias("src_avg_chars"),
+        F.round("dup_frac", 6).alias("src_dup_frac"),
+        (
+            (F.col("avg_chars") >= MIN_SOURCE_CHARS)
+            & (F.col("dup_frac") <= MAX_SOURCE_DUP)
+        ).alias("src_ok"),
+    )
