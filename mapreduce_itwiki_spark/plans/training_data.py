@@ -1735,3 +1735,111 @@ def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_frac") <= MAX_SOURCE_DUP)
         ).alias("src_ok"),
     )
+
+
+SEM_DECON_TAU = 0.3  #: max-eval-cosine threshold for semantic contamination
+SEM_EVAL_IDS = 20  #: vec_id < this = the held-out eval embedding set
+
+
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT v FROM e WHERE vec_id < {SEM_EVAL_IDS}),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id >= {SEM_EVAL_IDS}),
+    m AS (SELECT tr.vec_id,
+                 max(round(list_dot_product(tr.v, ev.v)
+                     / (sqrt(list_dot_product(tr.v, tr.v))
+                        * sqrt(list_dot_product(ev.v, ev.v))), 6))
+                   AS max_eval_cosine
+          FROM tr, ev GROUP BY tr.vec_id)
+    SELECT vec_id, max_eval_cosine,
+           max_eval_cosine >= {SEM_DECON_TAU} AS contaminated
+    FROM m
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    verbatim 8-gram filter (`decontaminate_against_eval`): a training
+    item is contaminated if its embedding lies within cosine >= τ of ANY
+    held-out eval item, which catches paraphrased/reformatted benchmark
+    leakage that exact n-gram overlap misses (the standard second pass
+    in modern pretraining hygiene). Eval sets are small by construction,
+    so the eval embeddings BROADCAST and the scan over training vectors
+    never shuffles: cost ∝ n_train x n_eval map-side flops, then one
+    per-vector max-aggregate — at 100 TB this is embarrassingly
+    parallel, and a giant eval suite would swap in the banded-LSH
+    candidate path (`operators/similarity.py`) before the exact rescore.
+    Cosines are rounded to 6 dp on both engines BEFORE the max/threshold
+    (the catalog's float discipline), so the verdict never sits on an
+    ulp boundary."""
+    from ..functions import vectors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = (
+        e.filter(F.col("vec_id") < SEM_EVAL_IDS)
+        .select(vectors.as_double(F.col("embedding")).alias("ev"))
+    )
+    tr = e.filter(F.col("vec_id") >= SEM_EVAL_IDS).select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.round(vectors.cosine(F.col("v"), F.col("ev")), 6).alias("c"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("c").alias("max_eval_cosine")
+    ).select(
+        "vec_id",
+        "max_eval_cosine",
+        (F.col("max_eval_cosine") >= SEM_DECON_TAU).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "length_bucket_padding",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    b AS (SELECT doc_id, n,
+                 CAST(pow(2, ceil(log2(n))) AS BIGINT) AS bucket
+          FROM t)
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(bucket * count(*) - sum(n) AS BIGINT) AS pad_tokens,
+           round((bucket * count(*) - sum(n)) * 1.0 / (bucket * count(*)), 6)
+             AS pad_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the training-efficiency twin of
+    packing: if sequences are batched per power-of-two length bucket
+    (the dynamic-padding strategy when concat-packing is off, e.g. for
+    finetuning), how many pad tokens does each bucket burn? bucket =
+    2^ceil(log2(n_tokens)); waste = bucket*count - sum(tokens). Feeds
+    the decision between bucketed padding and `pack_documents_greedy`.
+    Map-side bucket arithmetic + one tiny agg; all-integer except the
+    final rounded fraction (log2 of an integer is exact at powers of
+    two and strictly between integers elsewhere, so ceil is
+    engine-deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    b = docs.select(
+        n.alias("n"),
+        F.pow(F.lit(2), F.ceil(F.log2(n))).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("sum_tokens"),
+        (F.col("bucket") * F.count(F.lit(1)) - F.sum("n"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            (F.col("bucket") * F.count(F.lit(1)) - F.sum("n"))
+            * 1.0
+            / (F.col("bucket") * F.count(F.lit(1))),
+            6,
+        ).alias("pad_frac"),
+    )
