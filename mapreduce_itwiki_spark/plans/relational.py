@@ -2714,7 +2714,7 @@ def sql_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# TPC-H shape battery (round 3 widening): the remaining classic query
+# TPC-H shape battery (round-5 widening): the remaining classic query
 # shapes expressible on the driver testdata's column subset (lineitem
 # has no commitdate/receiptdate/shipmode, there is no partsupp table —
 # q2/q9/q11/q12/q16/q20/q21 need those and are out of scope; predicates
@@ -2738,12 +2738,9 @@ def sql_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cents(col):
-    """Exact integer cents for a money expression (see block comment)."""
+    """Exact integer cents for a money expression (see block comment);
+    the oracle-side twin is the inlined CAST(round(x * 100) AS BIGINT)."""
     return F.round(col * 100).cast("long")
-
-
-#: oracle-side twin of _cents
-_CENTS = "CAST(round(({expr}) * 100) AS BIGINT)"
 
 
 # --------------------------------------------------------------------------
@@ -3184,13 +3181,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     zero = F.lit(0).cast("long")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        # the selective part filter (p_type) joins FIRST: a broadcast
+        # probe prunes lineitem map-side BEFORE any fact-fact shuffle,
+        # cutting both downstream exchanges by the type selectivity
+        # (Spark's CBO join reorder is off by default — written order
+        # stands, so write the selective prune first)
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(

@@ -1593,7 +1593,7 @@ def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING dedup spans (the Lee et al. 2021 "Deduplicating
     Training Data Makes Language Models Better" operator, re-expressed
     for Spark): for every document, the maximal token spans whose every
-    {SPAN_K}-gram also appears verbatim in at least one OTHER document —
+    8-gram (SPAN_K) also appears verbatim in at least one OTHER document —
     the spans a dedup pass would cut, at ARBITRARY alignment (unlike the
     16-token block family, which only sees block-aligned duplication;
     a copied sentence straddling a block boundary is invisible there and
@@ -1601,8 +1601,8 @@ def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-machine; the distributed equivalent is k-gram fingerprints +
     island merge, identical output for spans >= k tokens:
 
-    1. one {SPAN_K}-gram md5 per token position (map-side explode, the
-       O3-style fan-out),
+    1. one k-gram fingerprint per token position (map-side explode,
+       the O3-style fan-out),
     2. document frequency per fingerprint — partial+final agg keyed on
        the fingerprint (high-cardinality, bounded tasks),
     3. positions whose gram is cross-document duplicated, via a
@@ -1619,17 +1619,16 @@ def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
     """Core of duplicate_span_extents over any (doc_id, text) frame —
     see the catalog query's docstring for semantics and scale shape."""
-    SPAN_K = k
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
     # empty array — docs shorter than the gram must be filtered first
     g = (
-        docs.filter(n >= SPAN_K)
+        docs.filter(n >= k)
         .select(
             "doc_id",
             toks.alias("toks"),
-            F.explode(F.sequence(F.lit(1), n - SPAN_K + 1)).alias("pos"),
+            F.explode(F.sequence(F.lit(1), n - k + 1)).alias("pos"),
         )
         .select(
             "doc_id",
@@ -1644,7 +1643,7 @@ def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
             # one k-gram duplicated — negligible against the dedup
             # purpose (Lee et al. likewise hash); swap in md5 if an
             # application needs collision-free exactness.
-            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), SPAN_K)).alias("fp"),
+            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k)).alias("fp"),
         )
     )
     dup = (
@@ -1660,7 +1659,7 @@ def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
     )
     spans = isl.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("start_pos"),
-        (F.max("pos") + SPAN_K - 1).alias("end_pos"),
+        (F.max("pos") + k - 1).alias("end_pos"),
     )
     w_span = Window.partitionBy("doc_id").orderBy("start_pos")
     return spans.select(
