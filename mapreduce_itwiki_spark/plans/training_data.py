@@ -1842,3 +1842,109 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "remove_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos : pos + {SPAN_K} - 1], ' ')) AS fp
+          FROM t, UNNEST(range(1, greatest(n - {SPAN_K} + 1, 0) + 1)) AS u(pos)),
+    own AS (SELECT fp, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+            FROM g GROUP BY fp),
+    cut AS (SELECT DISTINCT g.doc_id, g.pos + off.i AS tokpos
+            FROM g JOIN own ON g.fp = own.fp,
+                 UNNEST(range(0, {SPAN_K})) AS off(i)
+            WHERE own.nd >= 2 AND g.doc_id <> own.owner),
+    toks AS (SELECT doc_id, pos, toks[pos] AS tok
+             FROM t, UNNEST(range(1, n + 1)) AS u(pos)),
+    kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+             FROM toks tk LEFT JOIN cut
+               ON tk.doc_id = cut.doc_id AND tk.pos = cut.tokpos
+             WHERE cut.doc_id IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(reb.cleaned, '') AS cleaned_text,
+           CAST(t.n - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+    """,
+)
+def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM twin of `duplicate_span_extents` — what Lee et al.
+    2021 actually DO to the corpus: cut every cross-document duplicated
+    span, keeping the copy in the lowest-doc_id document that contains
+    each duplicated k-gram (gram-local keep-first, so exactly one
+    occurrence of every duplicated passage survives corpus-wide; unlike
+    `remove_duplicate_blocks`, cuts land at ARBITRARY alignment and
+    partial-block copies are caught). A token is removed iff some
+    duplicated k-gram covering it is owned by an earlier document.
+
+    Shape: the same gram fan-out and fingerprint aggregate as the
+    reporter (fingerprint ownership = min(doc_id), a partial+final agg
+    on the high-cardinality fingerprint), gram hits explode to their k
+    covered token positions (map-side), and removal is a left-anti join
+    of the token stream against the distinct cut-position set — both
+    sides keyed on (doc_id, pos), bounded tasks at any corpus size.
+    Reassembly is the collect-sort-concat agg of the block remover."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = F.split(F.col("text"), " ")
+    n = F.size(toks_col)
+    base = docs.select("doc_id", toks_col.alias("toks"), n.alias("n"))
+    g = (
+        base.filter(F.col("n") >= SPAN_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - SPAN_K + 1)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            # xxhash64 internal fingerprint, same rationale as
+            # duplicate_spans (oracle replays equality classes via md5)
+            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), SPAN_K)).alias("fp"),
+        )
+    )
+    own = g.groupBy("fp").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+    )
+    cut = (
+        g.join(own, "fp")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    tok_stream = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_stream.join(
+        cut,
+        (tok_stream.doc_id == cut.doc_id) & (tok_stream.pos == cut.tokpos),
+        "left_anti",
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return base.select("doc_id", "n").join(reb, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
