@@ -3298,3 +3298,53 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "python_datasource_sink",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Python DataSource API
+    (`sources/pyds.py:JsonlManifestSink`): documents stream through a
+    custom sink whose task-commit protocol publishes a manifest naming
+    exactly the committed files. The round trip then reads ONLY
+    manifest-listed files back (explicit schema — no inference scan)
+    and aggregates; equality with the direct oracle proves every row
+    crossed the connector exactly once. The exactly-once claim is
+    exercised, not asserted: before reading back, a decoy
+    `part-*-orphan.jsonl` (what a failed speculative attempt would
+    leave behind under naive glob reads) is planted in the directory —
+    the manifest read never sees it, a glob read would."""
+    import json as _json
+    import shutil
+
+    from ..sources import pyds
+
+    spark.dataSource.register(pyds.JsonlManifestSink)
+    out = _scratch_dir("pyds_sink", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    (
+        docs.repartition(8)
+        .write.format(pyds.JSONL_SINK_NAME)
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # simulate an uncommitted attempt's leftover that a glob would read
+    with open(os.path.join(out, "part-99999-orphan.jsonl"), "w") as fh:
+        fh.write('{"doc_id": -1, "lang": "xx", "n_chars": 10}\n')
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        files = [os.path.join(out, n) for n in _json.load(fh)]
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(files)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

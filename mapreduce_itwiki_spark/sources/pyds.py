@@ -21,12 +21,14 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SYNTH_NAME = "synthdocs"
@@ -135,3 +137,88 @@ try:  # cloudpickle < 2.0 lacks register_pickle_by_value
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - defensive; reference pickling still works in-repo
     pass
+
+
+JSONL_SINK_NAME = "jsonl_manifest"
+
+
+class JsonlManifestSink(DataSource):
+    """``df.write.format("jsonl_manifest").option("path", ...).save()``
+    — the WRITE side of the Python DataSource API, implementing the
+    task-commit protocol a distributed sink needs for exactly-once
+    output: each task writes to a uniquely-named temp file and returns
+    a commit message; only the driver's ``commit()`` promotes temp
+    files to final names and publishes a ``_MANIFEST.json`` naming
+    exactly the committed files. Readers that trust only the manifest
+    never see output from failed/speculative/aborted task attempts —
+    the same contract Hadoop's FileOutputCommitter / Spark's v2 commit
+    protocol provide for built-in sinks (and the reference gets only by
+    having a single reducer write a single file,
+    CountReference.java:365-377). On a cluster the path must be shared
+    storage; the protocol itself is storage-agnostic."""
+
+    @classmethod
+    def name(cls) -> str:
+        return JSONL_SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> "JsonlManifestWriter":
+        return JsonlManifestWriter(self.options)
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> "FileCommit":
+        """Runs ON EXECUTORS, one call per partition: stream rows to a
+        temp file whose name no concurrent attempt can collide with
+        (task attempts of the same partition differ in the uuid), and
+        report it for promotion — never visible until commit."""
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        final = f"part-{pid:05d}.jsonl"
+        tmp = f"_tmp-{uuid.uuid4().hex}-{final}"
+        with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return FileCommit(tmp, final)
+
+    def commit(self, messages) -> None:
+        """Driver-side, runs once after EVERY task succeeded: promote
+        temp files atomically and publish the manifest LAST — the
+        manifest write is the single commit point."""
+        import json
+        import os
+
+        names = []
+        for m in messages:
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+            names.append(m.final_name)
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(sorted(names), fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
+class FileCommit(WriterCommitMessage):
+    """Commit message: (temp name, final name) of one task's file."""
+
+    def __init__(self, tmp_name: str, final_name: str) -> None:
+        self.tmp_name = tmp_name
+        self.final_name = final_name
