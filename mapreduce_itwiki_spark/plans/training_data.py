@@ -1948,3 +1948,91 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
     )
+
+
+PIPE_MIN_TOKENS = 30  #: per-doc quality floor for the capstone pipeline
+
+
+# --------------------------------------------------------------------------
+@register(
+    "curate_and_pack_pipeline",
+    oracle=f"""
+    WITH rep AS (
+      SELECT source, avg(n_chars) AS avg_chars,
+             1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*)
+               AS dup_frac
+      FROM documents GROUP BY source),
+    keep AS (
+      SELECT d.doc_id, d.lang, d.text,
+             d.doc_id = min(d.doc_id)
+               OVER (PARTITION BY md5(lower(trim(d.text)))) AS first_copy,
+             r.avg_chars >= {MIN_SOURCE_CHARS} AND r.dup_frac <= {MAX_SOURCE_DUP}
+               AS src_ok
+      FROM documents d JOIN rep r ON d.source = r.source),
+    surv AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM keep
+      WHERE first_copy AND src_ok
+        AND len(string_split(text, ' ')) >= {PIPE_MIN_TOKENS}),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+      FROM surv)
+    SELECT doc_id, lang,
+           CAST((cum - n_tokens) // {PACK_WINDOW} AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def curate_and_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as ONE declarative DAG — the
+    capstone's capstone: source-reputation gate (domain-level rollup
+    broadcast back) × exact-dedup keep-first (fingerprint window) ×
+    minimum-length quality floor, then the survivors packed into
+    context-window bins by the two-pass shard prefix sum. One Spark
+    job: Catalyst fuses the reputation aggregate (partial+final,
+    broadcast back), the fingerprint window, the filters, and the
+    sharded cumsum — no intermediate materialization, no driver
+    round-trip. This is the shape a real 100 TB curation run has: every
+    stage keyed on high-cardinality columns (fingerprint, source,
+    doc_id) or bounded shards, so tasks stay bounded end to end while
+    whole-corpus decisions (source reputation, global dedup, global
+    packing order) remain exact. The oracle replays packing with a
+    bare-lang window — fine for DuckDB, the scale-killer the shard
+    decomposition exists to avoid in Spark."""
+    from ..functions.text import fingerprint
+    from .relational import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.groupBy("source").agg(
+        F.avg("n_chars").alias("avg_chars"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(fingerprint(F.col("text"))) * 1.0 / F.count(F.lit(1))
+        ).alias("dup_frac"),
+    )
+    w_fp = Window.partitionBy(fingerprint(F.col("text")))
+    keep = docs.join(broadcast_if_small(rep), "source").select(
+        "doc_id",
+        "lang",
+        "text",
+        (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("first_copy"),
+        (
+            (F.col("avg_chars") >= MIN_SOURCE_CHARS)
+            & (F.col("dup_frac") <= MAX_SOURCE_DUP)
+        ).alias("src_ok"),
+    )
+    surv = keep.filter(
+        F.col("first_copy")
+        & F.col("src_ok")
+        & (F.size(F.split(F.col("text"), " ")) >= PIPE_MIN_TOKENS)
+    ).select("doc_id", "lang", "text")
+    cum = _sharded_cum_tokens(surv)
+    return cum.select(
+        "doc_id",
+        "lang",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_WINDOW)
+        .cast("long")
+        .alias("bin_id"),
+    )
