@@ -1890,23 +1890,28 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the token stream against the distinct cut-position set — both
     sides keyed on (doc_id, pos), bounded tasks at any corpus size.
     Reassembly is the collect-sort-concat agg of the block remover."""
-    docs = load_table(spark, sf_dir, "documents")
+    return remove_spans(load_table(spark, sf_dir, "documents"), SPAN_K)
+
+
+def remove_spans(docs: DataFrame, k: int) -> DataFrame:
+    """Core of remove_duplicate_spans over any (doc_id, text) frame —
+    see the catalog query's docstring for semantics and scale shape."""
     toks_col = F.split(F.col("text"), " ")
     n = F.size(toks_col)
     base = docs.select("doc_id", toks_col.alias("toks"), n.alias("n"))
     g = (
-        base.filter(F.col("n") >= SPAN_K)
+        base.filter(F.col("n") >= k)
         .select(
             "doc_id",
             "toks",
-            F.explode(F.sequence(F.lit(1), F.col("n") - SPAN_K + 1)).alias("pos"),
+            F.explode(F.sequence(F.lit(1), F.col("n") - k + 1)).alias("pos"),
         )
         .select(
             "doc_id",
             "pos",
             # xxhash64 internal fingerprint, same rationale as
             # duplicate_spans (oracle replays equality classes via md5)
-            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), SPAN_K)).alias("fp"),
+            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k)).alias("fp"),
         )
     )
     own = g.groupBy("fp").agg(
@@ -1918,7 +1923,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
             ).alias("tokpos"),
         )
         .distinct()

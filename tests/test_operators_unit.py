@@ -726,3 +726,21 @@ def test_duplicate_spans_merge_islands_not_grams(spark):
         (r.doc_id, r.start_pos, r.end_pos) for r in duplicate_spans(df, 8).collect()
     }
     assert rows == {(1, 1, 8), (1, 12, 19), (2, 1, 8), (2, 13, 20)}
+
+
+def test_remove_duplicate_spans_keep_first_policy(spark):
+    """Keep-first semantics pinned on a planted copy: the passage
+    shared by docs 1 and 2 survives verbatim in doc 1 (the lower
+    doc_id owns every duplicated gram) and is cut from doc 2; unique
+    prose survives in both, in original order."""
+    from mapreduce_itwiki_spark.plans.training_data import remove_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = "a0 a1 " + shared + " a2 a3"
+    b = "b0 b1 b2 " + shared + " b4"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_spans(df, 8).collect()}
+    assert out[1].cleaned_text == a  # owner keeps everything
+    assert out[1].n_removed == 0
+    assert out[2].cleaned_text == "b0 b1 b2 b4"
+    assert out[2].n_removed == 12

@@ -173,7 +173,11 @@ def test_prefix_sums_never_window_whole_language(spark):
     doc_id, input is an Aggregate)."""
     import re
 
-    for name in ("token_budget_head", "pack_documents_greedy"):
+    for name in (
+        "token_budget_head",
+        "pack_documents_greedy",
+        "curate_and_pack_pipeline",
+    ):
         plan = plan_of(spark, name)
         specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
         assert specs, f"{name}: no window in plan"
