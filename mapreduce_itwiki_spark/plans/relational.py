@@ -3348,3 +3348,451 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT s.partkey, s.suppkey, s.cost_c
+      FROM supply s
+      JOIN supplier su ON su.s_suppkey = s.suppkey
+      JOIN nation n ON n.n_nationkey = su.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AFRICA')
+    SELECT round(su.s_acctbal, 2) AS s_acctbal, su.s_name, n.n_name, p.p_partkey,
+           round(e.cost_c / 100.0, 2) AS min_cost
+    FROM eligible e
+    JOIN (SELECT partkey, min(cost_c) AS mc FROM eligible GROUP BY 1) m
+      ON e.partkey = m.partkey AND e.cost_c = m.mc
+    JOIN part p ON p.p_partkey = e.partkey
+    JOIN supplier su ON su.s_suppkey = e.suppkey
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n.n_name, su.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery ("the supplier whose
+    cost IS the minimum cost for that part, within a region")
+    decorrelated into a per-part min aggregate + equality join — the
+    argmin-join rewrite every optimizer performs, and the only shape
+    that scales (the correlated form re-probes per row). The supply
+    relation is derived from lineitem (the testdata has no partsupp;
+    cost = min line price per part-supplier, in exact integer cents so
+    the min and the equality probe are engine-deterministic). The
+    region restriction applies INSIDE the min, as in the spec — both
+    the candidate rows and the min they are compared against see only
+    AFRICA suppliers. nation/region broadcast; the two scans of the
+    eligible frame share one shuffle key (partkey); ties on min cost
+    emit every tied supplier (spec semantics). Deterministic top-100:
+    full tiebreak chain, one TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    supply = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_c"))
+    eligible = (
+        supply.join(broadcast_if_small(su), F.col("suppkey") == su.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("partkey", "suppkey", "cost_c", "s_acctbal", "s_name", "n_name")
+    )
+    mins = eligible.groupBy(F.col("partkey").alias("m_partkey")).agg(
+        F.min("cost_c").alias("mc")
+    )
+    return (
+        eligible.join(
+            mins,
+            (F.col("partkey") == F.col("m_partkey"))
+            & (F.col("cost_c") == F.col("mc")),
+        )
+        .join(broadcast_if_small(p), F.col("partkey") == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round(F.col("cost_c") / 100.0, 2).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)
+                   - CAST(round(p.p_retailprice * l.l_quantity * 100) AS BIGINT))
+                 / 100.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE contains(p.p_name, 'bolt')
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year — the widest join fan in the battery (lineitem ⋈ part ⋈
+    supplier ⋈ orders ⋈ nation) with a substring part filter. Profit =
+    discounted revenue − cost (retailprice × qty standing in for
+    ps_supplycost; no partsupp in the testdata). Revenue and cost are
+    rounded to integer cents SEPARATELY before the subtraction — each
+    factor is positive, so no negative-half-cent rounding divergence
+    can arise between engines, and the sum of (long − long) is exact.
+    The selective p_name filter prunes part first and, at 100 TB,
+    flows into lineitem via runtime bloom/DPP; part and nation
+    broadcast below the threshold, the two fact joins (orders) shuffle
+    on their keys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _cents(
+        F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_c) / 100.0, 2).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS val_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_8'
+      GROUP BY 1)
+    SELECT partkey, round(val_c / 100.0, 2) AS value
+    FROM v WHERE val_c > (SELECT sum(val_c) * 0.001 FROM v)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one nation's
+    suppliers, kept only where it exceeds a FRACTION OF THE GLOBAL
+    TOTAL — the scalar-subquery-in-HAVING pattern. The per-part frame
+    is computed once and feeds both the global total (a 1-row
+    aggregate folded back as a broadcast cross join — no second scan
+    of lineitem, no driver round-trip) and the filter probe. Values
+    are exact integer cents, so total × 0.001 is a single correctly
+    rounded double multiply — the threshold compare is
+    engine-deterministic. At 100 TB: the nation filter prunes
+    suppliers before the fact join (broadcast), and the only wide
+    shuffle keys on high-cardinality partkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
+    v = (
+        l.join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("val_c"))
+    )
+    tot = v.agg((F.sum("val_c") * 0.001).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_c") > F.col("threshold"))
+        .select("partkey", F.round(F.col("val_c") / 100.0, 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'N')
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: did late shipping hit high-priority orders? —
+    an equi-join carrying a NON-equi conjunct across the two tables
+    (shipped ≥ 90 days after the order date; the testdata has no
+    commit/receipt dates, so order→ship lag stands in for
+    commit→receipt), plus pivot-style conditional counts. The single-
+    table predicates (mode membership, ship-year window) push to the
+    lineitem scan; only the cross-table lag condition evaluates post-
+    join. Shape note for 100 TB: the join stays a plain shuffled hash/
+    sort-merge on orderkey — the non-equi part is a residual filter,
+    never a nested-loop trigger."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count DISTRIBUTION — a left
+    outer join whose JOIN CONDITION (not a post-filter!) excludes one
+    priority class, so customers with zero qualifying orders survive
+    with count 0, then a second aggregation histograms the counts.
+    Putting the exclusion in the ON clause is the whole point of the
+    query: a WHERE would silently drop the zero-order customers. Two
+    shuffles (custkey, then the tiny c_count histogram); count(col)
+    counts only non-null rows on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                FROM lineitem)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           count(DISTINCT ps.suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each (brand, type,
+    size) bucket — distinct part-supplier pairs (derived from lineitem;
+    no partsupp), a NOT-IN exclusion list (suppliers with negative
+    balance standing in for the complaints LIKE), and a COUNT DISTINCT
+    over a grouped join. The NOT IN compiles to a broadcast anti join
+    (the exclusion list is provably non-null and tiny — its NULL
+    trapdoor can't fire); negated part predicates still prune via the
+    IN list on size. The distinct-pair dedup and the count-distinct
+    both key on high-cardinality partkey — no skew at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    ps = (
+        l.select(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        ps.join(broadcast_if_small(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT partkey, sum(qty) AS tot_qty FROM q GROUP BY 1),
+    excess AS (
+      SELECT DISTINCT q.suppkey
+      FROM q JOIN tot ON q.partkey = tot.partkey
+      JOIN part p ON p.p_partkey = q.partkey
+      WHERE p.p_name LIKE 'small%' AND q.qty > 0.4 * tot.tot_qty)
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (SELECT suppkey FROM excess)
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi-join chain — suppliers (in one
+    region) qualify through an inner correlated-aggregate condition:
+    their shipped quantity of some 'small%' part exceeds 40% of that
+    part's total shipped quantity for the year (availqty > ½·Σqty in
+    the spec; share-of-total here, same decorrelation). Inner condition
+    = per-(part,supp) agg joined to per-part agg — the two aggregates
+    share the partkey shuffle and Catalyst reuses the exchange. The
+    qualifying-supplier set then semi-joins up to supplier: no
+    duplicate suppliers, no fact columns carried. Quantities are
+    integer-valued, so the sums and the 0.4× threshold are exact in
+    both engines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    q = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    tot = q.groupBy(F.col("partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    excess = (
+        q.join(tot, F.col("partkey") == F.col("t_partkey"))
+        .join(broadcast_if_small(p), F.col("partkey") == p.p_partkey)
+        .filter(F.col("qty") > 0.4 * F.col("tot_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n.n_regionkey = 0
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest subquery pattern in the spec — an
+    EXISTS and a NOT EXISTS against the SAME fact, both correlated on
+    the outer row's orderkey AND carrying a non-equi conjunct
+    (different supplier). "Which supplier was the sole offender on a
+    finished multi-supplier order": returnflag='R' stands in for the
+    receipt-after-commit lateness. Compiled as a left-SEMI join (some
+    other supplier touched the order) then a left-ANTI join (no other
+    supplier was also late) on the slim (orderkey, suppkey) projection
+    — the inequality rides as a residual condition on the equi-join,
+    never a nested loop. All three fact passes shuffle on orderkey;
+    Catalyst reuses the exchange. Deterministic top-100 via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("lo2"), F.col("l_suppkey").alias("ls2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("lo3"), F.col("l_suppkey").alias("ls3")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    base = (
+        l1.join(o, l1.l_orderkey == F.col("o_orderkey"))
+        .join(
+            l2,
+            (l1.l_orderkey == F.col("lo2")) & (l1.l_suppkey != F.col("ls2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("lo3")) & (l1.l_suppkey != F.col("ls3")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(broadcast_if_small(s), base.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
