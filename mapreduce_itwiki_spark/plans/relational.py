@@ -3409,15 +3409,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("partkey", "suppkey", "cost_c", "s_acctbal", "s_name", "n_name")
     )
-    mins = eligible.groupBy(F.col("partkey").alias("m_partkey")).agg(
-        F.min("cost_c").alias("mc")
-    )
+    # argmin via a window over high-cardinality partkey: ONE pass over the
+    # eligible frame (a groupBy-min + self-join would re-derive it — at
+    # 100 TB, a second full lineitem scan + agg), and the min reuses the
+    # partkey exchange the aggregate below would need anyway.
+    mc = F.min("cost_c").over(Window.partitionBy("partkey"))
     return (
-        eligible.join(
-            mins,
-            (F.col("partkey") == F.col("m_partkey"))
-            & (F.col("cost_c") == F.col("mc")),
-        )
+        eligible.withColumn("mc", mc)
+        .filter(F.col("cost_c") == F.col("mc"))
         .join(broadcast_if_small(p), F.col("partkey") == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),

@@ -426,3 +426,52 @@ def test_duplicate_spans_partition_by_doc(spark):
     assert "hashpartitioning(doc_id" in plan
     assert "SinglePartition" not in plan
     assert "LeftSemi" in plan
+
+
+def test_q2_argmin_single_eligible_pass(spark):
+    """The decorrelated MIN must be a window over the eligible frame —
+    exactly one lineitem scan (a groupBy-min + self-join would scan and
+    aggregate it twice) — and the top-100 a TakeOrderedAndProject."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    scans = plan.count("lineitem.parquet")
+    assert scans == 1, f"expected 1 lineitem scan, saw {scans}"
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan  # window keys on partkey
+
+
+def test_q21_semi_then_anti_on_same_fact(spark):
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both with the
+    different-supplier inequality as a residual on the orderkey
+    equi-join — never a nested loop — and top-100 via TakeOrdered."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_semi_join_no_fanout(spark):
+    """The qualifying-supplier probe must reach supplier as a left-semi
+    (IN-subquery), so suppliers are never duplicated by multi-part
+    qualification."""
+    plan = plan_of(spark, "q20_excess_share_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    # the size IN-list must reach the part scan
+    assert "In(p_size" in plan or "p_size IN" in plan, "size filter not pushed"
+
+
+def test_q13_outer_join_preserves_zero_customers(spark):
+    """The priority exclusion must sit under the outer join (filter on
+    the orders side), never above it — a post-join filter would drop
+    the zero-order customers the distribution exists to count."""
+    plan = plan_of(spark, "q13_customer_order_distribution")
+    assert "LeftOuter" in plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]]
+    assert any("o_orderpriority" in b for b in pushed), pushed
