@@ -45,6 +45,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "duplicate_span_extents",
+    # round 6 additions (TPC-H battery completion)
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
 ]
 
 

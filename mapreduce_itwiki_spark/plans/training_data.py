@@ -2041,3 +2041,176 @@ def curate_and_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             list(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+      FROM events),
+    t AS (
+      SELECT event_id, user_id, len(frame) AS m,
+             unnest(frame) AS c, generate_subscripts(frame, 1) AS i
+      FROM e)
+    SELECT event_id, user_id,
+           sum(c * CAST(power(2, i + 7 - m) AS BIGINT)) / 25600.0 AS ewma8
+    FROM t GROUP BY event_id, user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving value per user — the trailing
+    engagement/quality feature of a feature-engineering pipeline —
+    truncated at 8 events so it is EXACT: with α = ½ every weight is a
+    power of two, so working in integer cents shifted by the lag
+    (cents·2^(7−lag)) makes the accumulation a LONG sum — bitwise
+    engine-identical regardless of addition order, unlike a float EWMA
+    recursion (the weighted sum only becomes a double at the final
+    ÷2^8·100 and 4-dp round). Shape: one bounded window (8-row frame,
+    partitioned by high-cardinality user) feeding Arrow-free JVM
+    higher-order functions — zip_with indexes the frame, aggregate
+    folds it — zero Python, zero extra shuffle; the oracle explodes the
+    same frames relationally and must agree to the last bit."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    frame = F.collect_list(cents).over(w)
+    base = events.select("event_id", "user_id", frame.alias("frame"))
+    m = F.size("frame")
+    terms = F.zip_with(
+        F.col("frame"),
+        F.sequence(F.lit(1), m),
+        lambda c, i: c * F.pow(F.lit(2.0), i + 7 - m).cast("long"),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return base.select(
+        "event_id", "user_id", (total / 25600.0).alias("ewma8")
+    )
+
+
+PMI_MIN_COUNT = 5  #: bigram support floor for collocation mining
+PMI_TOP_K = 50
+
+
+# --------------------------------------------------------------------------
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)),
+    bg AS (
+      SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks),
+    p AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE w2 IS NOT NULL
+          GROUP BY 1, 2),
+    lc AS (SELECT w1, sum(c12) AS c1 FROM p GROUP BY 1),
+    rc AS (SELECT w2, sum(c12) AS c2 FROM p GROUP BY 1),
+    n AS (SELECT sum(c12) AS n FROM p)
+    SELECT p.w1, p.w2, p.c12,
+           round(ln(p.c12 * (SELECT n FROM n) * 1.0 / (lc.c1 * rc.c2)), 4) AS pmi
+    FROM p JOIN lc ON p.w1 = lc.w1 JOIN rc ON p.w2 = rc.w2
+    WHERE p.c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, p.w1, p.w2 LIMIT {PMI_TOP_K}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    phrase-discovery operator (word2vec-era phrase merging, tokenizer
+    vocab seeding): score adjacent token pairs by how much more often
+    they co-occur than independence predicts, keep the top-k above a
+    support floor. All marginals (left counts, right counts, grand
+    total) derive from the ONE bigram-count frame — no second corpus
+    scan — with the total folded back as a broadcast cross join and the
+    marginals as broadcast-joinable aggregates. PMI's ln is computed
+    once per surviving pair from exact integer counts and rounded at
+    4 dp (the deterministic-transcendental discipline of
+    bigram_logprob_scoring); the support floor keeps the frequency-1
+    noise PMI is notorious for out of the result. Deterministic top-k:
+    (pmi, w1, w2) full tiebreak → TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    p = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lc = p.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rc = p.groupBy(F.col("w2").alias("rw2")).agg(F.sum("c12").alias("c2"))
+    n = p.agg(F.sum("c12").alias("n"))
+    return (
+        p.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(lc, "w1")
+        .join(rc, F.col("w2") == F.col("rw2"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(F.col("c12") * F.col("n") * 1.0 / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "token_entropy_quality",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           round(-sum((tf.c * 1.0 / n.n) * ln(tf.c * 1.0 / n.n)), 4)
+             AS token_entropy,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-entropy quality signal: Shannon entropy of each
+    document's token distribution — low entropy = repetitive/templated
+    text (the information-theoretic cousin of the Gopher repetition
+    fractions), and entropy-per-token is the standard compressibility
+    proxy when no model is at hand. One exploded term-frequency frame
+    feeds both the per-doc total and the entropy sum; every shuffle
+    keys on high-cardinality doc_id. p·ln p terms are computed from
+    exact integer counts and the sum rounds at 4 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy(F.col("doc_id").alias("n_doc_id")).agg(F.sum("c").alias("n"))
+    pr = F.col("c") * 1.0 / F.col("n")
+    return (
+        tf.join(n, tf.doc_id == F.col("n_doc_id"))
+        .groupBy(tf.doc_id)
+        .agg(
+            F.round(-F.sum(pr * F.log(pr)), 4).alias("token_entropy"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
