@@ -1874,3 +1874,60 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(resize, schema)
+
+
+BFS_MAX_HOPS = 4  #: hop cap for the bounded BFS distance query
+
+
+@register(
+    "bfs_hop_distance",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    e3 AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM e3),
+    src AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+    walk (node, dist) AS (
+      SELECT node, 0 FROM src
+      UNION ALL
+      SELECT e.b, w.dist + 1 FROM walk w JOIN e3 e ON e.a = w.node
+      WHERE w.dist < {BFS_MAX_HOPS})
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the near-dup graph: hop distance
+    from the 3 lowest-id graph nodes, capped at {BFS_MAX_HOPS} hops —
+    the "how close is this doc to a known-bad seed" primitive of
+    contamination tracing (seeds = flagged documents; the cap bounds
+    both compute and the blast radius a verdict may propagate).
+    Iterative relational BFS: each round joins the current distance
+    frame to the edge list and keeps the per-node minimum — on a
+    cluster this is hops × (join + partial/final min agg) shuffling
+    only the frontier, never the corpus; the fixed hop cap means NO
+    convergence probe is needed (contrast connected_components, whose
+    fixpoint must be checked). The oracle walks the same edges with a
+    recursive CTE; LSH pair emission is deterministic, so even this
+    iterative operator hash-matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).distinct()
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    src = nodes.orderBy("node").limit(3)
+    dist = src.select("node", F.lit(0).alias("dist"))
+    for _ in range(BFS_MAX_HOPS):
+        hop = (
+            dist.join(edges, dist.node == edges.a)
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.union(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
