@@ -744,3 +744,67 @@ def test_remove_duplicate_spans_keep_first_policy(spark):
     assert out[1].n_removed == 0
     assert out[2].cleaned_text == "b0 b1 b2 b4"
     assert out[2].n_removed == 12
+
+
+def test_ewma_matches_python_recursion(spark):
+    """The catalog's dyadic-weight EWMA (training_data.ewma_user_value)
+    against the textbook truncated recursion computed in plain Python:
+    y_i = Σ_{j=0..min(7,i)} 2^-(j+1) · x_{i-j}. Exercises frames
+    shorter than 8 (early rows), exactly 8, and the cent conversion."""
+    from mapreduce_itwiki_spark.plans import catalog
+    import itertools
+
+    sdf = catalog.queries()["ewma_user_value"](spark, SF_SMALL)
+    got = {r.event_id: r.ewma8 for r in sdf.collect()}
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id, r.value) for r in events.collect())
+    )
+    for _, grp in itertools.groupby(rows, key=lambda r: r[0]):
+        hist = []
+        for _, _, event_id, value in grp:
+            hist.append(round(value * 100))
+            window = hist[-8:]
+            expect = sum(
+                c * 2.0 ** -(j + 1) for j, c in enumerate(reversed(window))
+            ) / 100.0
+            assert got[event_id] == expect, event_id
+
+
+def test_bfs_matches_python_bfs(spark):
+    """bfs_hop_distance against a plain-Python breadth-first search over
+    the same (deterministic) near-dup pair list."""
+    from collections import deque
+
+    from mapreduce_itwiki_spark.plans import catalog
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_dups(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = sorted(adj)[:3]
+    dist = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {
+        r.node: r.dist
+        for r in catalog.queries()["bfs_hop_distance"](spark, SF_SMALL).collect()
+    }
+    assert got == dist
