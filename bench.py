@@ -48,6 +48,8 @@ HEADLINE = [
     # round 6 additions (TPC-H battery completion)
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    # round 7 additions
+    "embedding_pca_project",
 ]
 
 

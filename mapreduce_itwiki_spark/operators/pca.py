@@ -1,0 +1,207 @@
+"""Distributed PCA over ``array<float>`` embedding columns — the
+dimensionality-reduction preprocessing of a scale similarity-search
+pipeline (reduce d before LSH/IVF indexing; whiten before cosine).
+
+Reference parity note: the reference (src/mr/CountReference.java) has
+no linear-algebra surface at all; this is north-star ⊕ territory
+(SURVEY.md §2 extension rows, "similarity search").
+
+Scale shape (the 100 TB story):
+
+* ONE corpus-sized pass: Arrow-batched ``mapInPandas`` reduces each
+  batch to its second/first/zeroth moments — a d×d BLAS gram ``XᵀX``
+  (upper triangle), the d per-dimension sums, and the row count —
+  emitted as d(d+1)/2 + d + 1 tiny rows per batch. This is the
+  map-side combine of classic distributed PCA: each executor reduces
+  its split to a d×d matrix before anything crosses the network, so
+  the shuffle carries partial moment rows, never vectors.
+* The aggregated moments frame (≤ d(d+1)/2 + d + 1 rows regardless of
+  corpus size) is lazily ``localCheckpoint``-ed: Spark has no
+  cross-branch common-subplan elimination (see TUNING.md, ann_ivf),
+  so without it every consumer branch (means, covariance, both power
+  rounds) would re-run the corpus gram.
+* Everything downstream operates on that model frame; the per-vector
+  projection broadcasts two d-length arrays and is a pure map stage —
+  zero shuffle, same plan class as ann_cosine_topk.
+
+Determinism discipline (what makes even PCA oracle-exact): corpus-sized
+sums are rounded at 6 dp (summation-order drift ~1e-13 ≪ grid), every
+model-frame intermediate (means, matvec results, norms, normalized
+eigvec components) is rounded at 9 dp on BOTH engines, signed zeros
+are canonicalized (+0.0) on output columns, and the final projection
+uses the sequential left-to-right double dot product
+(functions/vectors.py ↔ DuckDB list_dot_product) on identical rounded
+inputs. Power iteration from the exact-binary start vector 1/8 ≡
+1/√64 is replayable arithmetic; numpy eig would not be.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+DIM = 64  #: embedding dimensionality of the driver testdata
+POWER_ITERS = 2  #: fixed, oracle-unrolled power-iteration rounds
+
+
+def _moment_partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Per-Arrow-batch moment rows: (i≥1, j≥i, Σxᵢxⱼ) upper-triangle
+    gram via one BLAS matmul, (i≥1, 0, Σxᵢ) dimension sums, (0, 0, n)
+    row count. Output size per batch is d(d+1)/2 + d + 1 regardless of
+    batch row count — the map-side combine."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        d = x.shape[1]
+        g = x.T @ x
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu[0] + 1, np.arange(1, d + 1), [0]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [iu[1] + 1, np.zeros(d, dtype=np.int64), [0]]
+                ).astype("int32"),
+                "s": np.concatenate([g[iu[0], iu[1]], x.sum(axis=0), [len(x)]]),
+            }
+        )
+
+
+def moments(emb: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """Aggregated moments frame (i, j, s) — the single corpus pass.
+    Lazily checkpointed (and coalesced: ≤ 2,145 rows at d = 64 — full
+    shuffle parallelism would be pure scheduler overhead, the
+    connected-components lesson) so multi-consumer plans run the gram
+    once. ``checkpoint=False`` exposes the raw lineage (plan gates)."""
+    v = V.as_double(F.col("embedding"))
+    part = emb.select(v.alias("v")).mapInPandas(
+        _moment_partials, schema="i int, j int, s double"
+    )
+    agg = part.groupBy("i", "j").agg(F.sum("s").alias("s")).coalesce(1)
+    return agg.localCheckpoint(eager=False) if checkpoint else agg
+
+
+def dim_means(mom: DataFrame) -> DataFrame:
+    """(i, mu, n) per dimension from the moments frame, mu rounded 9 dp."""
+    n = mom.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").cast("long").alias("n")
+    )
+    return (
+        mom.filter((F.col("j") == 0) & (F.col("i") > 0))
+        .crossJoin(F.broadcast(n))
+        .select("i", F.round(F.col("s") / F.col("n"), 9).alias("mu"), "n")
+    )
+
+
+def covariance_upper(emb: DataFrame, mom: DataFrame | None = None) -> DataFrame:
+    """Upper-triangle covariance matrix as (i, j, cov) rows, i ≤ j,
+    cov = Σxᵢxⱼ/n − μᵢμⱼ rounded 6 dp (signed zero canonicalized)."""
+    if mom is None:
+        mom = moments(emb)
+    sums = mom.filter(F.col("j") > 0)
+    m = dim_means(mom)
+    mi = m.select("i", F.col("mu").alias("mu_i"), "n")
+    mj = m.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes IEEE signed zero (round() yields -0.0
+            # for tiny negatives; the value-hash would see "-0.0" ≠ "0.0")
+            (
+                F.round(
+                    F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 6
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+    )
+
+
+def _mirror(cov_upper: DataFrame) -> DataFrame:
+    """Full d×d matrix frame from the upper triangle."""
+    lower = cov_upper.filter(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    return cov_upper.union(lower)
+
+
+def top_component(cov_upper: DataFrame, dim: int = DIM) -> DataFrame:
+    """Leading-eigenvector estimate (i, w) via POWER_ITERS fixed
+    power-iteration rounds on the model frame: start vector is the
+    exact-binary constant 1/8 (= 1/√64), each matvec and norm is
+    rounded at 9 dp so the unrolled oracle replays bit-identically.
+    All frames here are ≤ d² rows — driver-scale math kept lazy/
+    distributed so the plan stays one DAG (no collect)."""
+    assert dim == 64, "start vector 1/8 encodes 1/sqrt(64)"
+    full = _mirror(cov_upper)
+    vec = None  # None ⇒ constant 1/8 start vector
+    for _ in range(POWER_ITERS):
+        if vec is None:
+            raw = full.groupBy("i").agg(
+                F.round(F.sum(F.col("cov") * F.lit(0.125)), 9).alias("w")
+            )
+        else:
+            raw = (
+                full.join(
+                    F.broadcast(vec.select(F.col("i").alias("j"), "w")), "j"
+                )
+                .groupBy("i")
+                .agg(F.round(F.sum(F.col("cov") * F.col("w")), 9).alias("w"))
+            )
+        nrm = raw.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
+        vec = raw.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("w") / F.col("nrm"), 9).alias("w")
+        )
+    return vec
+
+
+def _as_array(frame: DataFrame, key: str, val: str) -> DataFrame:
+    """Tiny (key, val) frame → 1-row frame holding the val array in key
+    order (the collect_list/array_sort idiom; stays lazy, broadcasts)."""
+    return frame.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key, val))),
+            lambda s: s.getField(val),
+        ).alias("arr")
+    )
+
+
+def project_top_component(emb: DataFrame) -> DataFrame:
+    """Per-vector scalar projection onto the mean-centered leading
+    principal component: proj = x·v − μ·v (the second term is one
+    shared constant, so centering never touches the corpus pass).
+    The checkpointed moments frame feeds both the eigenvector and the
+    centering constant — ONE gram pass total; the corpus-sized stage
+    is a broadcast of two d-length arrays + a pure map."""
+    mom = moments(emb)
+    pc = _as_array(top_component(covariance_upper(emb, mom)), "i", "w")
+    mu = _as_array(dim_means(mom), "i", "mu")
+    # (pc, c0) in one 1-row frame: dot of the two broadcast arrays
+    model = (
+        pc.select(F.col("arr").alias("pc"))
+        .crossJoin(mu.select(F.col("arr").alias("muv")))
+        .select("pc", F.round(V.dot(F.col("muv"), F.col("pc")), 9).alias("c0"))
+    )
+    v = V.as_double(F.col("embedding"))
+    return (
+        emb.select("vec_id", v.alias("v"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "vec_id",
+            (F.round(V.dot(F.col("v"), F.col("pc")) - F.col("c0"), 6) + 0.0).alias(
+                "proj"
+            ),
+        )
+    )

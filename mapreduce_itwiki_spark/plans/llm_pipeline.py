@@ -561,6 +561,83 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", F.round(V.norm(v), 6).alias("l2"))
 
 
+# shared PCA oracle CTEs — the exact twin of operators/pca.py: raw
+# gram sums → covariance (6 dp) → two 9-dp-rounded power-iteration
+# rounds from the exact-binary 1/8 start vector
+_PCA_COV_CTES = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    mn AS (SELECT i, round(avg(v[i]), 9) AS mu, count(*) AS n
+           FROM e, idx GROUP BY i),
+    s AS (SELECT a.i AS i, b.i AS j, sum(v[a.i] * v[b.i]) AS sxx
+          FROM e, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
+    cu AS (SELECT s.i, s.j,
+                  round(s.sxx / ma.n - ma.mu * mb.mu, 6) + 0.0 AS cov
+           FROM s JOIN mn ma ON ma.i = s.i JOIN mn mb ON mb.i = s.j)
+"""
+
+_PCA_PC_CTES = f"""
+    {_PCA_COV_CTES},
+    cf AS (SELECT i, j, cov FROM cu
+           UNION ALL SELECT j, i, cov FROM cu WHERE i < j),
+    v1r AS (SELECT i, round(sum(cov * 0.125), 9) AS w FROM cf GROUP BY i),
+    n1 AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM v1r),
+    v1 AS (SELECT i, round(w / (SELECT nrm FROM n1), 9) AS w FROM v1r),
+    v2r AS (SELECT cf.i, round(sum(cf.cov * v1.w), 9) AS w
+            FROM cf JOIN v1 ON v1.i = cf.j GROUP BY cf.i),
+    n2 AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM v2r),
+    v2 AS (SELECT i, round(w / (SELECT nrm FROM n2), 9) AS w FROM v2r)
+"""
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH {_PCA_COV_CTES}
+    SELECT i, j, cov FROM cu
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding corpus (upper
+    triangle as (i, j, cov) rows) — the model-estimation pass behind
+    PCA/whitening/Mahalanobis similarity. The ONLY corpus-sized stage
+    is an Arrow mapInPandas per-batch BLAS gram (d(d+1)/2 partial rows
+    per batch — the map-side combine of distributed PCA); the shuffle
+    carries partial d×d sums, never vectors. See operators/pca.py."""
+    from ..operators import pca
+
+    return pca.covariance_upper(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH {_PCA_PC_CTES},
+    varr AS (SELECT list(w ORDER BY i) AS pc FROM v2),
+    marr AS (SELECT list(mu ORDER BY i) AS muv FROM mn),
+    model AS (SELECT pc,
+                     round(list_dot_product(muv, pc), 9) AS c0
+              FROM varr, marr)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, model.pc) - model.c0, 6) + 0.0 AS proj
+    FROM e, model
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the mean-centered LEADING PRINCIPAL
+    COMPONENT — the 1-D rendering of the dimensionality reduction a
+    scale ANN deployment runs before indexing (project to d' ≪ d, then
+    LSH/IVF the projections). Eigenvector via two fixed power-iteration
+    rounds on the d×d covariance frame (9-dp-rounded intermediates, so
+    the unrolled oracle replays the identical arithmetic — numpy eig
+    would not be engine-replayable); the corpus stages are one gram
+    pass + one broadcast-arrays map, zero corpus shuffles beyond the
+    d² partial sums. See operators/pca.py."""
+    from ..operators import pca
+
+    return pca.project_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 @register(

@@ -808,3 +808,79 @@ def test_bfs_matches_python_bfs(spark):
         for r in catalog.queries()["bfs_hop_distance"](spark, SF_SMALL).collect()
     }
     assert got == dist
+
+
+def test_pca_covariance_matches_numpy(spark):
+    """embedding_covariance against numpy's biased covariance on the
+    collected corpus — error bounded by the 6-dp rounding grid."""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+    c_true = np.cov(x, rowvar=False, bias=True)
+    got = {(r.i, r.j): r.cov for r in pca.covariance_upper(emb).collect()}
+    assert len(got) == 64 * 65 // 2
+    assert all(i <= j for i, j in got)
+    worst = max(abs(v - c_true[i - 1, j - 1]) for (i, j), v in got.items())
+    assert worst < 6e-7, worst
+
+
+def test_pca_power_iteration_matches_unrounded_numpy(spark):
+    """top_component against the same 2 power-iteration rounds replayed
+    in numpy WITHOUT the 9-dp intermediate rounding — proves the
+    rounding discipline changes nothing beyond its own grid. (The
+    corpus spectrum is nearly flat — λ2/λ1 ≈ 0.93 — so 2 rounds are a
+    defined transform, not the converged eigenvector; convergence on a
+    dominated spectrum is pinned separately below.)"""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cov_rows = pca.covariance_upper(emb).collect()
+    c = np.zeros((64, 64))
+    for r in cov_rows:
+        c[r.i - 1, r.j - 1] = r.cov
+        c[r.j - 1, r.i - 1] = r.cov
+    v = np.full(64, 0.125)
+    for _ in range(pca.POWER_ITERS):
+        v = c @ v
+        v = v / np.sqrt(v @ v)
+    got = np.array(
+        [r.w for r in pca.top_component(pca.covariance_upper(emb)).orderBy("i").collect()]
+    )
+    assert np.max(np.abs(got - v)) < 1e-6
+
+
+def test_pca_converges_on_planted_dominant_direction(spark):
+    """On a corpus WITH a dominant principal direction (a planted rank-1
+    spike 10× the noise scale — the anisotropy real LM embedding
+    corpora exhibit), 2 power rounds recover the true eigenvector to
+    |cos| > 0.999 — the flat-spectrum testdata, not the operator, is
+    why the previous test can't assert alignment."""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    d, n = 64, 200
+    u = np.array([((7 * i + 3) % 13) - 6 for i in range(d)], dtype=np.float64)
+    u /= np.sqrt(u @ u)
+    rows = []
+    for k in range(n):
+        a = ((k * 17) % 41) - 20  # deterministic spike coefficient
+        noise = np.array(
+            [(((k * 31 + i * 57) % 23) - 11) / 11.0 for i in range(d)]
+        )
+        rows.append((k, (10.0 * a * u + noise).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = np.array(
+        [r.w for r in pca.top_component(pca.covariance_upper(emb)).orderBy("i").collect()]
+    )
+    x = np.array([r[1] for r in rows])
+    c = np.cov(x, rowvar=False, bias=True)
+    _, evecs = np.linalg.eigh(c)
+    assert abs(got @ evecs[:, -1]) > 0.999

@@ -475,3 +475,31 @@ def test_q13_outer_join_preserves_zero_customers(spark):
     assert "LeftOuter" in plan
     pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]]
     assert any("o_orderpriority" in b for b in pushed), pushed
+
+
+def test_pca_moments_single_pass_arrow_combine(spark):
+    """The PCA gram pass must be Arrow-batched (MapInPandas, never
+    row-wise Python), reduce map-side (one partial+final agg pair over
+    the moment rows — the ONLY exchange), and scan only the embedding
+    column. This is the shape that keeps distributed PCA at one corpus
+    pass with a d²-row shuffle at 100 TB."""
+    import re
+
+    from mapreduce_itwiki_spark.operators import pca
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    df = pca.moments(emb, checkpoint=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one shuffle (the moments groupBy); coalesce adds none
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchange == 1, plan
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.M))
+    assert n_agg == 2, plan  # partial + final
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "vec_id" not in read_schema and "label" not in read_schema
