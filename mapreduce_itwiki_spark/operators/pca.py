@@ -178,6 +178,62 @@ def _as_array(frame: DataFrame, key: str, val: str) -> DataFrame:
     )
 
 
+def diag_whitening_stats(mom: DataFrame) -> DataFrame:
+    """(i, mu, sigma) per dimension from the moments frame — the
+    diagonal-whitening model (σᵢ = √(Σxᵢ²/n − μᵢ²), population form,
+    rounded 9 dp). Precondition: no zero-variance dimension (holds for
+    real embedding corpora; a degenerate dim would yield ±inf scores
+    on BOTH engines identically)."""
+    m = dim_means(mom)
+    sq = mom.filter((F.col("j") > 0) & (F.col("i") == F.col("j"))).select(
+        "i", F.col("s").alias("sii")
+    )
+    return (
+        sq.join(F.broadcast(m), "i")
+        .select(
+            "i",
+            "mu",
+            F.round(
+                F.sqrt(F.col("sii") / F.col("n") - F.col("mu") * F.col("mu")), 9
+            ).alias("sigma"),
+        )
+    )
+
+
+def outlier_scores(emb: DataFrame) -> DataFrame:
+    """Per-vector diagonal Mahalanobis distance — the embedding-space
+    OUTLIER score a curation pipeline thresholds to drop corrupt /
+    out-of-distribution vectors before they poison dedup clusters or
+    ANN recall: score = ‖(x − μ) ⊘ σ‖₂ (z-score each dimension against
+    corpus statistics, take the L2 norm). One moments pass builds the
+    (μ, σ) model; scoring is a broadcast of two d-length arrays + a
+    pure map — zero corpus shuffle beyond the d² partial sums."""
+    mom = moments(emb)
+    stats = diag_whitening_stats(mom)
+    model = (
+        _as_array(stats, "i", "mu")
+        .select(F.col("arr").alias("muv"))
+        .crossJoin(_as_array(stats, "i", "sigma").select(F.col("arr").alias("sig")))
+    )
+    v = V.as_double(F.col("embedding"))
+    w = F.zip_with(
+        F.zip_with(F.col("v"), F.col("muv"), lambda x, m: x - m),
+        F.col("sig"),
+        lambda c, s: c / s,
+    )
+    return (
+        emb.select("vec_id", v.alias("v"))
+        .crossJoin(F.broadcast(model))
+        .select("vec_id", w.alias("w"))
+        .select(
+            "vec_id",
+            (F.round(F.sqrt(V.dot(F.col("w"), F.col("w"))), 6) + 0.0).alias(
+                "maha"
+            ),
+        )
+    )
+
+
 def project_top_component(emb: DataFrame) -> DataFrame:
     """Per-vector scalar projection onto the mean-centered leading
     principal component: proj = x·v − μ·v (the second term is one

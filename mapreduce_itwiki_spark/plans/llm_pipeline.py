@@ -638,6 +638,42 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.project_top_component(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "embedding_outlier_mahalanobis",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    mn AS (SELECT i, round(avg(v[i]), 9) AS mu, count(*) AS n,
+                  sum(v[i] * v[i]) AS sii
+           FROM e, idx GROUP BY i),
+    st AS (SELECT i, mu,
+                  round(sqrt(sii / n - mu * mu), 9) AS sigma
+           FROM mn),
+    model AS (SELECT list(mu ORDER BY i) AS muv,
+                     list(sigma ORDER BY i) AS sig
+              FROM st),
+    scored AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+                            i -> (v[i] - model.muv[i]) / model.sig[i]) AS w
+      FROM e, model)
+    SELECT vec_id, round(sqrt(list_dot_product(w, w)), 6) + 0.0 AS maha
+    FROM scored
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER scoring (diagonal Mahalanobis): z-score every
+    dimension against corpus statistics and take the L2 norm — the
+    curation gate that drops corrupt / out-of-distribution vectors
+    before they poison dedup clusters or ANN recall (the embedding-
+    space twin of the text quality filters). One Arrow moments pass
+    fits the (μ, σ) model; scoring broadcasts two d-length arrays and
+    is a pure map. See operators/pca.py:outlier_scores."""
+    from ..operators import pca
+
+    return pca.outlier_scores(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 @register(

@@ -884,3 +884,27 @@ def test_pca_converges_on_planted_dominant_direction(spark):
     c = np.cov(x, rowvar=False, bias=True)
     _, evecs = np.linalg.eigh(c)
     assert abs(got @ evecs[:, -1]) > 0.999
+
+
+def test_pca_mahalanobis_matches_numpy(spark):
+    """outlier_scores against numpy's diagonal Mahalanobis on the
+    collected corpus — error bounded by the rounding grids."""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    x = np.array(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("embedding").orderBy("vec_id").collect()
+        ]
+    )
+    mu, sigma = x.mean(axis=0), x.std(axis=0)
+    true = np.sqrt((((x - mu) / sigma) ** 2).sum(axis=1))
+    got = {r.vec_id: r.maha for r in pca.outlier_scores(emb).collect()}
+    worst = max(abs(got[k] - true[k]) for k in got)
+    assert worst < 1e-5, worst
+    # scores are a meaningful spread, not a constant
+    vals = np.array(list(got.values()))
+    assert vals.std() > 0.01
