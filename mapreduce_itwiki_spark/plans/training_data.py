@@ -2214,3 +2214,77 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_drift_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, CASE WHEN doc_id < {INCR_SPLIT} THEN 1 ELSE 0 END AS is_old,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    c AS (SELECT lang, tok,
+                 sum(is_old) AS c_old, sum(1 - is_old) AS c_new
+          FROM toks GROUP BY 1, 2),
+    t AS (SELECT lang, sum(c_old) AS tot_old, sum(c_new) AS tot_new,
+                 count(*) AS vocab
+          FROM c GROUP BY 1),
+    p AS (SELECT c.lang,
+                 (c.c_old + 1.0) / (t.tot_old + t.vocab) AS p_old,
+                 (c.c_new + 1.0) / (t.tot_new + t.vocab) AS p_new,
+                 t.tot_old, t.tot_new, t.vocab
+          FROM c JOIN t ON c.lang = t.lang)
+    SELECT lang,
+           CAST(max(tot_old) AS BIGINT) AS n_old,
+           CAST(max(tot_new) AS BIGINT) AS n_new,
+           CAST(max(vocab) AS BIGINT) AS vocab,
+           round(sum(p_old * ln(p_old / p_new)), 6) AS kl_old_new,
+           round(sum(p_new * ln(p_new / p_old)), 6) AS kl_new_old
+    FROM p GROUP BY lang
+    """,
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT monitoring — the distribution-shift check a
+    continuous-crawl pipeline runs before mixing a new batch into the
+    training corpus: per language, the add-1-smoothed KL divergence
+    (both directions) between the existing corpus's (doc_id < split)
+    and the new batch's (doc_id ≥ split) token distributions over
+    their union vocabulary. A spiking KL flags a crawler regression,
+    a domain shift, or a spam flood BEFORE it reaches the mixture.
+
+    Scale shape: ONE exploded pass with conditional partial counts —
+    the (lang, tok) shuffle keys on high-cardinality vocabulary, so
+    tasks stay bounded at any corpus size; the per-lang totals frame
+    is tiny and broadcast back; the final reduce aggregates vocab-
+    sized rows per language with map-side partials. ln() terms drift
+    ~1 ulp per engine; summed over the vocabulary that is ≪ the 6-dp
+    output rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_old = F.when(F.col("doc_id") < INCR_SPLIT, 1).otherwise(0)
+    toks = docs.select(
+        "lang", is_old.alias("is_old"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    c = toks.groupBy("lang", "tok").agg(
+        F.sum("is_old").alias("c_old"),
+        F.sum(F.lit(1) - F.col("is_old")).alias("c_new"),
+    )
+    t = c.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.sum("c_old").alias("tot_old"),
+        F.sum("c_new").alias("tot_new"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p_old = (F.col("c_old") + 1.0) / (F.col("tot_old") + F.col("vocab"))
+    p_new = (F.col("c_new") + 1.0) / (F.col("tot_new") + F.col("vocab"))
+    return (
+        c.join(F.broadcast(t), c.lang == F.col("t_lang"))
+        .groupBy("lang")
+        .agg(
+            F.max("tot_old").cast("long").alias("n_old"),
+            F.max("tot_new").cast("long").alias("n_new"),
+            F.max("vocab").cast("long").alias("vocab"),
+            F.round(F.sum(p_old * F.log(p_old / p_new)), 6).alias("kl_old_new"),
+            F.round(F.sum(p_new * F.log(p_new / p_old)), 6).alias("kl_new_old"),
+        )
+    )
