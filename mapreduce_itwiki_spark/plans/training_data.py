@@ -2288,3 +2288,76 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p_new * F.log(p_new / p_old)), 6).alias("kl_new_old"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ngram_diversity_report",
+    oracle="""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    u AS (SELECT lang, unnest(toks) AS g FROM t),
+    b AS (SELECT lang,
+                 array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+          FROM t, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+    tr AS (SELECT lang,
+                  array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+           FROM t, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS r(i)),
+    s1 AS (SELECT lang, count(*) AS n, count(DISTINCT g) AS d FROM u GROUP BY 1),
+    s2 AS (SELECT lang, count(*) AS n, count(DISTINCT g) AS d FROM b GROUP BY 1),
+    s3 AS (SELECT lang, count(*) AS n, count(DISTINCT g) AS d FROM tr GROUP BY 1)
+    SELECT s1.lang,
+           round(s1.d * 1.0 / s1.n, 6) AS distinct_1,
+           round(s2.d * 1.0 / s2.n, 6) AS distinct_2,
+           round(s3.d * 1.0 / s3.n, 6) AS distinct_3
+    FROM s1 JOIN s2 ON s1.lang = s2.lang JOIN s3 ON s1.lang = s3.lang
+    """,
+)
+def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram DIVERSITY report (distinct-1/2/3 ratios per language) —
+    the diversity-collapse check run on synthetic or heavily-deduped
+    corpora: a falling distinct-n curve flags mode collapse in
+    generated data or a boilerplate flood long before eval loss does
+    (the distinct-n metric of Li et al. 2016, corpus-level).
+
+    Scale shape: one tokenized scan feeds three explode → two-key
+    count-distinct aggregates; every shuffle keys on (lang, gram) —
+    vocabulary-cardinality, bounded tasks; the three per-lang
+    summaries are broadcast-joined. Exact ratios of integer counts,
+    rounded identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("lang", toks.alias("toks"))
+
+    def grams(n: int) -> DataFrame:
+        if n == 1:
+            g = base.select("lang", F.explode("toks").alias("g"))
+        else:
+            # guard the short-doc edge explicitly: Spark's sequence(1, 0)
+            # yields a DESCENDING [1, 0] (not empty like DuckDB's range),
+            # so docs with < n tokens must map to an empty index array
+            idx = F.explode(
+                F.when(
+                    F.size("toks") >= n,
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            )
+            g = base.select("lang", "toks", idx.alias("i")).select(
+                "lang",
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n)).alias("g"),
+            )
+        return g.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(f"n{n}"),
+            F.countDistinct("g").alias(f"d{n}"),
+        )
+
+    s1, s2, s3 = grams(1), grams(2), grams(3)
+    return (
+        s1.join(s2, "lang")
+        .join(s3, "lang")
+        .select(
+            "lang",
+            F.round(F.col("d1") * 1.0 / F.col("n1"), 6).alias("distinct_1"),
+            F.round(F.col("d2") * 1.0 / F.col("n2"), 6).alias("distinct_2"),
+            F.round(F.col("d3") * 1.0 / F.col("n3"), 6).alias("distinct_3"),
+        )
+    )
