@@ -908,3 +908,34 @@ def test_pca_mahalanobis_matches_numpy(spark):
     # scores are a meaningful spread, not a constant
     vals = np.array(list(got.values()))
     assert vals.std() > 0.01
+
+
+def test_corpus_drift_kl_properties(spark, tmp_path):
+    """KL-divergence properties on constructed corpora: identical
+    old/new token distributions give exactly 0 (smoothing included);
+    disjoint vocabularies give a large positive value; both directions
+    are always ≥ 0 (Gibbs' inequality survives the rounding)."""
+    import pandas as pd
+
+    from mapreduce_itwiki_spark.plans import catalog
+    from mapreduce_itwiki_spark.plans.training_data import INCR_SPLIT
+
+    rows = []
+    # lang 'same': old and new halves share one distribution
+    for k in range(40):
+        doc_id = k if k < 20 else INCR_SPLIT + (k - 20)
+        rows.append((doc_id, "same", "alpha beta gamma alpha", "t", 22))
+    # lang 'drift': disjoint vocabularies across the split
+    for k in range(20):
+        rows.append((1000 + k if k >= 10 else 100 + k, "drift",
+                     "aaa bbb ccc" if k < 10 else "xxx yyy zzz", "t", 11))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text", "source", "n_chars"])
+    d = str(tmp_path / "kl")
+    import os
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    got = {r.lang: r for r in catalog.queries()["corpus_drift_kl"](spark, d).collect()}
+    assert got["same"].kl_old_new == 0.0 and got["same"].kl_new_old == 0.0
+    assert got["drift"].kl_old_new > 1.0 and got["drift"].kl_new_old > 1.0
+    for r in got.values():
+        assert r.kl_old_new >= 0.0 and r.kl_new_old >= 0.0
