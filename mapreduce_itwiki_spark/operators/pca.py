@@ -164,6 +164,10 @@ def top_component(cov_upper: DataFrame, dim: int = DIM) -> DataFrame:
         vec = raw.crossJoin(F.broadcast(nrm)).select(
             "i", F.round(F.col("w") / F.col("nrm"), 9).alias("w")
         )
+        # truncate lineage per round (64-row frame): each iterate feeds
+        # the matvec AND the norm branch, so the un-checkpointed plan
+        # doubles per round — the iterative-loop lesson from TUNING.md
+        vec = vec.coalesce(1).localCheckpoint(eager=False)
     return vec
 
 
