@@ -24,15 +24,21 @@ Scale shape (the 100 TB story):
   projection broadcasts two d-length arrays and is a pure map stage —
   zero shuffle, same plan class as ann_cosine_topk.
 
-Determinism discipline (what makes even PCA oracle-exact): corpus-sized
-sums are rounded at 6 dp (summation-order drift ~1e-13 ≪ grid), every
-model-frame intermediate (means, matvec results, norms, normalized
-eigvec components) is rounded at 9 dp on BOTH engines, signed zeros
-are canonicalized (+0.0) on output columns, and the final projection
-uses the sequential left-to-right double dot product
-(functions/vectors.py ↔ DuckDB list_dot_product) on identical rounded
-inputs. Power iteration from the exact-binary start vector 1/8 ≡
-1/√64 is replayable arithmetic; numpy eig would not be.
+Determinism discipline (what makes even PCA oracle-exact): every value
+derived from a corpus-sized sum is rounded before use — covariance
+cells at 6 dp, means/sigmas at 9 dp. Cross-engine summation-order
+drift is ~1e-13 absolute on O(1)-magnitude sums, i.e. ~5,000× smaller
+than even the 9-dp half-grid (5e-10), so a rounded digit flips only
+if a true value lands within that sliver of a boundary — the same
+risk class every rounded-float oracle in this catalog carries. All
+model-frame intermediates (matvec results, norms, normalized eigvec
+components) are ALSO rounded at 9 dp on both engines, so downstream
+arithmetic runs on identical operands; signed zeros are canonicalized
+(+0.0) on output columns, and the final projection uses the
+sequential left-to-right double dot product (functions/vectors.py ↔
+DuckDB list_dot_product) on identical rounded inputs. Power iteration
+from the exact-binary start vector 1/8 ≡ 1/√64 is replayable
+arithmetic; numpy eig would not be.
 """
 
 from __future__ import annotations
@@ -61,6 +67,12 @@ def _moment_partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
             continue
         x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         d = x.shape[1]
+        if d != DIM:
+            raise ValueError(
+                f"embedding dim {d} != {DIM}: the 1/8 power-iteration "
+                "start vector and the range(1, 65) oracle CTEs are "
+                "written for d = 64"
+            )
         g = x.T @ x
         iu = np.triu_indices(d)
         yield pd.DataFrame(
@@ -137,14 +149,14 @@ def _mirror(cov_upper: DataFrame) -> DataFrame:
     return cov_upper.union(lower)
 
 
-def top_component(cov_upper: DataFrame, dim: int = DIM) -> DataFrame:
+def top_component(cov_upper: DataFrame) -> DataFrame:
     """Leading-eigenvector estimate (i, w) via POWER_ITERS fixed
     power-iteration rounds on the model frame: start vector is the
-    exact-binary constant 1/8 (= 1/√64), each matvec and norm is
-    rounded at 9 dp so the unrolled oracle replays bit-identically.
-    All frames here are ≤ d² rows — driver-scale math kept lazy/
-    distributed so the plan stays one DAG (no collect)."""
-    assert dim == 64, "start vector 1/8 encodes 1/sqrt(64)"
+    exact-binary constant 1/8 (= 1/√64 — d = 64 is enforced on the
+    data inside _moment_partials), each matvec and norm is rounded at
+    9 dp so the unrolled oracle replays bit-identically. All frames
+    here are ≤ d² rows — driver-scale math kept lazy/distributed so
+    the plan stays one DAG (no collect)."""
     full = _mirror(cov_upper)
     vec = None  # None ⇒ constant 1/8 start vector
     for _ in range(POWER_ITERS):
@@ -185,9 +197,11 @@ def _as_array(frame: DataFrame, key: str, val: str) -> DataFrame:
 def diag_whitening_stats(mom: DataFrame) -> DataFrame:
     """(i, mu, sigma) per dimension from the moments frame — the
     diagonal-whitening model (σᵢ = √(Σxᵢ²/n − μᵢ²), population form,
-    rounded 9 dp). Precondition: no zero-variance dimension (holds for
-    real embedding corpora; a degenerate dim would yield ±inf scores
-    on BOTH engines identically)."""
+    rounded 9 dp). Precondition: no zero-variance dimension (holds
+    for real embedding corpora). A degenerate dim FAILS LOUDLY rather
+    than diverging quietly: Spark's default ANSI mode raises
+    DIVIDE_BY_ZERO on the σ division while DuckDB would return inf —
+    an intentional crash-don't-drift posture."""
     m = dim_means(mom)
     sq = mom.filter((F.col("j") > 0) & (F.col("i") == F.col("j"))).select(
         "i", F.col("s").alias("sii")

@@ -939,3 +939,52 @@ def test_corpus_drift_kl_properties(spark, tmp_path):
     assert got["drift"].kl_old_new > 1.0 and got["drift"].kl_new_old > 1.0
     for r in got.values():
         assert r.kl_old_new >= 0.0 and r.kl_new_old >= 0.0
+
+
+def test_ngram_diversity_short_doc_edge(spark, tmp_path):
+    """Documents shorter than the gram (1- and 2-token docs) must emit
+    NO 2-/3-grams — Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    where DuckDB's range is empty, so the explicit empty-array guard
+    in ngram_diversity_report is load-bearing. Hand-computed corpus:
+    lang 'xx' = {"one", "two words", "a b c", "a b c"}:
+    unigrams 9 tokens, 6 distinct; bigrams {"two words","a b","b c"}
+    over 5 occurrences; trigrams {"a b c"} over 2 occurrences."""
+    import os
+
+    import pandas as pd
+
+    from mapreduce_itwiki_spark.plans import catalog
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["xx"] * 4,
+            "text": ["one", "two words", "a b c", "a b c"],
+            "source": ["t"] * 4,
+            "n_chars": [3, 9, 5, 5],
+        }
+    )
+    d = str(tmp_path / "short")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    rows = catalog.queries()["ngram_diversity_report"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.distinct_1 == round(6 / 9, 6)
+    assert r.distinct_2 == round(3 / 5, 6)
+    assert r.distinct_3 == round(1 / 2, 6)
+
+
+def test_pca_rejects_wrong_embedding_dim(spark):
+    """The moments pass enforces d = 64 on the DATA (the 1/8 start
+    vector and range(1, 65) oracles are 64-specific) — a 32-dim corpus
+    must fail loudly, not run with a wrong-norm start vector."""
+    import pytest as _pytest
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 32), (1, [2.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="embedding dim 32"):
+        pca.covariance_upper(emb).collect()
