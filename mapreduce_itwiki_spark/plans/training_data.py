@@ -2361,3 +2361,67 @@ def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d3") * 1.0 / F.col("n3"), 6).alias("distinct_3"),
         )
     )
+
+
+MAD_SCALE = 1.4826  #: normal-consistency constant for MAD → σ̂
+MAD_CUTOFF = 3.5  #: |robust z| threshold (Iglewicz–Hoaglin convention)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "robust_value_outliers_mad",
+    oracle=f"""
+    WITH sig AS (
+      SELECT event_id, value * 1.0 AS v FROM events),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM sig),
+    mad AS (SELECT quantile_cont(abs(sig.v - (SELECT m FROM med)), 0.5) AS mad
+            FROM sig)
+    SELECT event_id,
+           round((v - (SELECT m FROM med))
+                 / ({MAD_SCALE} * (SELECT mad FROM mad)), 6) + 0.0
+             AS robust_z,
+           abs(round((v - (SELECT m FROM med))
+                     / ({MAD_SCALE} * (SELECT mad FROM mad)), 6))
+             > {MAD_CUTOFF} AS is_outlier
+    FROM sig
+    """,
+)
+def robust_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier flags (median/MAD, Iglewicz–Hoaglin): robust
+    z = (x − median) / (1.4826·MAD), |z| > 3.5 ⇒ outlier — the
+    heavy-tail-resistant twin of quality_blend_zscore, applied to the
+    skewed events.value metric (the doc-length signal is near-uniform
+    on this corpus — z ∈ ±1.35 — so the verdict there would be
+    vacuous; value flags ~4% at sf0.01, both truth values real).
+    Mean/σ stats are dragged by the very outliers they should catch
+    (one fat spam value shifts μ corpus-wide); median/MAD's breakdown
+    point is 50%, which is why curation cutoffs use it.
+
+    Shape: two sequential tiny aggregates (median, then MAD of
+    residuals — MAD is not algebraic, so two passes is the exact
+    form; the 100 TB substitute is approx_percentile, same
+    approximate-first row as percentile_stats in TUNING.md), each
+    folded back as a broadcast cross join; flagging is a map. The
+    outlier verdict compares the ROUNDED z on both engines, so the
+    boolean can't straddle an ulp."""
+    events = load_table(spark, sf_dir, "events")
+    sig = events.select("event_id", (F.col("value") * F.lit(1.0)).alias("v"))
+    med = sig.agg(F.percentile(F.col("v"), F.lit(0.5)).alias("m"))
+    mad = (
+        sig.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("v") - F.col("m")), F.lit(0.5)).alias("mad"),
+            F.first("m").alias("m"),
+        )
+    )
+    z = F.round(
+        (F.col("v") - F.col("m")) / (MAD_SCALE * F.col("mad")), 6
+    ) + 0.0
+    return (
+        sig.crossJoin(F.broadcast(mad))
+        .select(
+            "event_id",
+            z.alias("robust_z"),
+            (F.abs(z) > MAD_CUTOFF).alias("is_outlier"),
+        )
+    )
