@@ -37,8 +37,14 @@ arithmetic runs on identical operands; signed zeros are canonicalized
 (+0.0) on output columns, and the final projection uses the
 sequential left-to-right double dot product (functions/vectors.py ↔
 DuckDB list_dot_product) on identical rounded inputs. Power iteration
-from the exact-binary start vector 1/8 ≡ 1/√64 is replayable
-arithmetic; numpy eig would not be.
+from the ALL-ONES start vector is replayable arithmetic (numpy eig
+would not be); ones rather than 1/√d because the first matvec then
+sums 9-dp-rounded cells unscaled — sums land ON the 1e-9 rounding
+grid, never on its .5 halfway points. A dyadic scale like 1/8 puts
+~1/8 of the deflated-matrix matvec sums EXACTLY on a halfway point,
+where the two engines' last-ulp difference flips the rounded digit
+(observed, round 7); normalization follows immediately, so the start
+scale is free.
 """
 
 from __future__ import annotations
@@ -69,9 +75,8 @@ def _moment_partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         d = x.shape[1]
         if d != DIM:
             raise ValueError(
-                f"embedding dim {d} != {DIM}: the 1/8 power-iteration "
-                "start vector and the range(1, 65) oracle CTEs are "
-                "written for d = 64"
+                f"embedding dim {d} != {DIM}: the range(1, 65) oracle "
+                "CTEs are written for d = 64"
             )
         g = x.T @ x
         iu = np.triu_indices(d)
@@ -151,18 +156,22 @@ def _mirror(cov_upper: DataFrame) -> DataFrame:
 
 def top_component(cov_upper: DataFrame) -> DataFrame:
     """Leading-eigenvector estimate (i, w) via POWER_ITERS fixed
-    power-iteration rounds on the model frame: start vector is the
-    exact-binary constant 1/8 (= 1/√64 — d = 64 is enforced on the
-    data inside _moment_partials), each matvec and norm is rounded at
-    9 dp so the unrolled oracle replays bit-identically. All frames
+    power-iteration rounds on the model frame (d = 64 is enforced on
+    the data inside _moment_partials): each matvec and norm is rounded
+    at 9 dp so the unrolled oracle replays bit-identically. All frames
     here are ≤ d² rows — driver-scale math kept lazy/distributed so
     the plan stays one DAG (no collect)."""
-    full = _mirror(cov_upper)
-    vec = None  # None ⇒ constant 1/8 start vector
+    return _power_rounds(_mirror(cov_upper))
+
+
+def _power_rounds(full: DataFrame) -> DataFrame:
+    """POWER_ITERS rounds of (matvec → normalize) on a full mirrored
+    (i, j, cov) matrix frame, every intermediate rounded at 9 dp."""
+    vec = None  # None ⇒ all-ones start (see module docstring)
     for _ in range(POWER_ITERS):
         if vec is None:
             raw = full.groupBy("i").agg(
-                F.round(F.sum(F.col("cov") * F.lit(0.125)), 9).alias("w")
+                F.round(F.sum(F.col("cov")), 9).alias("w")
             )
         else:
             raw = (
@@ -181,6 +190,80 @@ def top_component(cov_upper: DataFrame) -> DataFrame:
         # doubles per round — the iterative-loop lesson from TUNING.md
         vec = vec.coalesce(1).localCheckpoint(eager=False)
     return vec
+
+
+def top_two_components(cov_upper: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """First two principal directions via Hotelling DEFLATION — the
+    general k-component path: run the power rounds for v₁, estimate
+    its Rayleigh quotient λ₁ = v₁ᵀCv₁ (matvec then dot, both rounded
+    9 dp), deflate C₂ = C − λ₁v₁v₁ᵀ cell-wise (a pure per-cell
+    expression on already-rounded operands — bit-identical across
+    engines, no summation), and run the same power rounds on C₂.
+    Returns (v1, v2) as (i, w) frames. The mirrored matrix is
+    checkpointed once and feeds both eigensolves."""
+    full = _mirror(cov_upper).coalesce(1).localCheckpoint(eager=False)
+    v1 = _power_rounds(full)
+    t = (
+        full.join(F.broadcast(v1.select(F.col("i").alias("j"), "w")), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("cov") * F.col("w")), 9).alias("t"))
+    )
+    lam = t.join(F.broadcast(v1), "i").agg(
+        F.round(F.sum(F.col("t") * F.col("w")), 9).alias("lam")
+    )
+    wi = v1.select("i", F.col("w").alias("w_i"))
+    wj = v1.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
+    full2 = (
+        full.join(F.broadcast(wi), "i")
+        .join(F.broadcast(wj), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") - F.col("lam") * F.col("w_i") * F.col("w_j"), 9
+            ).alias("cov"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    return v1, _power_rounds(full2)
+
+
+def project_top_two(emb: DataFrame) -> DataFrame:
+    """Per-vector 2-D projection onto the mean-centered first two
+    principal directions — d → d′ = 2 dimensionality reduction, the
+    plural-component form of project_top_component (same broadcast-
+    model map; one gram pass feeds everything)."""
+    mom = moments(emb)
+    v1, v2 = top_two_components(covariance_upper(emb, mom))
+    pc1 = _as_array(v1, "i", "w").select(F.col("arr").alias("pc1"))
+    pc2 = _as_array(v2, "i", "w").select(F.col("arr").alias("pc2"))
+    mu = _as_array(dim_means(mom), "i", "mu").select(F.col("arr").alias("muv"))
+    model = (
+        pc1.crossJoin(pc2)
+        .crossJoin(mu)
+        .select(
+            "pc1",
+            "pc2",
+            F.round(V.dot(F.col("muv"), F.col("pc1")), 9).alias("c1"),
+            F.round(V.dot(F.col("muv"), F.col("pc2")), 9).alias("c2"),
+        )
+    )
+    v = V.as_double(F.col("embedding"))
+    return (
+        emb.select("vec_id", v.alias("v"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "vec_id",
+            (F.round(V.dot(F.col("v"), F.col("pc1")) - F.col("c1"), 6) + 0.0).alias(
+                "p1"
+            ),
+            (F.round(V.dot(F.col("v"), F.col("pc2")) - F.col("c2"), 6) + 0.0).alias(
+                "p2"
+            ),
+        )
+    )
 
 
 def _as_array(frame: DataFrame, key: str, val: str) -> DataFrame:

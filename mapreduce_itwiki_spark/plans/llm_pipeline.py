@@ -563,7 +563,8 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared PCA oracle CTEs — the exact twin of operators/pca.py: raw
 # gram sums → covariance (6 dp) → two 9-dp-rounded power-iteration
-# rounds from the exact-binary 1/8 start vector
+# rounds from the all-ones start vector (grid-aligned first matvec —
+# see the boundary note in operators/pca.py)
 _PCA_COV_CTES = """
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
@@ -580,7 +581,7 @@ _PCA_PC_CTES = f"""
     {_PCA_COV_CTES},
     cf AS (SELECT i, j, cov FROM cu
            UNION ALL SELECT j, i, cov FROM cu WHERE i < j),
-    v1r AS (SELECT i, round(sum(cov * 0.125), 9) AS w FROM cf GROUP BY i),
+    v1r AS (SELECT i, round(sum(cov), 9) AS w FROM cf GROUP BY i),
     n1 AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM v1r),
     v1 AS (SELECT i, round(w / (SELECT nrm FROM n1), 9) AS w FROM v1r),
     v2r AS (SELECT cf.i, round(sum(cf.cov * v1.w), 9) AS w
@@ -636,6 +637,52 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pca
 
     return pca.project_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_pca_project2d",
+    oracle=f"""
+    WITH {_PCA_PC_CTES},
+    tv AS (SELECT cf.i, round(sum(cf.cov * p.w), 9) AS t
+           FROM cf JOIN v2 p ON p.i = cf.j GROUP BY cf.i),
+    lam AS (SELECT round(sum(tv.t * p.w), 9) AS lam
+            FROM tv JOIN v2 p ON p.i = tv.i),
+    cf2 AS (SELECT cf.i, cf.j,
+                   round(cf.cov - (SELECT lam FROM lam) * a.w * b.w, 9) AS cov
+            FROM cf JOIN v2 a ON a.i = cf.i JOIN v2 b ON b.i = cf.j),
+    u1r AS (SELECT i, round(sum(cov), 9) AS w FROM cf2 GROUP BY i),
+    m1 AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM u1r),
+    u1 AS (SELECT i, round(w / (SELECT nrm FROM m1), 9) AS w FROM u1r),
+    u2r AS (SELECT cf2.i, round(sum(cf2.cov * u1.w), 9) AS w
+            FROM cf2 JOIN u1 ON u1.i = cf2.j GROUP BY cf2.i),
+    m2 AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM u2r),
+    u2 AS (SELECT i, round(w / (SELECT nrm FROM m2), 9) AS w FROM u2r),
+    p1arr AS (SELECT list(w ORDER BY i) AS pc FROM v2),
+    p2arr AS (SELECT list(w ORDER BY i) AS pc FROM u2),
+    marr AS (SELECT list(mu ORDER BY i) AS muv FROM mn),
+    model AS (SELECT p1arr.pc AS pc1, p2arr.pc AS pc2,
+                     round(list_dot_product(marr.muv, p1arr.pc), 9) AS c1,
+                     round(list_dot_product(marr.muv, p2arr.pc), 9) AS c2
+              FROM p1arr, p2arr, marr)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, model.pc1) - model.c1, 6) + 0.0 AS p1,
+           round(list_dot_product(e.v, model.pc2) - model.c2, 6) + 0.0 AS p2
+    FROM e, model
+    """,
+)
+def embedding_pca_project2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-component PCA projection via Hotelling deflation — the
+    d → d′ = 2 dimensionality reduction (run the power rounds, deflate
+    C₂ = C − λ₁v₁v₁ᵀ with λ₁ the 9-dp-rounded Rayleigh quotient, run
+    them again), showing the general k-component path a scale ANN
+    deployment uses to shrink vectors before indexing. Deflation is a
+    per-cell expression on already-rounded operands (no summation), so
+    the unrolled oracle replays it bit-identically. One gram pass
+    feeds both eigensolves and the centering constants; scoring is a
+    broadcast-model map. See operators/pca.py:top_two_components."""
+    from ..operators import pca
+
+    return pca.project_top_two(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

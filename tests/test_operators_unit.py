@@ -846,7 +846,7 @@ def test_pca_power_iteration_matches_unrounded_numpy(spark):
     for r in cov_rows:
         c[r.i - 1, r.j - 1] = r.cov
         c[r.j - 1, r.i - 1] = r.cov
-    v = np.full(64, 0.125)
+    v = np.ones(64)
     for _ in range(pca.POWER_ITERS):
         v = c @ v
         v = v / np.sqrt(v @ v)
@@ -988,3 +988,39 @@ def test_pca_rejects_wrong_embedding_dim(spark):
     )
     with _pytest.raises(Exception, match="embedding dim 32"):
         pca.covariance_upper(emb).collect()
+
+
+def test_pca_two_components_on_planted_two_spikes(spark):
+    """On a corpus with TWO dominant orthogonal directions (rank-2
+    spikes at 16× and 6× the noise scale), deflation recovers both:
+    v1 aligns with the top eigenvector, v2 with the second, and the
+    two estimates are near-orthogonal. Proves the deflation step
+    actually removes the first component rather than re-finding it."""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.operators import pca
+
+    d, n = 64, 240
+    u1 = np.array([((7 * i + 3) % 13) - 6 for i in range(d)], dtype=np.float64)
+    u1 /= np.sqrt(u1 @ u1)
+    u2 = np.array([((11 * i + 5) % 17) - 8 for i in range(d)], dtype=np.float64)
+    u2 -= (u2 @ u1) * u1  # orthogonalize against u1
+    u2 /= np.sqrt(u2 @ u2)
+    rows = []
+    for k in range(n):
+        a = ((k * 17) % 41) - 20
+        b = ((k * 23) % 37) - 18
+        noise = np.array(
+            [(((k * 31 + i * 57) % 23) - 11) / 11.0 for i in range(d)]
+        )
+        rows.append((k, (16.0 * a * u1 + 6.0 * b * u2 + noise).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v1, v2 = pca.top_two_components(pca.covariance_upper(emb))
+    w1 = np.array([r.w for r in v1.orderBy("i").collect()])
+    w2 = np.array([r.w for r in v2.orderBy("i").collect()])
+    x = np.array([r[1] for r in rows])
+    c = np.cov(x, rowvar=False, bias=True)
+    _, evecs = np.linalg.eigh(c)
+    assert abs(w1 @ evecs[:, -1]) > 0.995
+    assert abs(w2 @ evecs[:, -2]) > 0.95
+    assert abs(w1 @ w2) < 0.15
