@@ -164,23 +164,25 @@ def top_component(cov_upper: DataFrame) -> DataFrame:
     return _power_rounds(_mirror(cov_upper))
 
 
+def _matvec(full: DataFrame, vec: DataFrame | None, out: str = "w") -> DataFrame:
+    """(i, out) = round(C·v, 9) over a full mirrored matrix frame;
+    ``vec=None`` means the all-ones start vector (see module
+    docstring for why ones, not 1/√d)."""
+    if vec is None:
+        return full.groupBy("i").agg(F.round(F.sum(F.col("cov")), 9).alias(out))
+    return (
+        full.join(F.broadcast(vec.select(F.col("i").alias("j"), "w")), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("cov") * F.col("w")), 9).alias(out))
+    )
+
+
 def _power_rounds(full: DataFrame) -> DataFrame:
     """POWER_ITERS rounds of (matvec → normalize) on a full mirrored
     (i, j, cov) matrix frame, every intermediate rounded at 9 dp."""
-    vec = None  # None ⇒ all-ones start (see module docstring)
+    vec = None
     for _ in range(POWER_ITERS):
-        if vec is None:
-            raw = full.groupBy("i").agg(
-                F.round(F.sum(F.col("cov")), 9).alias("w")
-            )
-        else:
-            raw = (
-                full.join(
-                    F.broadcast(vec.select(F.col("i").alias("j"), "w")), "j"
-                )
-                .groupBy("i")
-                .agg(F.round(F.sum(F.col("cov") * F.col("w")), 9).alias("w"))
-            )
+        raw = _matvec(full, vec)
         nrm = raw.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
         vec = raw.crossJoin(F.broadcast(nrm)).select(
             "i", F.round(F.col("w") / F.col("nrm"), 9).alias("w")
@@ -203,11 +205,7 @@ def top_two_components(cov_upper: DataFrame) -> tuple[DataFrame, DataFrame]:
     checkpointed once and feeds both eigensolves."""
     full = _mirror(cov_upper).coalesce(1).localCheckpoint(eager=False)
     v1 = _power_rounds(full)
-    t = (
-        full.join(F.broadcast(v1.select(F.col("i").alias("j"), "w")), "j")
-        .groupBy("i")
-        .agg(F.round(F.sum(F.col("cov") * F.col("w")), 9).alias("t"))
-    )
+    t = _matvec(full, v1, out="t")
     lam = t.join(F.broadcast(v1), "i").agg(
         F.round(F.sum(F.col("t") * F.col("w")), 9).alias("lam")
     )
@@ -230,25 +228,24 @@ def top_two_components(cov_upper: DataFrame) -> tuple[DataFrame, DataFrame]:
     return v1, _power_rounds(full2)
 
 
-def project_top_two(emb: DataFrame) -> DataFrame:
-    """Per-vector 2-D projection onto the mean-centered first two
-    principal directions — d → d′ = 2 dimensionality reduction, the
-    plural-component form of project_top_component (same broadcast-
-    model map; one gram pass feeds everything)."""
-    mom = moments(emb)
-    v1, v2 = top_two_components(covariance_upper(emb, mom))
-    pc1 = _as_array(v1, "i", "w").select(F.col("arr").alias("pc1"))
-    pc2 = _as_array(v2, "i", "w").select(F.col("arr").alias("pc2"))
-    mu = _as_array(dim_means(mom), "i", "mu").select(F.col("arr").alias("muv"))
-    model = (
-        pc1.crossJoin(pc2)
-        .crossJoin(mu)
-        .select(
-            "pc1",
-            "pc2",
-            F.round(V.dot(F.col("muv"), F.col("pc1")), 9).alias("c1"),
-            F.round(V.dot(F.col("muv"), F.col("pc2")), 9).alias("c2"),
+def _project_onto(
+    emb: DataFrame, mom: DataFrame, comps: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Shared projection map: for each (out_name, (i, w) direction),
+    emit round(x·v − μ·v, 6) per vector. One 1-row model frame carries
+    every direction array and its centering constant; the corpus stage
+    is a single broadcast + map regardless of component count."""
+    model = _as_array(dim_means(mom), "i", "mu").select(F.col("arr").alias("muv"))
+    for name, vec in comps:
+        model = model.crossJoin(
+            _as_array(vec, "i", "w").select(F.col("arr").alias(f"pc_{name}"))
         )
+    model = model.select(
+        *[f"pc_{name}" for name, _ in comps],
+        *[
+            F.round(V.dot(F.col("muv"), F.col(f"pc_{name}")), 9).alias(f"c_{name}")
+            for name, _ in comps
+        ],
     )
     v = V.as_double(F.col("embedding"))
     return (
@@ -256,14 +253,27 @@ def project_top_two(emb: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(model))
         .select(
             "vec_id",
-            (F.round(V.dot(F.col("v"), F.col("pc1")) - F.col("c1"), 6) + 0.0).alias(
-                "p1"
-            ),
-            (F.round(V.dot(F.col("v"), F.col("pc2")) - F.col("c2"), 6) + 0.0).alias(
-                "p2"
-            ),
+            *[
+                (
+                    F.round(
+                        V.dot(F.col("v"), F.col(f"pc_{name}")) - F.col(f"c_{name}"), 6
+                    )
+                    + 0.0
+                ).alias(name)
+                for name, _ in comps
+            ],
         )
     )
+
+
+def project_top_two(emb: DataFrame) -> DataFrame:
+    """Per-vector 2-D projection onto the mean-centered first two
+    principal directions — d → d′ = 2 dimensionality reduction, the
+    plural-component form of project_top_component (same broadcast-
+    model map; one gram pass feeds everything)."""
+    mom = moments(emb)
+    v1, v2 = top_two_components(covariance_upper(emb, mom))
+    return _project_onto(emb, mom, [("p1", v1), ("p2", v2)])
 
 
 def _as_array(frame: DataFrame, key: str, val: str) -> DataFrame:
@@ -343,22 +353,5 @@ def project_top_component(emb: DataFrame) -> DataFrame:
     centering constant — ONE gram pass total; the corpus-sized stage
     is a broadcast of two d-length arrays + a pure map."""
     mom = moments(emb)
-    pc = _as_array(top_component(covariance_upper(emb, mom)), "i", "w")
-    mu = _as_array(dim_means(mom), "i", "mu")
-    # (pc, c0) in one 1-row frame: dot of the two broadcast arrays
-    model = (
-        pc.select(F.col("arr").alias("pc"))
-        .crossJoin(mu.select(F.col("arr").alias("muv")))
-        .select("pc", F.round(V.dot(F.col("muv"), F.col("pc")), 9).alias("c0"))
-    )
-    v = V.as_double(F.col("embedding"))
-    return (
-        emb.select("vec_id", v.alias("v"))
-        .crossJoin(F.broadcast(model))
-        .select(
-            "vec_id",
-            (F.round(V.dot(F.col("v"), F.col("pc")) - F.col("c0"), 6) + 0.0).alias(
-                "proj"
-            ),
-        )
-    )
+    v1 = top_component(covariance_upper(emb, mom))
+    return _project_onto(emb, mom, [("proj", v1)])
