@@ -2091,3 +2091,88 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+EMB_SPLIT = 250  #: vec_id boundary between "existing corpus" and "new batch"
+
+
+@register(
+    "embedding_batch_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+    m AS (SELECT i,
+                 round(avg(CASE WHEN vec_id < {EMB_SPLIT} THEN v[i] END), 9)
+                   AS mu_old,
+                 round(avg(CASE WHEN vec_id >= {EMB_SPLIT} THEN v[i] END), 9)
+                   AS mu_new,
+                 sum(CASE WHEN vec_id < {EMB_SPLIT} THEN 1 ELSE 0 END) AS n_old
+          FROM e, idx GROUP BY i),
+    arrs AS (SELECT list(mu_old ORDER BY i) AS a, list(mu_new ORDER BY i) AS b
+             FROM m),
+    n AS (SELECT CAST(min(n_old) AS BIGINT) AS n_old,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e) - CAST(min(n_old) AS BIGINT)
+                   AS n_new
+          FROM m)
+    SELECT n.n_old, n.n_new,
+           round(list_dot_product(a, b)
+                 / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b))),
+                 6) AS centroid_cosine,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> (a[i] - b[i]) * (a[i] - b[i])))), 6) AS centroid_l2_shift
+    FROM arrs, n
+    """,
+)
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space drift monitor — the vector twin of
+    corpus_drift_kl: compare the new batch's centroid against the
+    existing corpus's (cosine + L2 shift between per-dim means). A
+    dropping centroid cosine flags an encoder version change, a
+    modality mix shift, or a poisoned crawl before the batch reaches
+    the index/dedup stages. One conditional posexplode aggregate (the
+    corpus pass), then all geometry on two broadcast d-length arrays.
+    Per-dim means rounded 9 dp on both engines; the cosine/L2 use the
+    sequential dot on identical rounded operands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    is_old = F.col("vec_id") < EMB_SPLIT
+    m = (
+        emb.select("vec_id", F.posexplode(v).alias("pos0", "x"))
+        .groupBy((F.col("pos0") + 1).cast("int").alias("i"))
+        .agg(
+            F.round(F.avg(F.when(is_old, F.col("x"))), 9).alias("mu_old"),
+            F.round(F.avg(F.when(~is_old, F.col("x"))), 9).alias("mu_new"),
+            F.sum(F.when(is_old, 1).otherwise(0)).alias("n_old"),
+        )
+    )
+    arrs = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu_old"))),
+            lambda s: s.getField("mu_old"),
+        ).alias("a"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu_new"))),
+            lambda s: s.getField("mu_new"),
+        ).alias("b"),
+        F.min("n_old").cast("long").alias("n_old"),
+    )
+    total = emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    diff = F.zip_with(F.col("a"), F.col("b"), lambda x, y: (x - y) * (x - y))
+    return (
+        arrs.crossJoin(F.broadcast(total))
+        .select(
+            "n_old",
+            (F.col("n_total") - F.col("n_old")).alias("n_new"),
+            F.round(
+                V.dot(F.col("a"), F.col("b"))
+                / (
+                    F.sqrt(V.dot(F.col("a"), F.col("a")))
+                    * F.sqrt(V.dot(F.col("b"), F.col("b")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)), 6
+            ).alias("centroid_l2_shift"),
+        )
+    )
