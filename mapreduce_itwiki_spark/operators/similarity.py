@@ -342,6 +342,10 @@ def knn_graph(
     # interpreted-HOF join (A/B'd ~8% faster at bench scale, and the
     # vectorized gap widens with bucket size at real scale)
     scored = bucketed_neardup_pairs(emb, threshold=-2.0, max_bucket=max_bucket)
+    # the undirected pair list feeds BOTH union branches; without a
+    # checkpoint the whole band+matmul pipeline executes twice (Spark
+    # has no cross-branch common-subplan elimination — TUNING.md)
+    scored = scored.localCheckpoint(eager=False)
     sym = scored.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
     ).unionAll(
