@@ -3795,3 +3795,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, count(*) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           round(t.n * 1.0 / tot.n_from, 6) AS p
+    FROM t JOIN tot ON t.from_type = tot.from_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence TRANSITION MATRIX (first-order Markov counts +
+    probabilities over per-user event paths) — the behavioral-
+    analytics staple behind next-action prediction, anomaly detection
+    (improbable paths), and funnel discovery (funnel_analysis asserts
+    a KNOWN path; this finds the paths). Deterministic sequencing:
+    the lead window orders by (epoch microseconds, event_id), a total
+    order both engines share even under timestamp ties.
+
+    Scale shape: one window exchange on high-cardinality user_id (the
+    sessionize partitioning — biggest task owns one user), then two
+    grouped counts on the tiny type×type frame; probabilities are a
+    broadcast join against per-source totals. Exact integer counts;
+    one rounded ratio."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy(F.col("from_type").alias("tf")).agg(F.sum("n").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), t.from_type == F.col("tf"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
+        )
+    )
