@@ -3848,3 +3848,94 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events),
+    g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us,
+           CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS p50_us,
+           CAST(quantile_cont(gap_us, 0.9) AS DOUBLE) AS p90_us,
+           CAST(quantile_cont(gap_us, 0.99) AS DOUBLE) AS p99_us
+    FROM g
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics over per-user event streams — the
+    measurement that JUSTIFIES a sessionization gap parameter (pick
+    the session timeout in the p90–p99 valley) and sizes streaming
+    watermarks. Exact integer microsecond gaps from a tie-safe lag
+    window (same total order as event_transition_matrix); exact
+    percentiles at report scale, approx_percentile at 100 TB (the
+    percentile_stats substitution row in TUNING.md)."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gaps = (
+        events.select((us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_us"),
+        F.max("gap_us").alias("max_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.5)).alias("p50_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.9)).alias("p90_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.99)).alias("p99_us"),
+    )
+
+
+HIST_BINS = 20  #: fixed bin count for the value histogram
+HIST_LO = 0.0  #: histogram range [lo, hi); engine-shared literals
+HIST_HI = 1000.0
+
+
+# --------------------------------------------------------------------------
+@register(
+    "value_histogram_fixed_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(CASE WHEN value < {HIST_LO} THEN -1
+                  WHEN value >= {HIST_HI} THEN {HIST_BINS}
+                  ELSE CAST(floor((value - {HIST_LO})
+                       / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})) AS INTEGER)
+                  END AS INTEGER) AS bin
+      FROM events)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def value_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of the value metric with explicit underflow
+    (-1) and overflow (HIST_BINS) buckets — the one-pass distribution
+    report behind dashboards and drift monitors (bin edges are SHARED
+    LITERALS, so two snapshots' histograms are comparable — the
+    fixed-vocabulary analogue of corpus_drift_kl's smoothing). Pure
+    map + partial+final count agg on ≤ 22 keys: the cheapest possible
+    shuffle at any scale. Bin arithmetic is floor((v − lo)/width) on
+    doubles — identical rounding-free integers on both engines except
+    exact bin-edge values, which land identically because both
+    compute the same IEEE division."""
+    events = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    v = F.col("value")
+    bin_ = (
+        F.when(v < HIST_LO, F.lit(-1))
+        .when(v >= HIST_HI, F.lit(HIST_BINS))
+        .otherwise(F.floor((v - HIST_LO) / width).cast("int"))
+        .cast("int")
+    )
+    return (
+        events.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
