@@ -3939,3 +3939,47 @@ def value_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d,
+           CAST((SELECT count(DISTINCT u2.user_id) FROM du u2
+                 WHERE u2.d = days.d) AS BIGINT) AS dau,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU — the activity metric every event
+    pipeline reports. Exact rolling DISTINCT is not windowable (distinct
+    doesn't decompose over frames), so the standard shape is: dedup to
+    (day, user) — the ONLY corpus-sized stage, one partial+final agg —
+    then a bounded range self-join (≤ 7 day-rows per anchor) over the
+    tiny day×user frame and a distinct count per anchor day. At 100 TB
+    the (day, user) frame is still ~days × active-users, orders of
+    magnitude under the event count; the scale substitute for truly
+    huge user sets is the HLL-sketch union (hll_sketch_union row)."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy(F.col("d").alias("dau_d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    joined = days.join(
+        du.select(F.col("d").alias("ud"), "user_id"),
+        (F.col("ud") >= F.date_sub(F.col("d"), 6)) & (F.col("ud") <= F.col("d")),
+    )
+    wau = joined.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, wau.d == F.col("dau_d"))
+        .select("d", "dau", "wau")
+    )
