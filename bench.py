@@ -50,6 +50,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     # round 7 additions
     "embedding_pca_project",
+    # round 8 additions
+    "ann_pq_topk",
 ]
 
 

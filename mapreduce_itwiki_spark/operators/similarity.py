@@ -320,6 +320,137 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+PQ_M = 8  #: product-quantization subspaces (PQ_M * PQ_SUB = dim)
+PQ_SUB = 8  #: dims per subspace
+PQ_CODES = 4  #: codes per subspace codebook (256 in production; small keeps the oracle CTE tractable)
+PQ_RERANK = 50  #: ADC shortlist size re-ranked by exact cosine
+
+
+def _pq_sub_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): the PQ_M disjoint PQ_SUB-dim subvectors of each
+    embedding — one explode, no shuffle."""
+    v = vectors.as_double(F.col("embedding"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(v, s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(subs).alias("sub")).select(
+        "vec_id", "sub.s", "sub.sv"
+    )
+
+
+def pq_codebooks(sub: DataFrame) -> DataFrame:
+    """(s, cid, cv): per-subspace PQ codebooks — seeds are the
+    subvectors of the PQ_CODES smallest vec_ids, refined by ONE Lloyd
+    round with per-position means rounded to 6 decimals (the same
+    deterministic-training contract as ivf_centroids, so the DuckDB
+    oracle replays the identical codebooks).
+
+    Scale shape: the seed table is PQ_M × PQ_CODES rows (broadcast);
+    assignment is a broadcast join + partial+final MIN-struct agg (no
+    window, no per-row shuffle beyond the grouped argmin); the update
+    shuffle carries PQ_M × PQ_CODES × PQ_SUB cells per partition
+    regardless of corpus size. At 100 TB train on a sample — encoding
+    below is the only full scan."""
+    seeds = sub.filter(F.col("vec_id") < PQ_CODES).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d1 = sub.join(F.broadcast(seeds), "s").select(
+        "vec_id", "s", "cid", "sv", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    # argmin as a MIN over (d, cid, sv) structs: lexicographic struct
+    # comparison == the oracle's min([d, cid]) (sv is constant within a
+    # group, so it never participates in the comparison — it rides along
+    # so the Lloyd update needs no second join back to sub)
+    a1 = (
+        d1.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid", "sv")).alias("m"))
+        .select("s", F.col("m.cid").alias("cid"), F.col("m.sv").alias("sv"))
+    )
+    return (
+        a1.select("s", "cid", F.posexplode("sv").alias("pos0", "val"))
+        .groupBy("s", "cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st.getField("val"),
+            ).alias("cv")
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Product-quantization ANN top-k (FAISS PQ/ADC shape), the fourth
+    member of the similarity family: train per-subspace codebooks,
+    encode every vector as PQ_M small codes, score candidates with an
+    asymmetric-distance-computation (ADC) table lookup, then re-rank
+    the top ``rerank`` shortlist by exact cosine.
+
+    This is the MEMORY-compression scale path: at 100 TB the encoded
+    index is PQ_M bytes per vector (vs 4·dim for floats) and the ADC
+    scan touches only codes + a broadcast (PQ_M × PQ_CODES)-cell
+    distance table — the full vectors are read once at encode time and
+    again only for the ``rerank``-row shortlist.
+
+    Determinism: distances are rounded to 6 decimals (sequential
+    left-to-right double sums, the repo-wide contract), the ADC table
+    is integerized (×1e6, power-of-ten grid) so its per-vector SUM is
+    exact integer math in any engine and in any aggregation order, and
+    every argmin/top-k tie-breaks by id — the DuckDB oracle replays the
+    identical index, encode, scan, and re-rank."""
+    sub = _pq_sub_rows(emb)
+    # the codebook subtree contains a full corpus scan; without cutting
+    # lineage, encode + the ADC table would each re-run it (no
+    # cross-branch common-subplan elimination — TUNING.md)
+    books = pq_codebooks(sub).localCheckpoint(eager=False)
+    d2 = sub.join(F.broadcast(books), "s").select(
+        "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    enc = (
+        d2.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+    # ADC distance table: PQ_M × PQ_CODES cells, integerized then
+    # broadcast — the per-subspace distances are already on a 1e-6
+    # decimal grid, so ×1e6 + round lands every cell on an exact BIGINT
+    dt = (
+        sub.filter(F.col("vec_id") == query_vec_id)
+        .select("s", F.col("sv").alias("qsv"))
+        .join(F.broadcast(books), "s")
+        .select(
+            "s",
+            "cid",
+            F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+            .cast("long")
+            .alias("dti"),
+        )
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dti").alias("adc"))
+    )
+    cand_ids = adc.orderBy("adc", "vec_id").limit(rerank).select("vec_id")
+    query = emb.filter(F.col("vec_id") == query_vec_id)
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    scored = with_cosine_to_query(cands, query)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 def knn_graph(
     emb: DataFrame, k: int = 3, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:

@@ -350,6 +350,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+#: rounded squared L2 between PQ_SUB-dim subvectors — twin of
+#: similarity.sq_dist applied to list_slice'd subspaces
+_PQ_SUBDIST = (
+    f"round(list_sum(list_transform(range(1, {similarity.PQ_SUB} + 1), "
+    "i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))), 6)"
+)
+
+
+@register(
+    "ann_pq_topk",
+    # replays the identical PQ index: per-subspace seeds = vec_id <
+    # PQ_CODES, one Lloyd round (rounded means), min([d, cid]) argmin
+    # encode, integerized ADC table, top-RERANK shortlist by exact
+    # integer ADC order, exact-cosine re-rank.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ss AS (SELECT unnest(range(0, {similarity.PQ_M})) AS s),
+    sub AS (SELECT vec_id, s,
+                   list_slice(v, s * {similarity.PQ_SUB} + 1,
+                              s * {similarity.PQ_SUB} + {similarity.PQ_SUB}) AS sv
+            FROM e CROSS JOIN ss),
+    c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub
+           WHERE vec_id < {similarity.PQ_CODES}),
+    d1 AS (SELECT sub.vec_id, sub.s, c.cid, {_PQ_SUBDIST} AS d
+           FROM sub JOIN c0 c ON sub.s = c.s),
+    a1 AS (SELECT vec_id, s, CAST(min([d, cid::DOUBLE])[2] AS BIGINT) AS cid
+           FROM d1 GROUP BY vec_id, s),
+    upd AS (SELECT a1.s, a1.cid, unnest(sub.sv) AS val,
+                   generate_subscripts(sub.sv, 1) AS pos
+            FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s),
+    c1cell AS (SELECT s, cid, pos, round(avg(val), 6) AS val
+               FROM upd GROUP BY s, cid, pos),
+    c1 AS (SELECT s, cid, list(val ORDER BY pos) AS cv FROM c1cell GROUP BY s, cid),
+    d2 AS (SELECT sub.vec_id, sub.s, c.cid, {_PQ_SUBDIST} AS d
+           FROM sub JOIN c1 c ON sub.s = c.s),
+    enc AS (SELECT vec_id, s, CAST(min([d, cid::DOUBLE])[2] AS BIGINT) AS cid
+            FROM d2 GROUP BY vec_id, s),
+    qs AS (SELECT s, sv FROM sub WHERE vec_id = 0),
+    dt AS (SELECT c.s, c.cid, CAST(round({_PQ_SUBDIST} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs sub ON c.s = sub.s),
+    adc AS (SELECT enc.vec_id, sum(dti) AS adc
+            FROM enc JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+            WHERE enc.vec_id <> 0
+            GROUP BY enc.vec_id),
+    cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT {similarity.PQ_RERANK}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS PQ/ADC shape): per-subspace
+    codebooks → PQ_M-byte codes → broadcast ADC table scan → exact
+    re-rank of the shortlist. The MEMORY-compression scale path: the
+    encoded index is PQ_M bytes/vector and the scan never touches the
+    float vectors except for the re-rank shortlist. See
+    operators/similarity.py:pq_topk."""
+    return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 @register(
     "embedding_centroids",
     oracle="""

@@ -104,6 +104,45 @@ def test_ivf_probe_results_are_exact_cosines(spark):
     assert len({r.vec_id for r in lists}) == len(lists)
 
 
+def test_pq_index_shape_and_rerank_exact(spark):
+    """PQ: the codebook is a complete PQ_M × PQ_CODES grid of
+    PQ_SUB-dim codes, every (vector, subspace) encodes to exactly one
+    valid code, and — precision-over-recall, like IVF — every returned
+    row carries the TRUE cosine (the re-rank stage scores real
+    vectors, never reconstructed ones)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sub = similarity._pq_sub_rows(emb)
+    books = similarity.pq_codebooks(sub).collect()
+    assert len(books) == similarity.PQ_M * similarity.PQ_CODES
+    assert all(len(r.cv) == similarity.PQ_SUB for r in books)
+    assert {(r.s, r.cid) for r in books} == {
+        (s, c)
+        for s in range(similarity.PQ_M)
+        for c in range(similarity.PQ_CODES)
+    }
+    brute_scores = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_topk(emb, query_vec_id=0, k=10**9).collect()
+    }
+    approx = similarity.pq_topk(emb, query_vec_id=0, k=10).collect()
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_pq_full_rerank_equals_bruteforce(spark):
+    """PQ's only approximation is the ADC shortlist: with rerank >=
+    corpus size every vector reaches the exact re-rank stage, so the
+    result must equal brute force row for row — codebook training,
+    encoding, and the integerized ADC scan provably lose nothing."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute = similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    full = similarity.pq_topk(emb, query_vec_id=0, k=10, rerank=10**9).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
+
+
 def test_knn_graph_scores_exact_and_bounded(spark):
     """k-NN graph: precision is exact (every edge's cosine matches a
     numpy recomputation), every source has at most k neighbors, no
