@@ -134,6 +134,59 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 2,
+) -> DataFrame:
+    """(node, community) after ``rounds`` SYNCHRONOUS label-propagation
+    updates over the undirected graph — community detection, the
+    clustering complement of connected components (CC merges everything
+    reachable; LPA splits a component into densely-linked groups).
+
+    Determinism contract (the classic LPA pitfall is order-dependence):
+    updates are synchronous (round t+1 reads only round t's labels),
+    every node starts labeled with its own id, and each node adopts the
+    most frequent label among its neighbors with ties broken by the
+    SMALLEST label — argmax spelled as min over (-count, label) structs,
+    so any engine reproduces the exact fixture. Fixed round count, like
+    kmeans_two_rounds: the oracle unrolls the same rounds as chained
+    CTEs.
+
+    Scale shape: each round is one join (labels onto the edge list's
+    dst side) + two hash aggregations — all partial+final, no windows,
+    no driver actions; the static symmetric edge list is persisted
+    across rounds. At 100 TB this is the standard O(E)-per-round
+    semi-synchronous LPA; raise ``rounds`` with a convergence probe as
+    in connected_components."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("a")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select(F.col("a").alias("node"), F.col("m.lbl").alias("lbl"))
+        )
+    # NOTE: sym stays persisted — the returned plan is lazy, so an
+    # eager unpersist here would drop the cache before any action runs;
+    # Spark's ContextCleaner reclaims the blocks once the frame is
+    # unreachable (same lifecycle note as connected_components)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "page_from",

@@ -297,6 +297,52 @@ def audio_frame_energy(
     return audio.mapInPandas(run, schema)
 
 
+def audio_resample_stats(
+    audio: DataFrame, blob_col: str = "wav", factor: int = 2
+) -> DataFrame:
+    """Audio RESAMPLING over a WAV blob column: decode with the stdlib
+    PCM codec, low-pass with a ``factor``-tap moving average, decimate
+    by ``factor`` (the standard anti-aliased downsample: y[k] = mean of
+    x[factor·k .. factor·k+factor−1]), and emit the resampled signal's
+    (n_samples, duration at rate/factor, RMS) — the sample-rate
+    normalization step an audio curation pipeline runs before feature
+    extraction. Integer inputs keep the tap averages exact binary
+    fractions, so the oracle replays the math bit-for-bit. Zero
+    shuffle: Arrow-batched mapInPandas end to end."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_l, dur_l, rms_l = [], [], []
+            for blob in pdf[blob_col]:
+                rate, samples = decode_wav_pcm16(bytes(blob))
+                ys = [
+                    sum(samples[k * factor : (k + 1) * factor]) / factor
+                    for k in range(len(samples) // factor)
+                ]
+                n_l.append(len(ys))
+                dur_l.append(round(len(ys) / (rate // factor), 6))
+                rms_l.append(round(math.sqrt(sum(y * y for y in ys) / len(ys)), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": n_l,
+                    "duration_sec": dur_l,
+                    "rms": rms_l,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+    return audio.mapInPandas(run, schema)
+
+
 def image_histogram(
     images: DataFrame, blob_col: str = "png", decoder=None, n_bins: int = 4
 ) -> DataFrame:

@@ -1225,6 +1225,58 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_resample",
+    # resampled sample k (1-based) averages source samples (ascii−128)
+    # at byte positions 2k−1 and 2k; the 2-tap mean of two ints is an
+    # exact binary fraction, the 16-term energy avg is exact, IEEE sqrt
+    # is correctly rounded ⇒ engine-exact at 6 decimals
+    oracle="""
+    SELECT doc_id, CAST(16 AS INTEGER) AS n_samples,
+           round(16.0 / 4000, 6) AS duration_sec,
+           round(sqrt(list_avg(list_transform(range(1, 17),
+                 k -> ((ascii(substr(text, 2 * k - 1, 1)) - 128
+                        + ascii(substr(text, 2 * k, 1)) - 128) / 2.0)
+                      * ((ascii(substr(text, 2 * k - 1, 1)) - 128
+                          + ascii(substr(text, 2 * k, 1)) - 128) / 2.0)))), 6) AS rms
+    FROM documents
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING through the real WAV codec: 8 kHz → 4 kHz via a
+    2-tap moving-average low-pass + decimation — the sample-rate
+    normalization every speech-data pipeline runs before feature
+    extraction. Encode → decode → filter → stats all in Arrow-batched
+    mapInPandas; zero shuffle. See
+    operators/multimodal.py:audio_resample_stats."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import audio_resample_stats, encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        encode_wav_pcm16([b - 128 for b in _head_bytes(t, 32)])
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    audio = docs.mapInPandas(
+        to_wav,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+        ),
+    )
+    return audio_resample_stats(audio, factor=2)
+
+
+@register(
     "multimodal_image_histogram",
     # 4 intensity bins of width 64 over the 64 decoded pixels; counting
     # is exact integer work, and every (doc, bin) row is present so the
@@ -1967,6 +2019,53 @@ def pagerank_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).select(
         "node", F.round(F.col("rank"), 8).alias("rank")
     )
+
+
+@register(
+    "label_propagation_communities",
+    # unrolls the same 2 synchronous rounds: every node starts as its
+    # own label; each round adopts the most frequent neighbor label,
+    # ties to the SMALLEST label (row_number ORDER BY c DESC, lbl ==
+    # Spark's min over (-c, lbl) structs)
+    oracle="""
+    WITH dt AS (SELECT 'doc:' || doc_id AS a,
+                       unnest(list_distinct(string_split(text, ' '))) AS b
+                FROM documents),
+    e AS (SELECT a, b FROM dt WHERE b <> ''),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    n AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS lbl FROM n),
+    c1 AS (SELECT s.a, l.lbl, count(*) AS c FROM sym s
+           JOIN l0 l ON s.b = l.node GROUP BY s.a, l.lbl),
+    l1 AS (SELECT a AS node, lbl FROM (
+             SELECT a, lbl, row_number() OVER (
+               PARTITION BY a ORDER BY c DESC, lbl) AS rn FROM c1)
+           WHERE rn = 1),
+    c2 AS (SELECT s.a, l.lbl, count(*) AS c FROM sym s
+           JOIN l1 l ON s.b = l.node GROUP BY s.a, l.lbl),
+    l2 AS (SELECT a AS node, lbl FROM (
+             SELECT a, lbl, row_number() OVER (
+               PARTITION BY a ORDER BY c DESC, lbl) AS rn FROM c2)
+           WHERE rn = 1)
+    SELECT node, lbl AS community FROM l2
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (2 rounds) over the doc↔token bipartite link graph —
+    the clustering complement of connected components: CC merges
+    everything reachable, LPA groups nodes by DENSE linkage (docs
+    sharing vocabulary converge onto one label). The iterative-ML slot
+    next to pagerank/kmeans, exactly oracle-replayed round by round.
+    See operators/graph.py:label_propagation."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("a"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("b"),
+    ).filter(F.col("b") != "")
+    return label_propagation(edges, rounds=2)
 
 
 @register(

@@ -316,6 +316,40 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_label_propagation_hand_computed(spark):
+    """Two triangles joined by one bridge edge, against hand-simulated
+    synchronous LPA: after round 1 every node in triangle {1,2,3} holds
+    label 1 and every node in {4,5,6} holds 4 — except the bridge
+    endpoints, whose neighbor multisets tie and fall to the smallest
+    label. Pinning the exact 2-round labels locks both the synchronous
+    update and the (-count, label) tie-break."""
+    from mapreduce_itwiki_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    edf = spark.createDataFrame(edges, ["a", "b"])
+
+    # hand-simulate the contract: synchronous, most-frequent neighbor
+    # label, ties to the smallest label
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(2):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            nxt[n] = min(counts, key=lambda L: (-counts[L], L))
+        lbl = nxt
+
+    got = {r.node: r.community for r in label_propagation(edf, rounds=2).collect()}
+    assert got == lbl
+    # the two triangles must resolve to distinct dense communities
+    assert got[1] == got[2] and got[5] == got[6] and got[1] != got[5]
+
+
 def test_pagerank_hand_computed(spark):
     """PageRank on a 3-node cycle plus a dangler, against a hand-rolled
     Python fixed-point with identical semantics."""
