@@ -91,6 +91,31 @@ def test_knn_graph_topk_is_group_limited(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_scan_broadcasts_index_and_heaps_topk(spark):
+    """PQ ANN: the codebook and ADC-table frames (PQ_M × PQ_CODES rows)
+    must ride broadcasts — the corpus-side encode/scan never shuffles
+    against them; the candidate restriction stays a semi-join; both
+    top-k stages are per-partition heaps (TakeOrderedAndProject); the
+    encode argmin is a partial+final MIN-struct aggregation, never a
+    per-row window over the corpus."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # argmin via MIN-struct agg, not row_number
+
+
+def test_label_propagation_is_agg_only(spark):
+    """LPA: each round must be join + partial+final hash aggregations —
+    no window functions (the argmax is a MIN over (-count, label)
+    structs), no cartesian blow-up."""
+    plan = plan_of(spark, "label_propagation_communities")
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 rounds
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_query_is_shuffle_free(spark):
     """join_orders_lineitem_bucketed: the orderkey join must read
     co-located buckets with ZERO Exchange on either join side — the only
