@@ -247,6 +247,41 @@ def test_zorder_layout_prunes_files(spark, tmp_path):
     assert zo_m <= zo_t // 2, (zo_m, zo_t, lin_m, lin_t)
 
 
+def test_small_file_compaction(spark, tmp_path):
+    """Small-file compaction — the operational fix for the many-tiny-
+    files problem every long-running 100 TB pipeline accumulates (NN
+    pressure, per-file open cost, starved scan parallelism). Two
+    levers, both pinned: (1) repartition-rewrite collapses a 64-shard
+    spray into exactly 4 files with byte-identical content; (2) the
+    ``maxRecordsPerFile`` governor bounds file size on write so a big
+    partition splits into ceil(rows/limit) files without a shuffle."""
+    import glob
+
+    src = str(tmp_path / "sprayed")
+    dst = str(tmp_path / "compacted")
+    gov = str(tmp_path / "governed")
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_rows = ev.count()
+    ev.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    sprayed = spark.read.parquet(src)
+    sprayed.repartition(4).write.parquet(dst)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
+    compacted = spark.read.parquet(dst)
+    # byte-identical content, both directions
+    assert compacted.count() == n_rows
+    assert compacted.exceptAll(ev).isEmpty() and ev.exceptAll(compacted).isEmpty()
+
+    per_file = (n_rows // 4) + 1
+    sprayed.coalesce(1).write.option("maxRecordsPerFile", per_file).parquet(gov)
+    files = glob.glob(f"{gov}/part-*.parquet")
+    assert len(files) == 4  # one writer task, governor splits the output
+    assert spark.read.parquet(gov).count() == n_rows
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Runtime proof of the AQE skew-join lever the session enables
     (`session.py`: adaptive.skewJoin): plant a join where ONE key owns
