@@ -133,7 +133,13 @@ _LOADED = False
 def _load() -> None:
     global _LOADED
     if not _LOADED:
-        from . import llm_pipeline, reference, relational, training_data  # noqa: F401
+        from . import (  # noqa: F401
+            llm_pipeline,
+            ml_features,
+            reference,
+            relational,
+            training_data,
+        )
         from .. import streaming  # noqa: F401  (registers streaming queries)
 
         _LOADED = True
