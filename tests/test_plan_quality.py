@@ -528,3 +528,72 @@ def test_pca_moments_single_pass_arrow_combine(spark):
     assert n_agg == 2, plan  # partial + final
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "vec_id" not in read_schema and "label" not in read_schema
+
+
+def test_feature_hash_partial_aggs_and_no_vocab_join(spark):
+    """feature_hash_vectorize is the no-vocabulary vectorizer: ONE
+    explode → hash → partial+final agg, no join anywhere (a dictionary
+    join is exactly what the hashing trick exists to avoid)."""
+    plan = plan_of(spark, "feature_hash_vectorize")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan, plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_target_encode_broadcasts_category_stats(spark):
+    """target_encode_loo must broadcast the tiny per-category (sum, n)
+    frame back — never window over low-cardinality event_type (the
+    single-task-per-group scale-killer)."""
+    plan = plan_of(spark, "target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan, plan
+
+
+def test_ols_trend_windows_by_user_only(spark):
+    """ols_trend_per_user: the rank window partitions on
+    high-cardinality user_id (bounded tasks), and the fit itself is one
+    partial+final agg — no second corpus pass, no join."""
+    import re
+
+    plan = plan_of(spark, "ols_trend_per_user")
+    assert "Window" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("user_id" in s for s in win_specs), win_specs
+    # exactly one corpus scan: the sufficient-statistics form never
+    # rejoins raw events
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_logreg_broadcasts_weights_both_steps(spark):
+    """logreg_gd_steps: gradients are partial+final aggs (shuffle
+    carries d partial sums) and BOTH weight frames come back as
+    broadcasts (the 1-row pivot via BroadcastNestedLoopJoin, the d-row
+    frame via BroadcastHashJoin) — no shuffle join against model
+    state, no row-wise Python."""
+    plan = plan_of(spark, "logreg_gd_steps")
+    assert plan.count("HashAggregate") >= 4  # two gradient passes
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skyline_windows_are_sharded(spark):
+    """skyline_pareto_parts: the only doc-level-cardinality window must
+    partition by the price shard; the unpartitioned window may run only
+    over the tiny per-shard totals (input is an Aggregate). The final
+    dominance probe joins the price-group frame back by shuffle and the
+    shard offsets by broadcast."""
+    import re
+
+    plan = plan_of(spark, "skyline_pareto_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # shard-offset frame
+    # every Window over price-level rows names shard in its partition
+    # spec; only the per-shard-totals offsets window may omit it
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    unsharded = [s for s in win_specs if "shard" not in s]
+    assert len(unsharded) <= 1, win_specs
