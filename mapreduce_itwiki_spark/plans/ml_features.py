@@ -308,3 +308,238 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("p_size"))
     ) | (F.col("gmax") > F.col("p_size"))
     return joined.filter(~dominated).select("p_partkey", "p_retailprice", "p_size")
+
+
+MIN_PAIR_SUPPORT = 2  #: association-rule absolute support floor
+
+
+# --------------------------------------------------------------------------
+@register(
+    "market_basket_rules",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_PAIR_SUPPORT}),
+    item AS (SELECT l_partkey, count(*) AS n_i FROM items GROUP BY 1)
+    SELECT pa, pb, n_ab,
+           round(n_ab * 1.0 / (SELECT n_orders FROM n), 6) + 0.0 AS support,
+           round(n_ab * 1.0 / ia.n_i, 6) + 0.0 AS confidence,
+           round(n_ab * 1.0 * (SELECT n_orders FROM n)
+                 / (ia.n_i * 1.0 * ib.n_i), 6) + 0.0 AS lift
+    FROM pairs JOIN item ia ON ia.l_partkey = pa
+               JOIN item ib ON ib.l_partkey = pb
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules (Agrawal & Srikant's a-priori
+    setting) — parts bought together in the same order, with
+    support / confidence / lift, the co-occurrence mining that also
+    powers "related documents" and co-citation analysis over a corpus.
+    Pair generation is a self-join keyed on the basket id — shuffle
+    ∝ Σ basket², bounded because TPC-H baskets hold ≤ 7 lines (at
+    web scale the a-priori property prefilters items below min-support
+    BEFORE pairing, the same frequency-cap discipline as the stop-
+    shingle cap in ngram_jaccard). Metrics are exact-integer ratios
+    (counts < 2⁵³ are exact in doubles, one correctly-rounded division
+    each) — engine-identical, rounded for display only."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("n_i").alias("n_b"))
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            (F.round(F.col("n_ab") * 1.0 / F.col("n_orders"), 6) + 0.0).alias(
+                "support"
+            ),
+            (F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6) + 0.0).alias(
+                "confidence"
+            ),
+            (
+                F.round(
+                    F.col("n_ab") * 1.0 * F.col("n_orders")
+                    / (F.col("n_a") * 1.0 * F.col("n_b")),
+                    6,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_hour_anomaly",
+    oracle="""
+    WITH g AS (
+      SELECT date_part('hour', ts) AS hod,
+             round(avg(value), 6) AS mu,
+             round(stddev_pop(value), 6) AS sd
+      FROM events GROUP BY 1)
+    SELECT e.event_id, CAST(g.hod AS INTEGER) AS hod,
+           round((e.value - g.mu) / g.sd, 6) + 0.0 AS z,
+           abs(round((e.value - g.mu) / g.sd, 6)) > 3.0 AS is_anomaly
+    FROM events e JOIN g ON g.hod = date_part('hour', e.ts)
+    """,
+)
+def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline ANOMALY DETECTION — the monitoring query of an
+    event pipeline: per hour-of-day baseline (μ, σ) over the corpus,
+    each event scored by its residual z = (value − μ)/σ, flagged
+    beyond 3σ. The 24-row baseline is a partial+final agg BROADCAST
+    back (never a window over low-cardinality hod), so scoring is a
+    map-side join at any scale — the same tiny-model-broadcast shape
+    as target_encode_loo. μ and σ are rounded once (6 dp absorbs
+    engine summation-order drift in the moment sums) and the z
+    arithmetic then runs on identical operands; the 3σ verdict tests
+    the ROUNDED z on both engines so the flag can never straddle an
+    ulp."""
+    events = load_table(spark, sf_dir, "events")
+    hod = F.hour(F.col("ts"))
+    g = (
+        events.groupBy(hod.alias("hod"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("mu"),
+            F.round(F.stddev_pop("value"), 6).alias("sd"),
+        )
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        events.select("event_id", "value", hod.alias("hod"))
+        .join(F.broadcast(g), "hod")
+        .select(
+            "event_id",
+            F.col("hod").cast("int").alias("hod"),
+            (z + 0.0).alias("z"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "naive_bayes_langid",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    c AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS tot FROM toks GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    model AS (SELECT c.lang, c.tok,
+                     round(ln((c.c + 1.0) / (tot.tot + (SELECT v FROM v))), 7)
+                       AS logp
+              FROM c JOIN tot ON tot.lang = c.lang),
+    dflt AS (SELECT lang AS cand_lang,
+                    round(ln(1.0 / (tot + (SELECT v FROM v))), 7) AS logp0
+             FROM tot),
+    cand AS (SELECT t.doc_id, d.cand_lang, coalesce(m.logp, d.logp0) AS lp
+             FROM toks t
+             CROSS JOIN dflt d
+             LEFT JOIN model m ON m.lang = d.cand_lang AND m.tok = t.tok),
+    scores AS (SELECT doc_id, cand_lang, round(sum(lp), 7) AS score
+               FROM cand GROUP BY 1, 2),
+    ranked AS (SELECT doc_id, cand_lang, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, cand_lang) AS rn
+               FROM scores)
+    SELECT r.doc_id, r.cand_lang AS pred_lang, r.score + 0.0 AS score,
+           r.cand_lang = d.lang AS correct
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE rn = 1
+    """,
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES language classifier, trained AND applied
+    in one DAG — the fastText-style corpus classifier (language ID,
+    quality, topic) every large curation pipeline runs: per-language
+    Laplace-smoothed token log-likelihoods fitted on the corpus itself,
+    every document scored against ALL candidate languages, argmax
+    prediction checked against the true label. Scale shape: the model
+    is two grouped counts (∝ vocabulary, not corpus — broadcastable in
+    production); scoring fans the token stream out by the 5 candidate
+    languages (a bounded ×|classes| map), joins the model on
+    high-cardinality (lang, token), and reduces per (doc, lang) — every
+    shuffle key is high-cardinality, no low-cardinality windows except
+    the 5-row-per-doc argmax. Determinism: the log-likelihoods are
+    single ln() calls on exact integer ratios rounded at 7 dp (engines'
+    ln agree to the last ulp — far inside the rounding), per-doc sums
+    of those identical values are rounded at 7 dp — the model grid's
+    OWN precision, so the decimal-exact sum sits ON the rounding grid
+    and both engines snap to it (coarser rounding would create
+    half-way coin flips; see the grid-alignment note in
+    operators/pca.py) — and the argmax
+    orders by the ROUNDED score with a language tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    v = toks.agg(F.countDistinct("tok").alias("v"))
+    model = (
+        c.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))), 7
+            ).alias("logp"),
+        )
+    )
+    dflt = (
+        tot.crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))), 7).alias(
+                "logp0"
+            ),
+        )
+    )
+    cand = (
+        toks.select("doc_id", "tok")
+        .crossJoin(F.broadcast(dflt))
+        .join(model, ["cand_lang", "tok"], "left")
+    )
+    scores = cand.groupBy("doc_id", "cand_lang").agg(
+        F.round(F.sum(F.coalesce("logp", "logp0")), 7).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("pred_lang"),
+            (F.col("score") + 0.0).alias("score"),
+            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        )
+    )

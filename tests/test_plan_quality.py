@@ -597,3 +597,35 @@ def test_skyline_windows_are_sharded(spark):
     assert win_specs, plan
     unsharded = [s for s in win_specs if "shard" not in s]
     assert len(unsharded) <= 1, win_specs
+
+
+def test_market_basket_joins_on_basket_key(spark):
+    """market_basket_rules: pair generation must be an equi-join keyed
+    on the basket id (orderkey) — never a cartesian — and the counts
+    partial+final aggs (distinct items, pairs, per-item) all combine
+    map-side."""
+    plan = plan_of(spark, "market_basket_rules")
+    assert "CartesianProduct" not in plan
+    assert "l_orderkey" in plan
+    assert plan.count("HashAggregate") >= 6  # 3 agg pairs minimum
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark):
+    """seasonal_hour_anomaly: the 24-row hour-of-day baseline comes
+    back as a broadcast — never a window over low-cardinality hod."""
+    plan = plan_of(spark, "seasonal_hour_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan, plan
+
+
+def test_naive_bayes_windows_by_doc_only(spark):
+    """naive_bayes_langid: the only window is the per-document argmax
+    (high-cardinality doc_id); the class fan-out and default frame are
+    broadcasts; no row-wise Python anywhere."""
+    import re
+
+    plan = plan_of(spark, "naive_bayes_langid")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("doc_id" in s for s in win_specs), win_specs
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
