@@ -543,3 +543,206 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_lang") == F.col("lang")).alias("correct"),
         )
     )
+
+
+BF_ROUNDS = 3  #: Bellman-Ford relaxation rounds (≤ k-hop exact distances)
+BF_WMOD = 8  #: edge weights are 1 + md5(edge) mod this
+
+
+def _bf_weight_sql(a: str, b: str) -> str:
+    return f"1 + ('0x' || substr(md5({a} || ' ' || {b}), 1, 15))::BIGINT % {BF_WMOD}"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "weighted_shortest_path",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)),
+    edges AS (
+      SELECT DISTINCT w1, w2, {_bf_weight_sql('w1', 'w2')} AS wt FROM (
+        SELECT t.tok AS w1,
+               lead(t.tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks t)
+      WHERE w2 IS NOT NULL AND w1 <> w2),
+    d0 AS (SELECT DISTINCT tok AS node, 0 AS dist FROM toks WHERE pos = 1),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.w2, d0.dist + e.wt FROM d0 JOIN edges e ON e.w1 = d0.node)
+           GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.w2, d1.dist + e.wt FROM d1 JOIN edges e ON e.w1 = d1.node)
+           GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.w2, d2.dist + e.wt FROM d2 JOIN edges e ON e.w1 = d2.node)
+           GROUP BY node)
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source-set shortest paths — {BF_ROUNDS} synchronous
+    Bellman-Ford relaxation rounds over the token-adjacency graph
+    (nodes = tokens, an edge per adjacent-token bigram, deterministic
+    md5 weights so both engines share the topology): exact minimum path
+    cost from any document-initial token within ≤ {BF_ROUNDS} hops. The
+    weighted complement to bfs_hop_distance — Bellman-Ford is the
+    data-parallel shortest-path algorithm (Pregel's canonical example):
+    each round is relax-all-edges = one equi-join keyed on the
+    high-cardinality node id + one partial+final MIN agg, so a round
+    over billions of edges is one bounded shuffle; the frontier frame
+    stays (node, dist)-narrow. Rounds are unrolled into ONE DAG (no
+    driver actions, no collects) and the oracle replays them as chained
+    CTEs; integer weights make every distance exact. At true 100 TB
+    graph scale the loop adds a convergence check + checkpoint cadence
+    (the connected-components pattern, operators/graph.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    wt = (
+        1
+        + F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.col("w1"), F.col("w2"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BF_WMOD
+    )
+    edges = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull() & (F.col("tok") != F.col("w2")))
+        .select(F.col("tok").alias("w1"), "w2")
+        .distinct()
+        .select("w1", "w2", wt.alias("wt"))
+    )
+    dist = (
+        toks.filter(F.col("pos0") == 0)
+        .select(F.col("tok").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(BF_ROUNDS):
+        relaxed = dist.join(edges, dist.node == edges.w1).select(
+            F.col("w2").alias("node"), (F.col("dist") + F.col("wt")).alias("dist")
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+AUC_SCORE_SHARD = 16  #: score-range width per rank shard
+
+
+# --------------------------------------------------------------------------
+def _auc_oracle() -> str:
+    from .training_data import TRIGRAM_PROFILES, _trigram_count_sql
+
+    score = " + ".join(_trigram_count_sql(t) for t in TRIGRAM_PROFILES["en"])
+    return f"""
+    WITH s AS (SELECT doc_id, CAST({score} AS BIGINT) AS score,
+                      lang = 'en' AS pos
+               FROM documents),
+    r AS (SELECT score, pos, rank() OVER (ORDER BY score) AS rlo,
+                 count(*) OVER (PARTITION BY score) AS nties
+          FROM s),
+    agg AS (SELECT sum(CASE WHEN pos THEN 2 * rlo + nties - 1 ELSE 0 END) AS s2,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS npos,
+                   count(*) AS n
+            FROM r)
+    SELECT CAST(npos AS BIGINT) AS n_pos, CAST(n - npos AS BIGINT) AS n_neg,
+           round((s2 - npos * (npos + 1)) * 1.0
+                 / (2 * npos * (n - npos)), 6) + 0.0 AS auc
+    FROM agg
+    """
+
+
+@register("classifier_auc_eval", oracle=_auc_oracle())
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC — the model-evaluation operator every
+    classifier-based curation filter needs at corpus scale: AUC of the
+    char-trigram English score against the true language label, via the
+    rank-statistic identity AUC = (Σ midranks⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻)
+    (Mann-Whitney U). The oracle states it with a global rank window;
+    the Spark plan computes the SAME midranks without any global
+    single-task window: group by score (ties collapse), two-pass shard
+    prefix counts over the score-group frame (cumulative count below
+    each score = within-shard running sum + broadcast per-shard offsets
+    — the `_sharded_cum_tokens` pattern from plans/training_data.py),
+    then one integer aggregate. Everything is exact integer arithmetic
+    up to the single final division, so the AUC hash-matches at full
+    precision. At 100 TB: one partial+final agg on score, windows only
+    over the tiny score-group frame, one broadcast — evaluation cost ≈
+    one scan."""
+    from .training_data import TRIGRAM_PROFILES
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count(tri: str):
+        return (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
+        ) / 3
+
+    cols = [count(t) for t in TRIGRAM_PROFILES["en"]]
+    score = cols[0]
+    for c in cols[1:]:
+        score = score + c
+    s = docs.select(
+        score.cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    sg = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    sg = sg.withColumn("shard", F.floor(F.col("score") / AUC_SCORE_SHARD))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sg.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    tot = sg.groupBy("shard").agg(F.sum("n").alias("sn"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard", F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("offset")
+    )
+    ranked = within.join(F.broadcast(off), "shard").select(
+        "n",
+        "npos",
+        (F.col("offset") + F.col("cum_in")).alias("cum_lt"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_lt") + F.col("n") + 1)
+        ).alias("s2"),
+        F.sum("npos").alias("npos"),
+        F.sum("n").alias("n"),
+    )
+    return agg.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
+        (
+            F.round(
+                (F.col("s2") - F.col("npos") * (F.col("npos") + 1))
+                * 1.0
+                / (2 * F.col("npos") * (F.col("n") - F.col("npos"))),
+                6,
+            )
+            + 0.0
+        ).alias("auc"),
+    )

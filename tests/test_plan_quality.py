@@ -629,3 +629,32 @@ def test_naive_bayes_windows_by_doc_only(spark):
     assert win_specs and all("doc_id" in s for s in win_specs), win_specs
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bellman_ford_rounds_are_join_agg_only(spark):
+    """weighted_shortest_path: every relaxation round must be an
+    equi-join + partial+final MIN agg — no cartesian, no window beyond
+    the doc-bounded bigram lead, no Python."""
+    import re
+
+    plan = plan_of(spark, "weighted_shortest_path")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 6  # ≥ partial+final × 3 rounds
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert all("doc_id" in s for s in win_specs), win_specs
+
+
+def test_auc_windows_over_score_groups_only(spark):
+    """classifier_auc_eval: the midrank computation may window only
+    over the score-group frame — every doc-level stage is an agg, the
+    shard offsets come back by broadcast, and at most one window spec
+    (the per-shard-totals offsets) omits the shard key."""
+    import re
+
+    plan = plan_of(spark, "classifier_auc_eval")
+    assert "BroadcastHashJoin" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    unsharded = [s for s in win_specs if "shard" not in s]
+    assert len(unsharded) <= 1, win_specs
