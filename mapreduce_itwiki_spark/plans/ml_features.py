@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..operators import dedup
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -443,12 +444,14 @@ def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-@register(
-    "naive_bayes_langid",
-    oracle="""
-    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-                  FROM documents),
+# shared naive-Bayes oracle CTEs — the exact twin of _nb_predictions:
+# Laplace-smoothed per-language token log-likelihoods (7 dp — the model
+# grid), all-class scoring (sum rounded AT the model grid so the
+# decimal-exact sum sits ON the rounding grid; see operators/pca.py on
+# grid alignment), per-doc argmax with language tie-break
+_NB_RANKED_CTES = """
+    toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
     c AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
     tot AS (SELECT lang, count(*) AS tot FROM toks GROUP BY 1),
     v AS (SELECT count(DISTINCT tok) AS v FROM toks),
@@ -469,6 +472,57 @@ def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       row_number() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, cand_lang) AS rn
                FROM scores)
+"""
+
+
+def _nb_predictions(docs: DataFrame) -> DataFrame:
+    """Train the multinomial NB model on the corpus and score every
+    document against every candidate language; return the argmax frame
+    (doc_id, lang, pred_lang, score). See naive_bayes_langid for the
+    determinism and scale story."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    v = toks.agg(F.countDistinct("tok").alias("v"))
+    model = (
+        c.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))), 7
+            ).alias("logp"),
+        )
+    )
+    dflt = tot.crossJoin(F.broadcast(v)).select(
+        F.col("lang").alias("cand_lang"),
+        F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))), 7).alias("logp0"),
+    )
+    cand = (
+        toks.select("doc_id", "tok")
+        .crossJoin(F.broadcast(dflt))
+        .join(model, ["cand_lang", "tok"], "left")
+    )
+    scores = cand.groupBy("doc_id", "cand_lang").agg(
+        F.round(F.sum(F.coalesce("logp", "logp0")), 7).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "naive_bayes_langid",
+    oracle=f"""
+    WITH {_NB_RANKED_CTES}
     SELECT r.doc_id, r.cand_lang AS pred_lang, r.score + 0.0 AS score,
            r.cand_lang = d.lang AS correct
     FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
@@ -497,51 +551,40 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/pca.py) — and the argmax
     orders by the ROUNDED score with a language tie-break."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    return _nb_predictions(docs).select(
+        "doc_id",
+        "pred_lang",
+        (F.col("score") + 0.0).alias("score"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )
-    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    v = toks.agg(F.countDistinct("tok").alias("v"))
-    model = (
-        c.join(F.broadcast(tot), "lang")
-        .crossJoin(F.broadcast(v))
-        .select(
-            F.col("lang").alias("cand_lang"),
-            "tok",
-            F.round(
-                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))), 7
-            ).alias("logp"),
-        )
-    )
-    dflt = (
-        tot.crossJoin(F.broadcast(v))
-        .select(
-            F.col("lang").alias("cand_lang"),
-            F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))), 7).alias(
-                "logp0"
-            ),
-        )
-    )
-    cand = (
-        toks.select("doc_id", "tok")
-        .crossJoin(F.broadcast(dflt))
-        .join(model, ["cand_lang", "tok"], "left")
-    )
-    scores = cand.groupBy("doc_id", "cand_lang").agg(
-        F.round(F.sum(F.coalesce("logp", "logp0")), 7).alias("score")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "naive_bayes_confusion",
+    oracle=f"""
+    WITH {_NB_RANKED_CTES}
+    SELECT d.lang AS true_lang, r.cand_lang AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the naive-Bayes classifier — the evaluation
+    rollup that closes the train → apply → evaluate loop: per
+    (true language, predicted language) cell counts over the whole
+    corpus. One partial+final agg on top of the prediction frame
+    (`_nb_predictions`); at 100 TB the matrix is |classes|² rows no
+    matter the corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            F.col("cand_lang").alias("pred_lang"),
-            (F.col("score") + 0.0).alias("score"),
-            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        _nb_predictions(docs)
+        .groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred_lang").alias("pred_lang")
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
@@ -745,4 +788,219 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _pr_oracle() -> str:
+    from .training_data import TRIGRAM_PROFILES, _trigram_count_sql
+
+    score = " + ".join(_trigram_count_sql(t) for t in TRIGRAM_PROFILES["en"])
+    return f"""
+    WITH s AS (SELECT CAST({score} AS BIGINT) AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+               FROM documents),
+    g AS (SELECT score, count(*) AS n, sum(pos) AS npos FROM s GROUP BY score),
+    c AS (SELECT score, n, npos,
+                 sum(n) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_ge,
+                 sum(npos) OVER (ORDER BY score DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp
+          FROM g),
+    t AS (SELECT sum(npos) AS npos_tot FROM g)
+    SELECT score, CAST(tp AS BIGINT) AS tp, CAST(n_ge - tp AS BIGINT) AS fp,
+           round(tp * 1.0 / n_ge, 6) + 0.0 AS precision,
+           round(tp * 1.0 / (SELECT npos_tot FROM t), 6) + 0.0 AS recall
+    FROM c
+    """
+
+
+@register("classifier_pr_curve", oracle=_pr_oracle())
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PRECISION-RECALL curve of the char-trigram English scorer —
+    one (precision, recall) operating point per distinct score
+    threshold (predict positive iff score ≥ θ), the companion to
+    classifier_auc_eval for choosing a curation filter's cutoff. The
+    oracle uses a global descending cumulative window; the Spark plan
+    computes the same inclusive-from-above counts as total − exclusive-
+    from-below via the sharded prefix sums over the score-group frame
+    (no global single-task window, broadcast offsets + 1-row totals).
+    Exact integer counts up to two final divisions per row."""
+    from .training_data import TRIGRAM_PROFILES
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count(tri: str):
+        return (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
+        ) / 3
+
+    cols = [count(t) for t in TRIGRAM_PROFILES["en"]]
+    score = cols[0]
+    for c in cols[1:]:
+        score = score + c
+    s = docs.select(
+        score.cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    sg = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    sg = sg.withColumn("shard", F.floor(F.col("score") / AUC_SCORE_SHARD))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sg.select(
+        "shard",
+        "score",
+        "n",
+        "npos",
+        F.coalesce(F.sum("n").over(w_in), F.lit(0)).alias("cn_in"),
+        F.coalesce(F.sum("npos").over(w_in), F.lit(0)).alias("cp_in"),
+    )
+    tot = sg.groupBy("shard").agg(
+        F.sum("n").alias("sn"), F.sum("npos").alias("sp")
+    )
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard",
+        F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("on_"),
+        F.coalesce(F.sum("sp").over(w_off), F.lit(0)).alias("op"),
+    )
+    totals = sg.agg(
+        F.sum("n").alias("n_tot"), F.sum("npos").alias("npos_tot")
+    )
+    ranked = (
+        within.join(F.broadcast(off), "shard")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            (F.col("n_tot") - (F.col("on_") + F.col("cn_in"))).alias("n_ge"),
+            (F.col("npos_tot") - (F.col("op") + F.col("cp_in"))).alias("tp"),
+            "npos_tot",
+        )
+    )
+    return ranked.select(
+        "score",
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("n_ge") - F.col("tp")).cast("long").alias("fp"),
+        (F.round(F.col("tp") * 1.0 / F.col("n_ge"), 6) + 0.0).alias("precision"),
+        (F.round(F.col("tp") * 1.0 / F.col("npos_tot"), 6) + 0.0).alias("recall"),
+    )
+
+
+ALLPAIRS_TAU_NUM = 4  #: Jaccard threshold τ = 4/5 as an exact rational
+ALLPAIRS_TAU_DEN = 5
+
+
+# --------------------------------------------------------------------------
+@register(
+    "allpairs_prefix_jaccard",
+    # the oracle is the O(n²) DEFINITION — brute-force all pairs with
+    # exact-rational threshold; matching it proves the prefix filter's
+    # completeness (no candidate the prefix scheme could miss survives)
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                    ' '))) AS s
+      FROM documents),
+    p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.s, b.s)) AS i,
+                 len(a.s) AS na, len(b.s) AS nb
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT da, db, round(i * 1.0 / (na + nb - i), 6) + 0.0 AS jacc
+    FROM p WHERE 5 * i >= 4 * (na + nb - i)
+    """,
+)
+def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/ppjoin PREFIX FILTERING (Bayardo et al. 2007, Xiao et
+    al. 2008) — the third exact set-similarity-join algorithm in the
+    catalog (vs the inverted-index + DF-cap of dedup_ngram_jaccard and
+    the banded LSH of dedup_minhash_lsh): order each document's shingle
+    set by GLOBAL document frequency (rarest first), index only the
+    first n − ⌈τn⌉ + 1 shingles (the prefix), and generate candidates
+    from prefix-prefix collisions — provably complete for Jaccard ≥ τ,
+    because two sets meeting τ must overlap inside both prefixes. The
+    oracle is the quadratic definition, so the hash-match IS the
+    completeness proof. Determinism: prefix length via exact integer
+    ⌈τn⌉ = (4n+4) div 5 (a float 0.8·n would ceil across its own
+    representation error), threshold via the cross-multiplied rational
+    5·|∩| ≥ 4·|∪|, and the frequency order ties on the shingle string.
+    Scale: candidate cost ∝ Σ prefix-bucket² — the rarest-first order
+    makes prefix buckets the SMALLEST ones (the whole point of the
+    algorithm); per-doc prefix selection is a bounded sort inside a
+    (doc)-keyed agg; verification joins only candidate pairs against
+    the sorted shingle arrays (JVM array_intersect, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n_pref = (
+        F.col("n")
+        - F.floor(
+            (ALLPAIRS_TAU_NUM * F.col("n") + ALLPAIRS_TAU_NUM)
+            / ALLPAIRS_TAU_DEN
+        )
+        + 1
+    ).cast("int")
+    prefix = (
+        ex.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ordered"), F.lit(1), n_pref),
+                    lambda x: x.getField("g"),
+                )
+            ).alias("g"),
+        )
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("s_b"))
+    verified = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("s_a", "s_b")).alias("i"),
+            F.size("s_a").alias("na"),
+            F.size("s_b").alias("nb"),
+        )
+        .filter(
+            ALLPAIRS_TAU_DEN * F.col("i")
+            >= ALLPAIRS_TAU_NUM * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    return verified.select(
+        "da",
+        "db",
+        (
+            F.round(
+                F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6
+            )
+            + 0.0
+        ).alias("jacc"),
     )

@@ -658,3 +658,29 @@ def test_auc_windows_over_score_groups_only(spark):
     assert win_specs, plan
     unsharded = [s for s in win_specs if "shard" not in s]
     assert len(unsharded) <= 1, win_specs
+
+
+def test_pr_curve_windows_over_score_groups_only(spark):
+    """classifier_pr_curve: same discipline as the AUC — doc-level
+    stages are aggs, windows run only over the score-group frame
+    (sharded), offsets and totals come back as broadcasts."""
+    import re
+
+    plan = plan_of(spark, "classifier_pr_curve")
+    assert "BroadcastHashJoin" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    unsharded = [s for s in win_specs if "shard" not in s]
+    assert len(unsharded) <= 1, win_specs
+
+
+def test_allpairs_prefix_join_not_cartesian(spark):
+    """allpairs_prefix_jaccard: candidates come from the prefix-prefix
+    equi-join on the shingle key — never a cartesian — and verification
+    is JVM array math (no Python); the per-doc prefix sort is a bounded
+    (doc)-keyed aggregate, never a corpus-wide window."""
+    plan = plan_of(spark, "allpairs_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4
