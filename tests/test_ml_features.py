@@ -1,0 +1,340 @@
+"""Plain-Python / numpy cross-checks for the feature-engineering and
+model-fitting operators (plans/ml_features.py) — the same independent-
+reimplementation discipline as the EWMA/BFS/PCA checks in
+test_operators_unit.py: the DuckDB oracle proves engine parity, these
+prove both engines compute the INTENDED mathematics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from mapreduce_itwiki_spark.plans import catalog
+from mapreduce_itwiki_spark.sources.parquet import load_table
+
+from conftest import SF_SMALL
+
+
+def _md5_int(s: str, lo: int, hi: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[lo:hi], 16)
+
+
+def test_feature_hash_matches_python_md5(spark):
+    """feature_hash_vectorize against the hashing trick computed row by
+    row in Python (dim and sign from the same md5 digits)."""
+    got = {
+        (r.doc_id, r.dim): r.feat
+        for r in catalog.queries()["feature_hash_vectorize"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    expect: dict[tuple[int, int], int] = defaultdict(int)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    for r in docs.collect():
+        for tok in r.text.split(" "):
+            dim = _md5_int(tok, 0, 15) % 16
+            sign = 1 if _md5_int(tok, 15, 16) % 2 == 0 else -1
+            expect[(r.doc_id, dim)] += sign
+    assert got == dict(expect)
+
+
+def test_target_encode_matches_python(spark):
+    """target_encode_loo against the direct leave-one-out means."""
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rows = events.collect()
+    s: dict[str, float] = defaultdict(float)
+    n: dict[str, int] = defaultdict(int)
+    for r in rows:
+        s[r.event_type] += r.value
+        n[r.event_type] += 1
+    got = {
+        r.event_id: r.loo_mean
+        for r in catalog.queries()["target_encode_loo"](spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        expect = (round(s[r.event_type], 6) - r.value) / (n[r.event_type] - 1)
+        assert abs(got[r.event_id] - expect) < 1e-6, r.event_id
+
+
+def test_ols_trend_matches_closed_form(spark):
+    """ols_trend_per_user against the least-squares closed form computed
+    in plain Python from the same (ts, event_id)-ordered positions."""
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    by_user: dict[int, list] = defaultdict(list)
+    for r in events.collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.value))
+    got = {
+        r.user_id: (r.n, r.slope, r.intercept)
+        for r in catalog.queries()["ols_trend_per_user"](spark, SF_SMALL).collect()
+    }
+    for uid, rows in by_user.items():
+        rows.sort()
+        ys = [v for _, _, v in rows]
+        n = len(ys)
+        if n < 2:
+            assert uid not in got
+            continue
+        xs = range(1, n + 1)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        sy, sxy = sum(ys), sum(x * y for x, y in zip(xs, ys))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        gn, gs, gi = got[uid]
+        assert gn == n
+        assert abs(gs - slope) < 1e-5, uid
+        assert abs(gi - intercept) < 1e-5, uid
+
+
+def test_logreg_gd_matches_numpy(spark):
+    """logreg_gd_steps against the same two full-batch GD steps in
+    numpy (rational sigmoid, 9-dp gradient rounding)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("embedding", "label")
+    rows = emb.collect()
+    x = np.array([r.embedding[:4] for r in rows], dtype=np.float64)
+    y = np.array([r.label % 2 for r in rows], dtype=np.float64)
+    g1 = np.round(((0.5 - y)[:, None] * x).mean(axis=0), 9)
+    w1 = -0.5 * g1
+    z = x @ w1
+    err = 0.5 + 0.5 * (z / (1 + np.abs(z))) - y
+    g2 = np.round((err[:, None] * x).mean(axis=0), 9)
+    w2 = np.round(w1 - 0.5 * g2, 9)
+    got = {
+        r.j: (r.w1, r.w2)
+        for r in catalog.queries()["logreg_gd_steps"](spark, SF_SMALL).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 4]
+    for j in range(4):
+        gw1, gw2 = got[j + 1]
+        assert abs(gw1 - w1[j]) < 1e-8, j
+        assert abs(gw2 - w2[j]) < 1e-8, j
+    # the step moved the weights: a zero gradient would make the
+    # operator vacuous
+    assert any(abs(v) > 0 for v in w2)
+
+
+def test_skyline_matches_quadratic_dominance(spark):
+    """skyline_pareto_parts (sort-based sharded plan) against the O(n²)
+    dominance definition in plain Python."""
+    part = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    pts = [(r.p_partkey, r.p_retailprice, r.p_size) for r in part.collect()]
+    expect = set()
+    for k, price, size in pts:
+        dominated = any(
+            q_price <= price
+            and q_size >= size
+            and (q_price < price or q_size > size)
+            for _, q_price, q_size in pts
+        )
+        if not dominated:
+            expect.add(k)
+    got = {
+        r.p_partkey
+        for r in catalog.queries()["skyline_pareto_parts"](spark, SF_SMALL).collect()
+    }
+    assert got == expect and got
+
+
+def test_market_basket_metrics_hand_counted(spark):
+    """market_basket_rules: recompute every rule's support, confidence
+    and lift from hand-counted baskets."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for r in li.collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    item: dict[int, int] = defaultdict(int)
+    pair: dict[tuple[int, int], int] = defaultdict(int)
+    for items in baskets.values():
+        for p in items:
+            item[p] += 1
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair[(a, b)] += 1
+    rules = catalog.queries()["market_basket_rules"](spark, SF_SMALL).collect()
+    expect_pairs = {k for k, v in pair.items() if v >= 2}
+    assert {(r.pa, r.pb) for r in rules} == expect_pairs and rules
+    for r in rules:
+        n_ab = pair[(r.pa, r.pb)]
+        assert r.n_ab == n_ab
+        assert abs(r.support - n_ab / n_orders) < 1e-6
+        assert abs(r.confidence - n_ab / item[r.pa]) < 1e-6
+        assert abs(r.lift - n_ab * n_orders / (item[r.pa] * item[r.pb])) < 1e-6
+
+
+def test_auc_matches_python_midranks(spark):
+    """classifier_auc_eval against the Mann-Whitney midrank formula on a
+    plain-Python sorted list (and the probabilistic definition on a
+    tie-free subsample of comparisons)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("text", "lang")
+    trigrams = ["the", "ing", "ion", "and", "ent", "for", "ati", "ter"]
+    scored = []
+    for r in docs.collect():
+        score = sum(
+            (len(r.text) - len(r.text.replace(t, ""))) // 3 for t in trigrams
+        )
+        scored.append((score, r.lang == "en"))
+    scored.sort()
+    # midranks with ties
+    mid: dict[int, float] = {}
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        mid[scored[i][0]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    n_pos = sum(1 for _, p in scored if p)
+    n_neg = len(scored) - n_pos
+    s = sum(mid[sc] for sc, p in scored if p)
+    auc = (s - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    row = catalog.queries()["classifier_auc_eval"](spark, SF_SMALL).collect()[0]
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - auc) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_pr_curve_matches_python(spark):
+    """classifier_pr_curve against direct threshold sweeps."""
+    docs = load_table(spark, SF_SMALL, "documents").select("text", "lang")
+    trigrams = ["the", "ing", "ion", "and", "ent", "for", "ati", "ter"]
+    scored = []
+    for r in docs.collect():
+        score = sum(
+            (len(r.text) - len(r.text.replace(t, ""))) // 3 for t in trigrams
+        )
+        scored.append((score, r.lang == "en"))
+    n_pos = sum(1 for _, p in scored if p)
+    rows = catalog.queries()["classifier_pr_curve"](spark, SF_SMALL).collect()
+    assert {r.score for r in rows} == {s for s, _ in scored}
+    for r in rows:
+        tp = sum(1 for s, p in scored if p and s >= r.score)
+        fp = sum(1 for s, p in scored if not p and s >= r.score)
+        assert (r.tp, r.fp) == (tp, fp), r.score
+        assert abs(r.precision - tp / (tp + fp)) < 1e-6
+        assert abs(r.recall - tp / n_pos) < 1e-6
+
+
+def test_allpairs_equals_bruteforce_python(spark):
+    """allpairs_prefix_jaccard against brute-force shingle-set Jaccard
+    in plain Python — the completeness property of prefix filtering
+    (the DuckDB oracle proves it too; this removes both engines from
+    the loop)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    sets: dict[int, set[str]] = {}
+    for r in docs.collect():
+        toks = r.text.split(" ")
+        k = 3
+        n = max(len(toks) - k + 1, 1)
+        sets[r.doc_id] = {" ".join(toks[i : i + k]) for i in range(n)}
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 5 * inter >= 4 * union:
+                expect[(a, b)] = inter / union
+    got = {
+        (r.da, r.db): r.jacc
+        for r in catalog.queries()["allpairs_prefix_jaccard"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(expect) and got
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, k
+
+
+def test_bellman_ford_matches_python(spark):
+    """weighted_shortest_path against plain-Python synchronous
+    Bellman-Ford over the identical md5-weighted bigram graph."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    edges: dict[tuple[str, str], int] = {}
+    sources: set[str] = set()
+    for r in docs.collect():
+        toks = r.text.split(" ")
+        sources.add(toks[0])
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 != w2:
+                edges[(w1, w2)] = 1 + _md5_int(f"{w1} {w2}", 0, 15) % 8
+    dist: dict[str, int] = {s: 0 for s in sources}
+    for _ in range(3):
+        nxt = dict(dist)
+        for (w1, w2), wt in edges.items():
+            if w1 in dist:
+                cand = dist[w1] + wt
+                if w2 not in nxt or cand < nxt[w2]:
+                    nxt[w2] = cand
+        dist = nxt
+    got = {
+        r.node: r.dist
+        for r in catalog.queries()["weighted_shortest_path"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == dist and got
+
+
+def test_naive_bayes_prediction_consistency(spark):
+    """naive_bayes_langid ↔ naive_bayes_confusion consistency: the
+    confusion matrix is exactly the grouped predictions, cells sum to
+    the corpus size, and the correct flags match the diagonal mass.
+    (Accuracy itself is a property of the synthetic corpus, not of the
+    operator — the 31-token shared vocabulary makes language ID hard by
+    construction, so no accuracy floor is asserted.)"""
+    preds = catalog.queries()["naive_bayes_langid"](spark, SF_SMALL).collect()
+    conf = catalog.queries()["naive_bayes_confusion"](spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert len(preds) == n_docs
+    assert sum(r.n for r in conf) == n_docs
+    diag = sum(r.n for r in conf if r.true_lang == r.pred_lang)
+    assert diag == sum(1 for r in preds if r.correct)
+    by_pred: dict[str, int] = defaultdict(int)
+    for r in preds:
+        by_pred[r.pred_lang] += 1
+    by_conf: dict[str, int] = defaultdict(int)
+    for r in conf:
+        by_conf[r.pred_lang] += r.n
+    assert by_pred == by_conf
+    for r in preds:
+        assert math.isfinite(r.score) and r.score < 0
+
+
+def test_seasonal_anomaly_matches_python(spark):
+    """seasonal_hour_anomaly against per-hour baselines computed in
+    plain Python (population stddev)."""
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "value")
+    by_hour: dict[int, list[float]] = defaultdict(list)
+    rows = events.collect()
+    for r in rows:
+        by_hour[r.ts.hour].append(r.value)
+    stats = {}
+    for h, vs in by_hour.items():
+        mu = sum(vs) / len(vs)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vs) / len(vs))
+        stats[h] = (round(mu, 6), round(sd, 6))
+    got = {
+        r.event_id: (r.hod, r.z, r.is_anomaly)
+        for r in catalog.queries()["seasonal_hour_anomaly"](spark, SF_SMALL).collect()
+    }
+    n_anom = 0
+    for r in rows:
+        mu, sd = stats[r.ts.hour]
+        z = round((r.value - mu) / sd, 6)
+        hod, gz, ga = got[r.event_id]
+        assert hod == r.ts.hour
+        assert abs(gz - z) < 1e-5, r.event_id
+        assert ga == (abs(z) > 3.0)
+        n_anom += ga
+    # events.value is heavy-tailed by construction — flags must fire
+    assert n_anom > 0
