@@ -1004,3 +1004,105 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("jacc"),
     )
+
+
+CHI2_TOPK = 5  #: most-discriminative tokens kept per language
+
+
+# --------------------------------------------------------------------------
+@register(
+    "chi2_feature_selection",
+    oracle=f"""
+    WITH dt AS (SELECT DISTINCT doc_id, lang, tok FROM (
+                  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    cl AS (SELECT lang, count(DISTINCT doc_id) AS n_l FROM dt GROUP BY 1),
+    tf AS (SELECT tok, count(DISTINCT doc_id) AS n_t FROM dt GROUP BY 1),
+    a AS (SELECT lang, tok, count(*) AS a FROM dt GROUP BY 1, 2),
+    cells AS (
+      SELECT a.lang, a.tok, a.a,
+             tf.n_t - a.a AS b,
+             cl.n_l - a.a AS c,
+             (SELECT n_docs FROM n) - tf.n_t - cl.n_l + a.a AS d,
+             (SELECT n_docs FROM n) AS nn
+      FROM a JOIN cl ON cl.lang = a.lang JOIN tf ON tf.tok = a.tok),
+    chi AS (
+      SELECT lang, tok,
+             round(nn * 1.0 * (a * d - b * c) * (a * d - b * c)
+                   / ((a + b) * 1.0 * (c + d) * (a + c) * (b + d)), 6) + 0.0
+               AS chi2
+      FROM cells
+      WHERE (a + b) * (c + d) * (a + c) * (b + d) > 0)
+    SELECT lang, tok, chi2 FROM (
+      SELECT lang, tok, chi2,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY chi2 DESC, tok) AS rn
+      FROM chi)
+    WHERE rn <= {CHI2_TOPK}
+    """,
+)
+def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² FEATURE SELECTION — the most language-discriminative tokens
+    per class (the classic text-classification feature ranker, and the
+    vocabulary-pruning step before training a corpus classifier): per
+    (token, language), the chi-squared statistic of the 2×2 document
+    contingency table (has-token × is-language), top-{CHI2_TOPK} per
+    language. Everything is exact integer counting (three grouped
+    distinct-counts off ONE exploded (doc, lang, token) frame) until a
+    single cross-multiplied ratio per cell — a*d−b*c stays in int64 and
+    the division runs on identical operands, so χ² hash-matches despite
+    being 'statistics'. Degenerate margins (a token in every document)
+    are dropped on both engines. The ranking window runs over the
+    (lang × vocab) AGGREGATE frame — bounded by vocabulary, never by
+    corpus — with a (χ² desc, token) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    n = docs.agg(F.count(F.lit(1)).alias("nn"))
+    cl = dt.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_l"))
+    tf = dt.groupBy("tok").agg(F.countDistinct("doc_id").alias("n_t"))
+    a = dt.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("a"))
+    cells = (
+        a.join(F.broadcast(cl), "lang")
+        .join(tf, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "tok",
+            "a",
+            (F.col("n_t") - F.col("a")).alias("b"),
+            (F.col("n_l") - F.col("a")).alias("c"),
+            (F.col("nn") - F.col("n_t") - F.col("n_l") + F.col("a")).alias("d"),
+            "nn",
+        )
+    )
+    margin = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = (
+        F.round(
+            F.col("nn") * 1.0 * det * det
+            / (
+                (F.col("a") + F.col("b"))
+                * 1.0
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+            ),
+            6,
+        )
+        + 0.0
+    )
+    chi = cells.filter(margin > 0).select("lang", "tok", chi2.alias("chi2"))
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "tok")
+    return (
+        chi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CHI2_TOPK)
+        .select("lang", "tok", "chi2")
+    )

@@ -338,3 +338,45 @@ def test_seasonal_anomaly_matches_python(spark):
         n_anom += ga
     # events.value is heavy-tailed by construction — flags must fire
     assert n_anom > 0
+
+
+def test_chi2_matches_python_contingency(spark):
+    """chi2_feature_selection against 2×2 contingency tables counted in
+    plain Python over document-level token presence."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    rows = docs.collect()
+    n_docs = len(rows)
+    by_lang: dict[str, int] = defaultdict(int)
+    tok_docs: dict[str, int] = defaultdict(int)
+    cell: dict[tuple[str, str], int] = defaultdict(int)
+    for r in rows:
+        by_lang[r.lang] += 1
+        for tok in set(r.text.split(" ")):
+            tok_docs[tok] += 1
+            cell[(r.lang, tok)] += 1
+    best: dict[str, list[tuple[float, str]]] = defaultdict(list)
+    for lang, n_l in by_lang.items():
+        for tok, n_t in tok_docs.items():
+            a = cell.get((lang, tok), 0)
+            b, c = n_t - a, n_l - a
+            d = n_docs - n_t - n_l + a
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            if den == 0 or a == 0 and b == 0:
+                continue
+            chi2 = round(n_docs * (a * d - b * c) ** 2 / den, 6)
+            best[lang].append((-chi2, tok))
+    expect = {}
+    for lang, scored in best.items():
+        for neg, tok in sorted(scored)[:5]:
+            expect[(lang, tok)] = -neg
+    got = {
+        (r.lang, r.tok): r.chi2
+        for r in catalog.queries()["chi2_feature_selection"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, k

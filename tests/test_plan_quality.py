@@ -684,3 +684,14 @@ def test_allpairs_prefix_join_not_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_chi2_windows_over_vocab_aggregate_only(spark):
+    """chi2_feature_selection: the ranking window runs over the
+    (lang × vocab) aggregate frame with the rank filter pushed as
+    WindowGroupLimit; class margins and the corpus total ride
+    broadcasts; the doc-level stages are aggs only."""
+    plan = plan_of(spark, "chi2_feature_selection")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
