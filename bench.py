@@ -52,6 +52,10 @@ HEADLINE = [
     "embedding_pca_project",
     # round 8 additions
     "ann_pq_topk",
+    # round 9 additions (feature-engineering / model-fitting family)
+    "naive_bayes_langid",
+    "allpairs_prefix_jaccard",
+    "classifier_auc_eval",
 ]
 
 

@@ -939,7 +939,14 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm); per-doc prefix selection is a bounded sort inside a
     (doc)-keyed agg; verification joins only candidate pairs against
     the sorted shingle arrays (JVM array_intersect, no Python)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the sf0.1 documents parquet is ONE split: without the fanout the
+    # CPU-bound shingle construction runs on a single core through the
+    # whole pipeline (7.8 s → 3.8 s warm at sf0.1, TUNING.md). The
+    # prefix self-join's double subtree execution was ALSO measured
+    # against a lazy localCheckpoint — recomputing the (cheap, parallel)
+    # subtree beats materializing it (3.8 s vs 7.8 s), unlike
+    # knn_graph_lsh where the doubled subtree holds the band+matmul.
+    docs = dedup._fanout(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
     ex = sh.select("doc_id", F.explode("s").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
