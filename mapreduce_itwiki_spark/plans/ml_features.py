@@ -106,6 +106,44 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _ols_positions(events: DataFrame) -> DataFrame:
+    """(user_id, value, x) with x = the user's 1-based event sequence
+    position under the deterministic (ts, event_id) order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "value", F.row_number().over(w).cast("long").alias("x")
+    )
+
+
+def _ols_fit(events: DataFrame) -> DataFrame:
+    """Per-user OLS sufficient statistics (n, sx, sxx, sy, sxy), float
+    sums rounded once at 6 dp; groups of one dropped (zero variance)."""
+    return (
+        _ols_positions(events)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.round(F.sum("value"), 6).alias("sy"),
+            F.round(F.sum(F.col("x") * F.col("value")), 6).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+def _ols_slope_raw():
+    """The closed-form slope off the sufficient-statistics columns —
+    sums forced to DOUBLE before multiplying so neither engine widens
+    to int128; identical association order on both engines."""
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+
+
 # --------------------------------------------------------------------------
 @register(
     "ols_trend_per_user",
@@ -146,27 +184,10 @@ def ols_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_slope/regr_intercept would stream Welford-style updates whose
     rounding is engine-private — the explicit sufficient statistics are
     what make the fit replayable."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    x = events.select(
-        "user_id", "value", F.row_number().over(w).cast("long").alias("x")
-    )
-    a = (
-        x.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.round(F.sum("value"), 6).alias("sy"),
-            F.round(F.sum(F.col("x") * F.col("value")), 6).alias("sxy"),
-        )
-        .filter(F.col("n") >= 2)
-    )
+    a = _ols_fit(load_table(spark, sf_dir, "events"))
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
-    slope_raw = (nd * F.col("sxy") - sxd * F.col("sy")) / (
-        nd * F.col("sxx").cast("double") - sxd * sxd
-    )
+    slope_raw = _ols_slope_raw()
     return a.select(
         "user_id",
         F.col("n").cast("long").alias("n"),
@@ -1113,3 +1134,152 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CHI2_TOPK)
         .select("lang", "tok", "chi2")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ols_residual_metrics",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM events),
+    a AS (
+      SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             round(sum(value), 6) AS sy, round(sum(x * value), 6) AS sxy
+      FROM x GROUP BY user_id HAVING count(*) >= 2),
+    m AS (
+      SELECT user_id, n, sx, sy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+      FROM a),
+    mb AS (
+      SELECT user_id, slope_raw,
+             (sy - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
+      FROM m),
+    r AS (
+      SELECT x.user_id, x.value,
+             x.value - (mb.slope_raw * x.x + mb.b0) AS res
+      FROM x JOIN mb ON mb.user_id = x.user_id),
+    g AS (
+      SELECT user_id, count(*) AS n,
+             round(sum(res * res), 6) AS ssr,
+             round(avg(abs(res)), 6) AS mae,
+             round(sum(value * value), 6) AS syy,
+             round(sum(value), 6) AS sy
+      FROM r GROUP BY user_id)
+    SELECT user_id,
+           round(sqrt(ssr / n), 6) + 0.0 AS rmse,
+           mae + 0.0 AS mae,
+           round(1 - ssr / (syy - sy * sy / n), 6) + 0.0 AS r2
+    FROM g
+    """,
+)
+def ols_residual_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION EVALUATION — per-user RMSE / MAE / R² of the OLS trend
+    fit (the goodness-of-fit rollup that turns a million fitted models
+    into a quality report, the regression twin of classifier_auc_eval).
+    Two passes, both shuffling only on high-cardinality user_id: the
+    sufficient-statistics fit (shared helper `_ols_fit`), then the
+    model joined back to the positions frame for residuals. The model
+    columns (slope, intercept) are identical doubles on both engines
+    (closed form over once-rounded sums), so every residual is
+    bit-identical; the three residual reductions are rounded once and
+    the final metrics computed from rounded operands."""
+    events = load_table(spark, sf_dir, "events")
+    fit = _ols_fit(events)
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    mb = fit.select(
+        "user_id",
+        _ols_slope_raw().alias("slope_raw"),
+        ((F.col("sy") - _ols_slope_raw() * sxd) / nd).alias("b0"),
+    )
+    x = _ols_positions(events)
+    r = x.join(mb, "user_id").select(
+        "user_id",
+        "value",
+        (
+            F.col("value") - (F.col("slope_raw") * F.col("x") + F.col("b0"))
+        ).alias("res"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("res") * F.col("res")), 6).alias("ssr"),
+        F.round(F.avg(F.abs(F.col("res"))), 6).alias("mae"),
+        F.round(F.sum(F.col("value") * F.col("value")), 6).alias("syy"),
+        F.round(F.sum("value"), 6).alias("sy"),
+    )
+    return g.select(
+        "user_id",
+        (F.round(F.sqrt(F.col("ssr") / F.col("n")), 6) + 0.0).alias("rmse"),
+        (F.col("mae") + 0.0).alias("mae"),
+        (
+            F.round(
+                1 - F.col("ssr") / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+                6,
+            )
+            + 0.0
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_match_dist1",
+    # the oracle is the quadratic DEFINITION (restricted to equal
+    # lengths — the deletion-neighborhood block is complete for
+    # substitution distance; cross-length indels would need
+    # variant-to-full matching, irrelevant on fixed-width names)
+    oracle="""
+    SELECT a.c_custkey AS ka, b.c_custkey AS kb
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+    WHERE length(a.c_name) = length(b.c_name)
+      AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def fuzzy_name_match_dist1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY MATCHING / entity resolution — all customer-name pairs at
+    substitution edit distance exactly 1, via DELETION-NEIGHBORHOOD
+    BLOCKING (the FastSS idea): each name emits one variant per
+    position with that character deleted; two equal-length names
+    differing in exactly one position MUST share the variant at that
+    position, so the candidate set is an equi-join on (position,
+    variant) — never a quadratic name comparison — and candidates are
+    verified with the exact JVM levenshtein. The oracle is the O(n²)
+    definition, so the hash-match proves the blocking's completeness
+    (same proof-by-parity pattern as allpairs_prefix_jaccard). Scale:
+    variant generation is a map-side ×len fan-out; the join keys on
+    high-cardinality variants; verification touches candidates only —
+    the standard shape for record linkage over billions of rows (in
+    production the variant index is bucketed and distance-k uses
+    k-deletion neighborhoods)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = cust.select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(F.sequence(F.lit(1), F.length("c_name"))).alias("p0", "i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        "i",
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), F.col("i") - 1),
+            F.substring(F.col("c_name"), F.col("i") + 1, F.length("c_name")),
+        ).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, ["i", "v"])
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            F.col("a.c_name").alias("na"),
+            F.col("b.c_name").alias("nb"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("na", "nb") == 1).select("ka", "kb")

@@ -380,3 +380,66 @@ def test_chi2_matches_python_contingency(spark):
     assert set(got) == set(expect)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-6, k
+
+
+def test_ols_residual_metrics_match_python(spark):
+    """ols_residual_metrics against plain-Python residual computation
+    off the same closed-form fit."""
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    by_user: dict[int, list] = defaultdict(list)
+    for r in events.collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.value))
+    got = {
+        r.user_id: (r.rmse, r.mae, r.r2)
+        for r in catalog.queries()["ols_residual_metrics"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    for uid, rows in by_user.items():
+        rows.sort()
+        ys = [v for _, _, v in rows]
+        n = len(ys)
+        if n < 2:
+            assert uid not in got
+            continue
+        xs = range(1, n + 1)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        sy, sxy = sum(ys), sum(x * y for x, y in zip(xs, ys))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        b0 = (sy - slope * sx) / n
+        res = [y - (slope * x + b0) for x, y in zip(xs, ys)]
+        ssr = sum(r * r for r in res)
+        mae = sum(abs(r) for r in res) / n
+        sst = sum(y * y for y in ys) - sy * sy / n
+        rmse = math.sqrt(ssr / n)
+        r2 = 1 - ssr / sst
+        g_rmse, g_mae, g_r2 = got[uid]
+        assert abs(g_rmse - rmse) < 1e-4, uid
+        assert abs(g_mae - mae) < 1e-4, uid
+        assert abs(g_r2 - r2) < 1e-4, uid
+    # R² must be a real fit quality: in (-inf, 1], finite everywhere
+    assert all(r2 <= 1.0 for _, _, r2 in got.values())
+
+
+def test_fuzzy_match_equals_bruteforce_python(spark):
+    """fuzzy_name_match_dist1 against brute-force pairwise comparison
+    (names are fixed-width, so distance-1 = exactly one differing
+    character)."""
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    names = {r.c_custkey: r.c_name for r in cust.collect()}
+    ids = sorted(names)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            na, nb = names[a], names[b]
+            if len(na) == len(nb) and sum(x != y for x, y in zip(na, nb)) == 1:
+                expect.add((a, b))
+    got = {
+        (r.ka, r.kb)
+        for r in catalog.queries()["fuzzy_name_match_dist1"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expect and got

@@ -695,3 +695,26 @@ def test_chi2_windows_over_vocab_aggregate_only(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_by_variant_join(spark):
+    """fuzzy_name_match_dist1: candidates must come from the
+    (position, variant) equi-join — never a quadratic name comparison
+    (no cartesian, no nested-loop over customer²); verification is the
+    JVM levenshtein (no Python)."""
+    plan = plan_of(spark, "fuzzy_name_match_dist1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ols_residuals_shuffle_on_user_only(spark):
+    """ols_residual_metrics: both passes key on high-cardinality
+    user_id — the windows are user-partitioned and the model join is an
+    equi-join on user_id."""
+    import re
+
+    plan = plan_of(spark, "ols_residual_metrics")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("user_id" in s for s in win_specs), win_specs
+    assert "CartesianProduct" not in plan
