@@ -44,9 +44,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: per-round driver record covers every SURVEY.md §2 row directly.
 #: Everything else keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # reference surface O1–O13 (15; the UDTF rendering of Mapper1 and
+    # reference surface O1–O13 (14; the UDTF rendering of Mapper1 and
     # the from_xml/native-XPath variants stay in the catalog for the
-    # judge's full sweep — O-coverage here is complete without them)
+    # judge's full sweep — O-coverage here is complete without them;
+    # xpath_extract's slot went to the ⊕ feature-engineering family
+    # representative when plans/ml_features.py landed)
     "wiki_incoming_refs",
     "wiki_xml_roundtrip",
     "scan_filter_project",
@@ -61,7 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "two_stage_agg",
     "wiki_incoming_refs_salted",
     "wiki_incoming_refs_sql",
-    "xpath_extract",
+    # ⊕ feature engineering / model fitting (1)
+    "naive_bayes_langid",
     # ⊕ dedup (7)
     "dedup_exact",
     "doc_fingerprints",
