@@ -796,3 +796,68 @@ register(
     GROUP BY 1, 2
     """,
 )(chained_window_stream)
+
+
+def seasonal_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC anomaly scoring — the deployment shape of
+    seasonal_hour_anomaly (plans/ml_features.py): the hour-of-day
+    baseline (μ, σ) is fitted in BATCH over the history table,
+    broadcast into the stream, and each arriving event's residual
+    z-score is flagged beyond 3σ; the streaming agg rolls anomaly
+    counts up per hour-of-day. This is the canonical
+    model-trained-offline / scored-online split: the 24-row baseline
+    is a broadcast stream-static join (no stream-side state), the
+    rollup a complete-mode aggregation. Same rounding discipline as
+    the batch twin, so the finite file feed drains to the exact batch
+    answer."""
+    from ..sources.parquet import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    g = batch.groupBy(F.hour("ts").alias("hod")).agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    enriched = (
+        stream.withColumn("hod", F.hour("ts"))
+        .join(F.broadcast(g), "hod")
+        .withColumn("is_anom", (F.abs(z) > 3.0).cast("int"))
+    )
+    agg = enriched.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_anom").cast("long").alias("n_anomalies"),
+    )
+    name = f"stream_anomaly_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("hod").cast("int").alias("hod"), "n_events", "n_anomalies"
+    )
+
+
+register(
+    "streaming_seasonal_anomaly",
+    oracle="""
+    WITH g AS (
+      SELECT date_part('hour', ts) AS hod,
+             round(avg(value), 6) AS mu,
+             round(stddev_pop(value), 6) AS sd
+      FROM events GROUP BY 1)
+    SELECT CAST(e.hod AS INTEGER) AS hod,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(round((e.value - g.mu) / g.sd, 6)) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM (SELECT date_part('hour', ts) AS hod, value FROM events) e
+    JOIN g ON g.hod = e.hod
+    GROUP BY 1
+    """,
+)(seasonal_anomaly_stream)
