@@ -968,6 +968,14 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree beats materializing it (3.8 s vs 7.8 s), unlike
     # knn_graph_lsh where the doubled subtree holds the band+matmul.
     docs = dedup._fanout(load_table(spark, sf_dir, "documents"), "doc_id")
+    return allpairs_pipeline(docs)
+
+
+def allpairs_pipeline(docs: DataFrame) -> DataFrame:
+    """The AllPairs prefix-filter join over any (doc_id, text) frame —
+    separated from the catalog entry so the adversarial boundary-case
+    tests (exact-τ corpora, one-token docs, duplicates) can run it on
+    constructed inputs. See allpairs_prefix_jaccard for the story."""
     sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
     ex = sh.select("doc_id", F.explode("s").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))

@@ -443,3 +443,61 @@ def test_fuzzy_match_equals_bruteforce_python(spark):
         ).collect()
     }
     assert got == expect and got
+
+
+def _brute_jacc_pairs(texts: dict[int, str]) -> dict[tuple[int, int], float]:
+    sets = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        sets[d] = {" ".join(toks[i : i + 3]) for i in range(n)}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 5 * inter >= 4 * union:
+                out[(a, b)] = inter / union
+    return out
+
+
+def test_allpairs_adversarial_boundary_corpora(spark):
+    """allpairs_pipeline on constructed corpora that stress the prefix
+    filter where real data happens not to: Jaccard EXACTLY τ = 4/5
+    (suffix-extension pair: shingle sets 4 ⊂ 5 → 4/5, must be kept by
+    the >= threshold), just-below τ (4/6, must be dropped), identical
+    docs, one-token docs (the greatest(n-2,1) single-shingle edge), and
+    in-document token repeats (array_distinct collapse)."""
+    from mapreduce_itwiki_spark.plans.ml_features import allpairs_pipeline
+
+    corpora = [
+        # exact-τ boundary: doc 2 extends doc 1 by one token
+        {1: "t1 t2 t3 t4 t5 t6", 2: "t1 t2 t3 t4 t5 t6 t7"},
+        # just below τ: two extra tokens → 4/6
+        {1: "t1 t2 t3 t4 t5 t6", 2: "t1 t2 t3 t4 t5 t6 t7 t8"},
+        # identical pair + an unrelated doc
+        {1: "a b c d e", 2: "a b c d e", 3: "x y z w v"},
+        # one- and two-token docs (single short shingle each)
+        {1: "solo", 2: "solo", 3: "solo extra", 4: "other"},
+        # in-document repetition: distinct shingle sets still equal
+        {1: "p q p q p q", 2: "p q p q p q p q"},
+        # mixed: a near-dup cluster of three plus noise
+        {
+            1: "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10",
+            2: "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 tail",
+            3: "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 tail tip",
+            4: "n1 n2 n3 n4 n5",
+        },
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        got = {
+            (r.da, r.db): r.jacc for r in allpairs_pipeline(docs).collect()
+        }
+        expect = _brute_jacc_pairs(texts)
+        assert set(got) == set(expect), (texts, got, expect)
+        for k, v in expect.items():
+            assert abs(got[k] - v) < 1e-6, (texts, k)
