@@ -1291,3 +1291,64 @@ def fuzzy_name_match_dist1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("na", "nb") == 1).select("ka", "kb")
+
+
+ECDF_VALUE_SHARD = 64.0  #: value-range width per ECDF rank shard
+
+
+# --------------------------------------------------------------------------
+@register(
+    "value_quantile_rank",
+    oracle="""
+    SELECT event_id,
+           round(cume_dist() OVER (ORDER BY value), 6) + 0.0 AS q
+    FROM events
+    """,
+)
+def value_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF / QUANTILE-RANK normalization — map every value to its
+    empirical cumulative fraction q = |{v' ≤ v}| / n, the rank-based
+    feature transform (the first half of rank-gauss, and the
+    scale-free normalization that survives heavy tails where z-scores
+    don't). The oracle states it as the global cume_dist window — a
+    single-task sort at scale; the Spark plan computes the identical
+    counts with NO global window: group by value (ties collapse),
+    sharded prefix counts over the value-group frame (within-shard
+    running sum + broadcast per-shard offsets — third user of the
+    `_sharded_cum_tokens` decomposition), broadcast total, one exact
+    integer division per row, joined back to events on the value key.
+    Deterministic because cume_dist is a pure count ratio — no
+    midpoint/interpolation arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    vg = events.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    vg = vg.withColumn("shard", F.floor(F.col("value") / ECDF_VALUE_SHARD))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = vg.select(
+        "shard", "value", F.sum("n").over(w_in).alias("cum_in")
+    )
+    tot = vg.groupBy("shard").agg(F.sum("n").alias("sn"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard", F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("offset")
+    )
+    n_tot = events.agg(F.count(F.lit(1)).alias("n_tot"))
+    ranked = (
+        within.join(F.broadcast(off), "shard")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "value",
+            (
+                F.round(
+                    (F.col("offset") + F.col("cum_in")) * 1.0 / F.col("n_tot"), 6
+                )
+                + 0.0
+            ).alias("q"),
+        )
+    )
+    return events.select("event_id", "value").join(ranked, "value").select(
+        "event_id", "q"
+    )

@@ -501,3 +501,21 @@ def test_allpairs_adversarial_boundary_corpora(spark):
         assert set(got) == set(expect), (texts, got, expect)
         for k, v in expect.items():
             assert abs(got[k] - v) < 1e-6, (texts, k)
+
+
+def test_quantile_rank_matches_python_ecdf(spark):
+    """value_quantile_rank against a plain-Python ECDF."""
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "value")
+    rows = events.collect()
+    vals = sorted(r.value for r in rows)
+    n = len(vals)
+    import bisect
+
+    got = {
+        r.event_id: r.q
+        for r in catalog.queries()["value_quantile_rank"](spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        q = bisect.bisect_right(vals, r.value) / n
+        assert abs(got[r.event_id] - q) < 1e-6, r.event_id
+    assert max(got.values()) == 1.0

@@ -718,3 +718,18 @@ def test_ols_residuals_shuffle_on_user_only(spark):
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert win_specs and all("user_id" in s for s in win_specs), win_specs
     assert "CartesianProduct" not in plan
+
+
+def test_ecdf_windows_are_sharded(spark):
+    """value_quantile_rank: same shard-decomposition gate as the AUC —
+    the only unsharded window may be the per-shard-totals offsets; the
+    row-level stage is a join back on the value key, never a global
+    cume_dist."""
+    import re
+
+    plan = plan_of(spark, "value_quantile_rank")
+    assert "BroadcastHashJoin" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    unsharded = [s for s in win_specs if "shard" not in s]
+    assert len(unsharded) <= 1, win_specs
