@@ -1352,3 +1352,188 @@ def value_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", "value").join(ranked, "value").select(
         "event_id", "q"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ab_test_welch",
+    oracle="""
+    WITH armed AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS arm
+      FROM events),
+    g AS (
+      SELECT event_type, arm, count(*) AS n,
+             round(sum(value), 6) AS s,
+             round(sum(value * value), 6) AS ss
+      FROM armed GROUP BY 1, 2),
+    p AS (
+      SELECT event_type,
+             max(CASE WHEN arm = 0 THEN n END) AS na,
+             max(CASE WHEN arm = 0 THEN s END) AS sa,
+             max(CASE WHEN arm = 0 THEN ss END) AS ssa,
+             max(CASE WHEN arm = 1 THEN n END) AS nb,
+             max(CASE WHEN arm = 1 THEN s END) AS sb,
+             max(CASE WHEN arm = 1 THEN ss END) AS ssb
+      FROM g GROUP BY 1)
+    SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(sa / na - sb / nb, 6) + 0.0 AS mean_diff,
+           round((sa / na - sb / nb)
+                 / sqrt((ssa - sa * sa / na) / (na - 1) / na
+                        + (ssb - sb * sb / nb) / (nb - 1) / nb), 6) + 0.0 AS t
+    FROM p
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT ANALYSIS — Welch's t statistic per event_type for
+    a deterministic md5-coin user-level assignment (assignment at the
+    USER grain, the correct randomization unit; the same md5-coin idiom
+    as sample_stratified_hash, so the experiment is replayable). The
+    whole analysis is ONE partial+final agg to |types|×2 moment rows,
+    pivoted and folded into the closed form t = Δmean /
+    √(s²ₐ/nₐ + s²ᵦ/nᵦ) — at 100 TB the statistics of an experiment on
+    billions of events cost one scan. Moment sums are rounded once and
+    every downstream op runs on identical operands with identical
+    association order (divisions sequenced left-to-right on both
+    engines)."""
+    events = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    g = (
+        events.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.round(F.sum(F.col("value") * F.col("value")), 6).alias("ss"),
+        )
+    )
+    def side(col, a):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+    p = g.groupBy("event_type").agg(
+        side("n", 0).alias("na"), side("s", 0).alias("sa"), side("ss", 0).alias("ssa"),
+        side("n", 1).alias("nb"), side("s", 1).alias("sb"), side("ss", 1).alias("ssb"),
+    )
+    mean_diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    var_term = (
+        (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    return p.select(
+        "event_type",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        (F.round(mean_diff, 6) + 0.0).alias("mean_diff"),
+        (F.round(mean_diff / F.sqrt(var_term), 6) + 0.0).alias("t"),
+    )
+
+
+KM_DAY0 = "2024-01-01"  #: observation-window start for the churn clock
+KM_DAY_SHARD = 16  #: days per prefix-count shard
+
+
+# --------------------------------------------------------------------------
+@register(
+    "kaplan_meier_churn",
+    oracle=f"""
+    WITH last AS (
+      SELECT user_id,
+             date_diff('day', DATE '{KM_DAY0}', CAST(max(ts) AS DATE)) AS day
+      FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS n_users FROM last),
+    d AS (SELECT day, count(*) AS churned FROM last GROUP BY 1),
+    c AS (SELECT day, churned,
+                 (SELECT n_users FROM t)
+                   - coalesce(sum(churned) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+          FROM d),
+    lg AS (SELECT day, churned, at_risk,
+                  round(ln(1 - churned * 1.0 / at_risk), 7) AS term
+           FROM c WHERE churned < at_risk)
+    SELECT CAST(day AS BIGINT) AS day, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(churned AS BIGINT) AS churned,
+           round(sum(term) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 7) + 0.0
+             AS log_surv
+    FROM lg
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival of user lifetime (churn = a user's last
+    observed event day): per day, the at-risk count, churn count, and
+    the log survival estimate Σ ln(1 − dᵢ/nᵢ) — the retention curve
+    estimator of product analytics, in its log form so the arithmetic
+    stays engine-exact (exp() is libm-private; the per-day terms are
+    single ln() calls on exact rationals rounded at 7 dp, and the
+    cumulative sum is rounded AT the 7-dp term grid — the naive-Bayes
+    grid-alignment lesson). The oracle uses plain global windows over
+    the day frame; the Spark plan gets at-risk counts from total −
+    sharded exclusive prefix sums and the running log-survival from the
+    same shard decomposition — the day frame is tiny here, but the
+    shape is the one that survives a per-minute grid over years. Days
+    where everyone remaining churns (S → 0, ln −∞) are excluded on
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    last = events.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.lit(KM_DAY0))).alias("day")
+    )
+    t = last.agg(F.count(F.lit(1)).alias("n_users"))
+    d = last.groupBy("day").agg(F.count(F.lit(1)).alias("churned"))
+    d = d.withColumn("shard", F.floor(F.col("day") / KM_DAY_SHARD))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = d.withColumn(
+        "cum_in", F.coalesce(F.sum("churned").over(w_in), F.lit(0))
+    )
+    tot = d.groupBy("shard").agg(F.sum("churned").alias("sc"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard", F.coalesce(F.sum("sc").over(w_off), F.lit(0)).alias("offset")
+    )
+    c = (
+        within.join(F.broadcast(off), "shard")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "day",
+            "churned",
+            (F.col("n_users") - (F.col("offset") + F.col("cum_in"))).alias(
+                "at_risk"
+            ),
+        )
+    )
+    lg = c.filter(F.col("churned") < F.col("at_risk")).withColumn(
+        "term",
+        F.round(F.log(1 - F.col("churned") * 1.0 / F.col("at_risk")), 7),
+    )
+    w_in2 = (
+        Window.partitionBy("shard")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within2 = lg.withColumn("cum2", F.sum("term").over(w_in2))
+    tot2 = lg.groupBy("shard").agg(F.sum("term").alias("st"))
+    off2 = tot2.select(
+        "shard",
+        F.coalesce(F.sum("st").over(w_off), F.lit(0.0)).alias("off2"),
+    )
+    return (
+        within2.join(F.broadcast(off2), "shard")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.col("churned").cast("long").alias("churned"),
+            (F.round(F.col("off2") + F.col("cum2"), 7) + 0.0).alias("log_surv"),
+        )
+    )

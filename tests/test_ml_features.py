@@ -519,3 +519,62 @@ def test_quantile_rank_matches_python_ecdf(spark):
         q = bisect.bisect_right(vals, r.value) / n
         assert abs(got[r.event_id] - q) < 1e-6, r.event_id
     assert max(got.values()) == 1.0
+
+
+def test_ab_test_welch_matches_python(spark):
+    """ab_test_welch against plain-Python Welch statistics with the
+    same md5 arm assignment."""
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id", "value"
+    )
+    groups: dict[tuple[str, int], list[float]] = defaultdict(list)
+    for r in events.collect():
+        arm = _md5_int(str(r.user_id), 0, 15) % 2
+        groups[(r.event_type, arm)].append(r.value)
+    got = {
+        r.event_type: (r.na, r.nb, r.mean_diff, r.t)
+        for r in catalog.queries()["ab_test_welch"](spark, SF_SMALL).collect()
+    }
+    for etype in {k[0] for k in groups}:
+        a, b = groups[(etype, 0)], groups[(etype, 1)]
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1)
+        vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        g_na, g_nb, g_diff, g_t = got[etype]
+        assert (g_na, g_nb) == (na, nb)
+        assert abs(g_diff - (ma - mb)) < 1e-5, etype
+        assert abs(g_t - t) < 1e-4, etype
+
+
+def test_kaplan_meier_matches_python(spark):
+    """kaplan_meier_churn against the textbook product-limit estimator
+    in plain Python (compared in log space)."""
+    import datetime
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    last: dict[int, int] = {}
+    for r in events.collect():
+        day = (r.ts.date() - datetime.date(2024, 1, 1)).days
+        last[r.user_id] = max(last.get(r.user_id, -1), day)
+    n_users = len(last)
+    churn: dict[int, int] = defaultdict(int)
+    for d in last.values():
+        churn[d] += 1
+    got = {
+        r.day: (r.at_risk, r.churned, r.log_surv)
+        for r in catalog.queries()["kaplan_meier_churn"](spark, SF_SMALL).collect()
+    }
+    at_risk = n_users
+    log_s = 0.0
+    seen = 0
+    for d in sorted(churn):
+        if churn[d] < at_risk:
+            log_s += math.log(1 - churn[d] / at_risk)
+            g_risk, g_churn, g_log = got[d]
+            assert (g_risk, g_churn) == (at_risk, churn[d]), d
+            assert abs(g_log - log_s) < 1e-5, d
+            seen += 1
+        at_risk -= churn[d]
+    assert seen == len(got) and seen > 0

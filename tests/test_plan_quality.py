@@ -733,3 +733,27 @@ def test_ecdf_windows_are_sharded(spark):
     assert win_specs, plan
     unsharded = [s for s in win_specs if "shard" not in s]
     assert len(unsharded) <= 1, win_specs
+
+
+def test_ab_test_is_single_scan_agg(spark):
+    """ab_test_welch: the whole analysis must be aggs over ONE events
+    scan — no window, no join back to row-level data."""
+    import re
+
+    plan = plan_of(spark, "ab_test_welch")
+    assert "Window" not in plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, plan
+    assert plan.count("HashAggregate") >= 4  # moments + pivot, partial+final
+
+
+def test_kaplan_meier_windows_are_sharded(spark):
+    """kaplan_meier_churn: day-frame windows must partition by the day
+    shard; only the per-shard-totals offsets windows may omit it."""
+    import re
+
+    plan = plan_of(spark, "kaplan_meier_churn")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    unsharded = [s for s in win_specs if "shard" not in s]
+    assert len(unsharded) <= 2, win_specs  # two offsets frames (churn, term)
