@@ -1,11 +1,24 @@
-"""Feature-engineering / distributed-model-fitting queries (north-star
+"""Feature-engineering / model-fitting / evaluation queries (north-star
 ⊕, SURVEY.md §2): the operators that turn a curated corpus into model
-inputs — hashed bag-of-words features, leakage-free target encoding,
-per-group trend fitting, a distributed logistic-regression training
-step, and a skyline (Pareto-frontier) selection. The reference has no
-analogue for any of these (SURVEY.md §2 "Categories with NO
-implementation"); they complete the LLM-era pipeline story the same
-way plans/training_data.py does for curation.
+inputs, fit models on it, and judge the results — hashed bag-of-words
+features, leakage-free target encoding, ECDF normalization, per-entity
+OLS fits + residual metrics, a distributed logistic-regression training
+step, naive-Bayes language ID (train → apply → confusion), χ² feature
+selection, ROC-AUC and PR-curve evaluation, Welch's-t A/B analysis,
+Kaplan-Meier churn survival, skyline (Pareto-frontier) selection,
+market-basket rules, seasonal anomaly scoring, Bellman-Ford shortest
+paths, the AllPairs prefix-filtered similarity join, and
+deletion-neighborhood fuzzy matching. The reference has no analogue for
+any of these (SURVEY.md §2 "Categories with NO implementation"); they
+complete the LLM-era pipeline story the same way
+plans/training_data.py does for curation.
+
+Proof-by-parity: for the operators whose Spark plan is a scalable
+DECOMPOSITION (sharded prefix counts for ranks/ECDF/at-risk sets,
+prefix or deletion blocking for similarity/fuzzy joins, sort-based
+skyline), the oracle deliberately states the quadratic/global-window
+DEFINITION — the value-hash match is then a completeness proof of the
+algorithm, not just an arithmetic check.
 
 Determinism discipline (same as the PCA/k-means family): every
 floating-point reduction is rounded in-query at a precision that
@@ -1536,4 +1549,112 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("churned").cast("long").alias("churned"),
             (F.round(F.col("off2") + F.col("cum2"), 7) + 0.0).alias("log_surv"),
         )
+    )
+
+
+BOOT_B = 32  #: bootstrap replicates
+BOOT_M = 1_000_000_000  #: uniform-hash modulus
+#: Poisson(1) CDF thresholds on h ∈ [0, BOOT_M): floor(P(X ≤ k)·1e9).
+#: Integer comparisons — no float thresholds to straddle an ulp.
+BOOT_T = (367879441, 735758882, 919698602, 981011843, 996340153)
+
+
+def _boot_w_sql(h: str) -> str:
+    t = BOOT_T
+    return (
+        f"CASE WHEN {h} < {t[0]} THEN 0 WHEN {h} < {t[1]} THEN 1 "
+        f"WHEN {h} < {t[2]} THEN 2 WHEN {h} < {t[3]} THEN 3 "
+        f"WHEN {h} < {t[4]} THEN 4 ELSE 5 END"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT b, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'
+                                 || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+               % {BOOT_M} AS h
+      FROM events, (SELECT unnest(range(0, {BOOT_B})) AS b)),
+    w AS (SELECT b, value, {_boot_w_sql('h')} AS w FROM rep),
+    g AS (SELECT b, round(sum(w * value), 6) AS swx, sum(w) AS sw
+          FROM w GROUP BY b),
+    m AS (SELECT b, round(swx / sw, 6) AS mean_b FROM g),
+    s AS (SELECT round(avg(mean_b), 6) AS bm,
+                 round(stddev_samp(mean_b), 6) AS se
+          FROM m)
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           bm + 0.0 AS boot_mean, se + 0.0 AS se,
+           round(bm - 1.96 * se, 6) + 0.0 AS ci_lo,
+           round(bm + 1.96 * se, 6) + 0.0 AS ci_hi
+    FROM s
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean of
+    events.value — the bootstrap that actually works at 100 TB
+    (Chamandy et al., Google 2012): classical resampling needs n draws
+    per replicate from one machine's view of the data, but Poisson(1)
+    replicate weights are i.i.d. PER ROW, so all {BOOT_B} replicates
+    stream through ONE scan as a ×B map-side fan-out + a B-row agg —
+    no shuffle of the data, no global sampling state. Weights are
+    deterministic: u = md5(event_id, b), mapped through Poisson(1) CDF
+    thresholds stored as INTEGERS (floor(P·1e9)), so the 'randomness'
+    replays identically in any engine and the CI hash-matches. Per
+    replicate: weighted mean of once-rounded sums; summary: mean ± 1.96
+    standard errors across replicates."""
+    events = load_table(spark, sf_dir, "events")
+    rep = events.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BOOT_M
+    )
+    t = BOOT_T
+    w = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .when(h < t[4], 4)
+        .otherwise(5)
+    )
+    g = (
+        rep.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("value")), 6).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+    )
+    m = g.select(F.round(F.col("swx") / F.col("sw"), 6).alias("mean_b"))
+    s = m.agg(
+        F.round(F.avg("mean_b"), 6).alias("bm"),
+        F.round(F.stddev_samp("mean_b"), 6).alias("se"),
+    )
+    return s.select(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        (F.col("bm") + 0.0).alias("boot_mean"),
+        (F.col("se") + 0.0).alias("se"),
+        (F.round(F.col("bm") - 1.96 * F.col("se"), 6) + 0.0).alias("ci_lo"),
+        (F.round(F.col("bm") + 1.96 * F.col("se"), 6) + 0.0).alias("ci_hi"),
     )

@@ -578,3 +578,38 @@ def test_kaplan_meier_matches_python(spark):
             seen += 1
         at_risk -= churn[d]
     assert seen == len(got) and seen > 0
+
+
+def test_bootstrap_matches_python_poisson(spark):
+    """bootstrap_mean_ci against the same Poisson bootstrap in plain
+    Python (md5 weights, identical thresholds), plus sanity: the CI
+    straddles the plain mean."""
+    from mapreduce_itwiki_spark.plans.ml_features import BOOT_B, BOOT_M, BOOT_T
+
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "value")
+    rows = events.collect()
+    means = []
+    for b in range(BOOT_B):
+        sw = swx = 0
+        for r in rows:
+            h = _md5_int(f"{r.event_id}|{b}", 0, 15) % BOOT_M
+            w = 5
+            for k, t in enumerate(BOOT_T):
+                if h < t:
+                    w = k
+                    break
+            sw += w
+            swx += w * r.value
+        means.append(round(round(swx, 6) / sw, 6))
+    bm = sum(means) / len(means)
+    var = sum((m - bm) ** 2 for m in means) / (len(means) - 1)
+    se = math.sqrt(var)
+    row = catalog.queries()["bootstrap_mean_ci"](spark, SF_SMALL).collect()[0]
+    assert row.n_replicates == BOOT_B
+    assert abs(row.boot_mean - bm) < 1e-5
+    assert abs(row.se - se) < 1e-5
+    plain_mean = sum(r.value for r in rows) / len(rows)
+    assert row.ci_lo < plain_mean < row.ci_hi
+    # weights must actually vary (a degenerate all-1 hash would make
+    # the bootstrap vacuous)
+    assert row.se > 0

@@ -757,3 +757,15 @@ def test_kaplan_meier_windows_are_sharded(spark):
     assert win_specs, plan
     unsharded = [s for s in win_specs if "shard" not in s]
     assert len(unsharded) <= 2, win_specs  # two offsets frames (churn, term)
+
+
+def test_bootstrap_is_one_scan_fanout_agg(spark):
+    """bootstrap_mean_ci: all B replicates ride ONE events scan as a
+    map-side explode — no window, no join, one corpus-sized agg pair."""
+    import re
+
+    plan = plan_of(spark, "bootstrap_mean_ci")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, plan
