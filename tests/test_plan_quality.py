@@ -599,15 +599,19 @@ def test_skyline_windows_are_sharded(spark):
     assert len(unsharded) <= 1, win_specs
 
 
-def test_market_basket_joins_on_basket_key(spark):
-    """market_basket_rules: pair generation must be an equi-join keyed
-    on the basket id (orderkey) — never a cartesian — and the counts
-    partial+final aggs (distinct items, pairs, per-item) all combine
-    map-side."""
+def test_market_basket_pairs_expand_basket_locally(spark):
+    """market_basket_rules: pair generation must be the basket-local
+    array expansion (ONE shuffle to per-order item arrays, map-side
+    ≤ C(basket,2) fan-out) — never a lineitem self-join (no join on
+    l_orderkey anywhere in the plan) and never a cartesian."""
     plan = plan_of(spark, "market_basket_rules")
     assert "CartesianProduct" not in plan
-    assert "l_orderkey" in plan
-    assert plan.count("HashAggregate") >= 6  # 3 agg pairs minimum
+    assert "l_orderkey" in plan  # the basket groupBy key
+    # the only joins are the tiny rule↔item-count lookups on pa/pb
+    for seg in plan.split("Join")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_orderkey" not in head, head
+    assert plan.count("HashAggregate") >= 6  # baskets, pairs, items
 
 
 def test_seasonal_anomaly_broadcasts_baseline(spark):
