@@ -736,6 +736,64 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUC_SCORE_SHARD = 16  #: score-range width per rank shard
 
 
+
+def sharded_prefix_sums(g, key, shard_expr, cols):
+    """Exclusive global prefix sums WITHOUT a global window — the named
+    form of the shard decomposition used across the rank/ECDF/survival
+    operators (and, for doc-level data, plans/training_data.py:
+    `_sharded_cum_tokens`): append ``<col>_before`` = Σ of ``col`` over
+    all rows with strictly smaller ``key``, via a bounded running sum
+    within fixed-width shards plus broadcast cumulative shard offsets.
+    Shards are monotone in ``key`` (``shard_expr`` must be a
+    non-decreasing function of it), so concatenating shards in shard
+    order reproduces the global order; every window task holds at most
+    one shard's group rows."""
+    g = g.withColumn("shard", shard_expr)
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = g
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_in", F.coalesce(F.sum(c).over(w_in), F.lit(0))
+        )
+    tot = g.groupBy("shard").agg(*[F.sum(c).alias(f"{c}_t") for c in cols])
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard",
+        *[
+            F.coalesce(F.sum(f"{c}_t").over(w_off), F.lit(0)).alias(f"{c}_o")
+            for c in cols
+        ],
+    )
+    out = out.join(F.broadcast(off), "shard")
+    for c in cols:
+        out = out.withColumn(f"{c}_before", F.col(f"{c}_o") + F.col(f"{c}_in"))
+        out = out.drop(f"{c}_in", f"{c}_o")
+    return out
+
+
+def _trigram_en_score():
+    """The char_trigram_langid English score as a single long column —
+    shared by the AUC and PR-curve evaluations (twin of the SQL built
+    from training_data._trigram_count_sql)."""
+    from .training_data import TRIGRAM_PROFILES
+
+    def count(tri):
+        return (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
+        ) / 3
+
+    cols = [count(t) for t in TRIGRAM_PROFILES["en"]]
+    score = cols[0]
+    for c in cols[1:]:
+        score = score + c
+    return score.cast("long")
+
+
 # --------------------------------------------------------------------------
 def _auc_oracle() -> str:
     from .training_data import TRIGRAM_PROFILES, _trigram_count_sql
@@ -776,44 +834,17 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision. At 100 TB: one partial+final agg on score, windows only
     over the tiny score-group frame, one broadcast — evaluation cost ≈
     one scan."""
-    from .training_data import TRIGRAM_PROFILES
-
     docs = load_table(spark, sf_dir, "documents")
-
-    def count(tri: str):
-        return (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
-        ) / 3
-
-    cols = [count(t) for t in TRIGRAM_PROFILES["en"]]
-    score = cols[0]
-    for c in cols[1:]:
-        score = score + c
     s = docs.select(
-        score.cast("long").alias("score"),
+        _trigram_en_score().alias("score"),
         (F.col("lang") == "en").cast("int").alias("pos"),
     )
     sg = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
     )
-    sg = sg.withColumn("shard", F.floor(F.col("score") / AUC_SCORE_SHARD))
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = sg.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
-    tot = sg.groupBy("shard").agg(F.sum("n").alias("sn"))
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    off = tot.select(
-        "shard", F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("offset")
-    )
-    ranked = within.join(F.broadcast(off), "shard").select(
-        "n",
-        "npos",
-        (F.col("offset") + F.col("cum_in")).alias("cum_lt"),
-    )
+    ranked = sharded_prefix_sums(
+        sg, "score", F.floor(F.col("score") / AUC_SCORE_SHARD), ["n"]
+    ).select("n", "npos", F.col("n_before").alias("cum_lt"))
     agg = ranked.agg(
         F.sum(
             F.col("npos") * (2 * F.col("cum_lt") + F.col("n") + 1)
@@ -873,60 +904,24 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-below via the sharded prefix sums over the score-group frame
     (no global single-task window, broadcast offsets + 1-row totals).
     Exact integer counts up to two final divisions per row."""
-    from .training_data import TRIGRAM_PROFILES
-
     docs = load_table(spark, sf_dir, "documents")
-
-    def count(tri: str):
-        return (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(tri), F.lit("")))
-        ) / 3
-
-    cols = [count(t) for t in TRIGRAM_PROFILES["en"]]
-    score = cols[0]
-    for c in cols[1:]:
-        score = score + c
     s = docs.select(
-        score.cast("long").alias("score"),
+        _trigram_en_score().alias("score"),
         (F.col("lang") == "en").cast("int").alias("pos"),
     )
     sg = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
     )
-    sg = sg.withColumn("shard", F.floor(F.col("score") / AUC_SCORE_SHARD))
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = sg.select(
-        "shard",
-        "score",
-        "n",
-        "npos",
-        F.coalesce(F.sum("n").over(w_in), F.lit(0)).alias("cn_in"),
-        F.coalesce(F.sum("npos").over(w_in), F.lit(0)).alias("cp_in"),
-    )
-    tot = sg.groupBy("shard").agg(
-        F.sum("n").alias("sn"), F.sum("npos").alias("sp")
-    )
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    off = tot.select(
-        "shard",
-        F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("on_"),
-        F.coalesce(F.sum("sp").over(w_off), F.lit(0)).alias("op"),
-    )
-    totals = sg.agg(
-        F.sum("n").alias("n_tot"), F.sum("npos").alias("npos_tot")
-    )
+    totals = sg.agg(F.sum("n").alias("n_tot"), F.sum("npos").alias("npos_tot"))
     ranked = (
-        within.join(F.broadcast(off), "shard")
+        sharded_prefix_sums(
+            sg, "score", F.floor(F.col("score") / AUC_SCORE_SHARD), ["n", "npos"]
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             "score",
-            (F.col("n_tot") - (F.col("on_") + F.col("cn_in"))).alias("n_ge"),
-            (F.col("npos_tot") - (F.col("op") + F.col("cp_in"))).alias("tp"),
+            (F.col("n_tot") - F.col("n_before")).alias("n_ge"),
+            (F.col("npos_tot") - F.col("npos_before")).alias("tp"),
             "npos_tot",
         )
     )
@@ -1345,29 +1340,17 @@ def value_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint/interpolation arithmetic."""
     events = load_table(spark, sf_dir, "events")
     vg = events.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
-    vg = vg.withColumn("shard", F.floor(F.col("value") / ECDF_VALUE_SHARD))
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = vg.select(
-        "shard", "value", F.sum("n").over(w_in).alias("cum_in")
-    )
-    tot = vg.groupBy("shard").agg(F.sum("n").alias("sn"))
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    off = tot.select(
-        "shard", F.coalesce(F.sum("sn").over(w_off), F.lit(0)).alias("offset")
-    )
     n_tot = events.agg(F.count(F.lit(1)).alias("n_tot"))
     ranked = (
-        within.join(F.broadcast(off), "shard")
+        sharded_prefix_sums(
+            vg, "value", F.floor(F.col("value") / ECDF_VALUE_SHARD), ["n"]
+        )
         .crossJoin(F.broadcast(n_tot))
         .select(
             "value",
             (
                 F.round(
-                    (F.col("offset") + F.col("cum_in")) * 1.0 / F.col("n_tot"), 6
+                    (F.col("n_before") + F.col("n")) * 1.0 / F.col("n_tot"), 6
                 )
                 + 0.0
             ).alias("q"),
@@ -1511,55 +1494,27 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = last.agg(F.count(F.lit(1)).alias("n_users"))
     d = last.groupBy("day").agg(F.count(F.lit(1)).alias("churned"))
-    d = d.withColumn("shard", F.floor(F.col("day") / KM_DAY_SHARD))
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = d.withColumn(
-        "cum_in", F.coalesce(F.sum("churned").over(w_in), F.lit(0))
-    )
-    tot = d.groupBy("shard").agg(F.sum("churned").alias("sc"))
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    off = tot.select(
-        "shard", F.coalesce(F.sum("sc").over(w_off), F.lit(0)).alias("offset")
-    )
+    shard = F.floor(F.col("day") / KM_DAY_SHARD)
     c = (
-        within.join(F.broadcast(off), "shard")
+        sharded_prefix_sums(d, "day", shard, ["churned"])
         .crossJoin(F.broadcast(t))
         .select(
-            "shard",
             "day",
             "churned",
-            (F.col("n_users") - (F.col("offset") + F.col("cum_in"))).alias(
-                "at_risk"
-            ),
+            (F.col("n_users") - F.col("churned_before")).alias("at_risk"),
         )
     )
     lg = c.filter(F.col("churned") < F.col("at_risk")).withColumn(
         "term",
         F.round(F.log(1 - F.col("churned") * 1.0 / F.col("at_risk")), 7),
     )
-    w_in2 = (
-        Window.partitionBy("shard")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within2 = lg.withColumn("cum2", F.sum("term").over(w_in2))
-    tot2 = lg.groupBy("shard").agg(F.sum("term").alias("st"))
-    off2 = tot2.select(
-        "shard",
-        F.coalesce(F.sum("st").over(w_off), F.lit(0.0)).alias("off2"),
-    )
-    return (
-        within2.join(F.broadcast(off2), "shard")
-        .select(
-            F.col("day").cast("long").alias("day"),
-            F.col("at_risk").cast("long").alias("at_risk"),
-            F.col("churned").cast("long").alias("churned"),
-            (F.round(F.col("off2") + F.col("cum2"), 7) + 0.0).alias("log_surv"),
-        )
+    return sharded_prefix_sums(lg, "day", shard, ["term"]).select(
+        F.col("day").cast("long").alias("day"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("churned").cast("long").alias("churned"),
+        (F.round(F.col("term_before") + F.col("term"), 7) + 0.0).alias(
+            "log_surv"
+        ),
     )
 
 
