@@ -7,8 +7,10 @@ step, naive-Bayes language ID (train → apply → confusion), χ² feature
 selection, ROC-AUC and PR-curve evaluation, Welch's-t A/B analysis,
 Kaplan-Meier churn survival, skyline (Pareto-frontier) selection,
 market-basket rules, seasonal anomaly scoring, Bellman-Ford shortest
-paths, the AllPairs prefix-filtered similarity join, and
-deletion-neighborhood fuzzy matching. The reference has no analogue for
+paths, the AllPairs prefix-filtered similarity join,
+deletion-neighborhood fuzzy matching, BM25 retrieval scoring,
+histogram-based GBDT split finding, an ALS half-step, and
+deterministic contrastive negative sampling. The reference has no analogue for
 any of these (SURVEY.md §2 "Categories with NO implementation"); they
 complete the LLM-era pipeline story the same way
 plans/training_data.py does for curation.
@@ -1623,4 +1625,402 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("se") + 0.0).alias("se"),
         (F.round(F.col("bm") - 1.96 * F.col("se"), 6) + 0.0).alias("ci_lo"),
         (F.round(F.col("bm") + 1.96 * F.col("se"), 6) + 0.0).alias("ci_hi"),
+    )
+
+
+BM25_TERMS = ("join", "hash", "scan", "vector")  #: retrieval query terms
+BM25_K1 = 1.2  #: term-frequency saturation
+BM25_B = 0.75  #: length-normalization strength (exact binary fraction)
+BM25_TOPK = 20  #: result size
+
+
+# --------------------------------------------------------------------------
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT count(*) AS n, round(avg(dl), 6) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok IN ('join', 'hash', 'scan', 'vector')
+           GROUP BY doc_id, tok),
+    idf AS (SELECT tok,
+                   round(ln(1 + (n - df + 0.5) / (df + 0.5)), 7) AS idf
+            FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok), stats),
+    terms AS (SELECT tf.doc_id,
+                     round(idf.idf * (tf.tf * ({BM25_K1} + 1))
+                           / (tf.tf + {BM25_K1}
+                              * ((1 - {BM25_B})
+                                 + {BM25_B} * (dl.dl / stats.avgdl))),
+                           7) AS term
+              FROM tf
+              JOIN idf ON idf.tok = tf.tok
+              JOIN dl ON dl.doc_id = tf.doc_id, stats)
+    SELECT doc_id, round(sum(term), 7) + 0.0 AS score
+    FROM terms GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Spärck Jones) — the ranking
+    function behind full-text candidate retrieval in RAG and
+    decontamination pipelines, here as ONE declarative plan: document
+    lengths come from ``size(split(...))`` with no explode, term
+    frequencies from one explode filtered to the query's terms BEFORE
+    the shuffle (the filter cuts the exploded stream to |Q| terms per
+    doc, so the (doc, term) agg shuffles a few rows per document, never
+    the corpus's token stream), document frequencies + avgdl are
+    |Q|-row / 1-row frames broadcast back, and the top-k is
+    TakeOrderedAndProject — no global sort. The reference has no
+    retrieval scoring at all (SURVEY.md §2). Determinism: idf's ln()
+    is a single libm call on exact-rational operands rounded at 7 dp;
+    each score term is rounded at 7 dp and the ≤|Q|-term sum is rounded
+    AT that same 7-dp grid (a sum of grid multiples is itself on the
+    grid, so re-rounding recovers the exact decimal in both engines;
+    rounding coarser would let a half-point straddle an ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "tok",
+            F.round(
+                F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                7,
+            ).alias("idf"),
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * ((1 - BM25_B) + BM25_B * (F.col("dl") / F.col("avgdl")))
+                ),
+                7,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg((F.round(F.sum("term"), 7) + 0.0).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "tree_split_histogram",
+    oracle="""
+    WITH pts AS (
+      SELECT f.feature, f.bin,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l, LATERAL (VALUES
+        ('quantity', CAST(round(l.l_quantity, 0) AS BIGINT)),
+        ('discount', CAST(round(l.l_discount * 100, 0) AS BIGINT)),
+        ('tax',      CAST(round(l.l_tax * 100, 0) AS BIGINT))
+      ) AS f(feature, bin)),
+    h AS (SELECT feature, bin, count(*) AS n, sum(y) AS pos
+          FROM pts GROUP BY feature, bin),
+    c AS (SELECT feature, bin,
+                 sum(n) OVER w AS nl, sum(pos) OVER w AS posl,
+                 sum(n) OVER t AS nt, sum(pos) OVER t AS post
+          FROM h
+          WINDOW w AS (PARTITION BY feature ORDER BY bin),
+                 t AS (PARTITION BY feature)),
+    gain AS (
+      SELECT feature, bin,
+             round(
+               (1 - (post / CAST(nt AS DOUBLE)) * (post / CAST(nt AS DOUBLE))
+                  - ((nt - post) / CAST(nt AS DOUBLE))
+                    * ((nt - post) / CAST(nt AS DOUBLE)))
+               - (nl / CAST(nt AS DOUBLE))
+                 * (1 - (posl / CAST(nl AS DOUBLE)) * (posl / CAST(nl AS DOUBLE))
+                      - ((nl - posl) / CAST(nl AS DOUBLE))
+                        * ((nl - posl) / CAST(nl AS DOUBLE)))
+               - ((nt - nl) / CAST(nt AS DOUBLE))
+                 * (1 - ((post - posl) / CAST(nt - nl AS DOUBLE))
+                        * ((post - posl) / CAST(nt - nl AS DOUBLE))
+                      - ((nt - nl - (post - posl)) / CAST(nt - nl AS DOUBLE))
+                        * ((nt - nl - (post - posl)) / CAST(nt - nl AS DOUBLE))),
+               9) AS gain
+      FROM c WHERE nl < nt)
+    SELECT feature, bin AS split_bin, gain + 0.0 AS gain
+    FROM (SELECT feature, bin, gain,
+                 row_number() OVER (PARTITION BY feature
+                                    ORDER BY gain DESC, bin) AS rk
+          FROM gain)
+    WHERE rk = 1
+    """,
+)
+def tree_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM-BASED decision-tree split finding — the core primitive
+    of distributed GBDT training (XGBoost's approx mode, LightGBM):
+    predict l_returnflag='R' from quantity/discount/tax. Instead of
+    sorting each feature globally (the single-machine algorithm), every
+    feature's values are BINNED and the corpus-sized stage is one
+    unpivot → (feature, bin) partial+final count/sum agg — the
+    histogram. Everything after runs on the tiny histogram frame
+    (≤ ~70 rows here, ≤ bins×features always): cumulative left-child
+    counts via a window ORDERED BY bin (exact BIGINT arithmetic — no
+    float drift in the scan), Gini impurity decrease per candidate
+    threshold, argmax per feature. At 100 TB the histogram agg is the
+    only shuffle and its cardinality is bins×features, independent of
+    row count — this is why every production tree trainer works this
+    way. Gini gain is computed from exact integers in one identically
+    associated expression on both engines, rounded once at 9 dp; the
+    per-feature argmax tiebreaks on the lower bin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    pts = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.round(F.col("l_quantity"), 0).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.round(F.col("l_discount") * 100, 0).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("tax").alias("feature"),
+                    F.round(F.col("l_tax") * 100, 0).cast("long").alias("bin"),
+                ),
+            )
+        ).alias("f"),
+        y.alias("y"),
+    ).select("f.feature", "f.bin", "y")
+    h = pts.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("feature").orderBy("bin")
+    t = Window.partitionBy("feature")
+    c = h.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("n").over(t).alias("nt"),
+        F.sum("pos").over(t).alias("post"),
+    ).filter(F.col("nl") < F.col("nt"))
+
+    def _gini(pos, n):
+        p = pos / n.cast("double")
+        q = (n - pos) / n.cast("double")
+        return 1 - p * p - q * q
+
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("post") - F.col("posl")
+    gain = F.round(
+        _gini(F.col("post"), F.col("nt"))
+        - (F.col("nl") / F.col("nt").cast("double"))
+        * _gini(F.col("posl"), F.col("nl"))
+        - (nr / F.col("nt").cast("double")) * _gini(posr, nr),
+        9,
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("feature").orderBy(F.col("gain").desc(), "split_bin")
+    )
+    return (
+        c.select("feature", F.col("bin").alias("split_bin"), gain.alias("gain"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("feature", "split_bin", (F.col("gain") + 0.0).alias("gain"))
+    )
+
+
+ALS_LAMBDA = 0.25  #: ridge regularizer (exact binary fraction)
+ALS_MOD = 1000  #: item-factor init grid: md5 % 1000 / 1000
+
+
+def _als_y_sql(comp: int) -> str:
+    return (
+        f"(('0x' || substr(md5(event_type || '|{comp}'), 1, 15))::BIGINT"
+        f" % {ALS_MOD}) / {ALS_MOD}.0"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "als_half_step",
+    oracle=f"""
+    WITH r AS (SELECT user_id, event_type, round(sum(value), 6) AS r
+               FROM events GROUP BY user_id, event_type),
+    yf AS (SELECT DISTINCT event_type,
+                  {_als_y_sql(1)} AS y1, {_als_y_sql(2)} AS y2
+           FROM events),
+    g AS (SELECT r.user_id,
+                 round(sum(y1 * y1), 9) AS a11,
+                 round(sum(y1 * y2), 9) AS a12,
+                 round(sum(y2 * y2), 9) AS a22,
+                 round(sum(y1 * r), 6) AS b1,
+                 round(sum(y2 * r), 6) AS b2
+          FROM r JOIN yf ON yf.event_type = r.event_type
+          GROUP BY r.user_id),
+    s AS (SELECT user_id, a12, b1, b2,
+                 a11 + {ALS_LAMBDA} AS d11, a22 + {ALS_LAMBDA} AS d22
+          FROM g)
+    SELECT user_id,
+           round((d22 * b1 - a12 * b2) / (d11 * d22 - a12 * a12), 6)
+             + 0.0 AS x1,
+           round((d11 * b2 - a12 * b1) / (d11 * d22 - a12 * a12), 6)
+             + 0.0 AS x2
+    FROM s
+    """,
+)
+def als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS HALF-STEP (Hu-Koren-Volinsky collaborative filtering):
+    hold rank-2 item factors fixed, solve every user's ridge normal
+    equations x_u = (YᵀY + λI)⁻¹ Yᵀr_u in closed form. This is the
+    distributed shape of alternating least squares: implicit ratings
+    are one partial+final agg over the event stream (the ONLY
+    corpus-sized shuffle), item factors are a tiny deterministic frame
+    (md5-grid init — replayable in any engine) broadcast into the join,
+    and the per-user solve is pure column algebra over five aggregated
+    sums (a11,a12,a22,b1,b2) — no Python, no per-user solver task, no
+    driver loop. Rank 2 keeps the 2×2 inverse closed-form and
+    hash-exact; production rank k ships the same k(k+1)/2 aggregated
+    sums into a grouped-Arrow Cholesky (`grouped_arrow_agg` is the
+    template), same shuffle shape. Each aggregate is rounded once
+    (9 dp for the exact-grid Gram terms, 6 dp for rating-weighted
+    sums); the solve then runs identically associated on identical
+    operands in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    r = events.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 6).alias("r")
+    )
+
+    def y(comp: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("event_type"), F.lit(f"|{comp}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (h % ALS_MOD) / float(ALS_MOD)
+
+    yf = events.select("event_type").distinct().select(
+        "event_type", y(1).alias("y1"), y(2).alias("y2")
+    )
+    g = (
+        r.join(F.broadcast(yf), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("y1") * F.col("y1")), 9).alias("a11"),
+            F.round(F.sum(F.col("y1") * F.col("y2")), 9).alias("a12"),
+            F.round(F.sum(F.col("y2") * F.col("y2")), 9).alias("a22"),
+            F.round(F.sum(F.col("y1") * F.col("r")), 6).alias("b1"),
+            F.round(F.sum(F.col("y2") * F.col("r")), 6).alias("b2"),
+        )
+    )
+    d11 = F.col("a11") + ALS_LAMBDA
+    d22 = F.col("a22") + ALS_LAMBDA
+    det = d11 * d22 - F.col("a12") * F.col("a12")
+    return g.select(
+        "user_id",
+        (F.round((d22 * F.col("b1") - F.col("a12") * F.col("b2")) / det, 6) + 0.0).alias("x1"),
+        (F.round((d11 * F.col("b2") - F.col("a12") * F.col("b1")) / det, 6) + 0.0).alias("x2"),
+    )
+
+
+NEG_K = 4  #: negatives sampled per anchor document
+
+
+# --------------------------------------------------------------------------
+@register(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    cand AS (SELECT d.doc_id, j,
+                    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                                        || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                      % n.n_docs AS neg_id,
+                    d.lang AS anchor_lang
+             FROM documents d, (SELECT unnest(range(0, {NEG_K})) AS j), n)
+    SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, c.neg_id, c.anchor_lang,
+           dn.lang AS neg_lang,
+           CAST(c.anchor_lang <> dn.lang AS BOOLEAN) AS cross_lingual
+    FROM cand c JOIN documents dn ON dn.doc_id = c.neg_id
+    WHERE c.neg_id <> c.doc_id
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive embedding
+    training (the in-batch-negatives / DPR data-prep step): each anchor
+    document draws {NEG_K} pseudo-random partners as
+    md5(doc_id, j) mod N over the dense id space, self-pairs dropped.
+    The 'randomness' is a pure function of the data, so the sample
+    replays identically in any engine AND on any cluster size — the
+    property that makes a 100 TB training run reproducible across
+    retries and engine versions, which no rand()-based sampler gives.
+    Scale shape: the ×K fan-out is map-side (explode of a K-literal
+    range), the corpus size N arrives as a broadcast 1-row frame, and
+    fetching each negative's metadata is ONE shuffled hash join on the
+    dense id — both sides corpus-sized, so no broadcast; AQE handles
+    the (uniform by construction) key distribution. Output labels each
+    pair cross-lingual or not — the mix a curriculum builder actually
+    tunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.col("j").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("anchor_lang"),
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("j"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            (h % F.col("n_docs")).alias("neg_id"),
+            "anchor_lang",
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return cand.join(neg, "neg_id").select(
+        "doc_id",
+        "j",
+        "neg_id",
+        "anchor_lang",
+        "neg_lang",
+        (F.col("anchor_lang") != F.col("neg_lang")).alias("cross_lingual"),
     )

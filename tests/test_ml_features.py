@@ -613,3 +613,150 @@ def test_bootstrap_matches_python_poisson(spark):
     # weights must actually vary (a degenerate all-1 hash would make
     # the bootstrap vacuous)
     assert row.se > 0
+
+
+def test_bm25_matches_python(spark):
+    """bm25_topk against textbook BM25 computed in plain Python over the
+    full corpus (then top-20 by (score desc, doc_id))."""
+    from mapreduce_itwiki_spark.plans.ml_features import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text.split(" ")) for r in docs.collect()]
+    n = len(rows)
+    avgdl = round(sum(len(t) for _, t in rows) / n, 6)
+    df: dict[str, int] = defaultdict(int)
+    for _, toks in rows:
+        for term in BM25_TERMS:
+            if term in toks:
+                df[term] += 1
+    idf = {
+        t: round(math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)), 7)
+        for t in BM25_TERMS
+        if df[t]
+    }
+    scores = {}
+    for doc_id, toks in rows:
+        dl = len(toks)
+        s = 0.0
+        for term, w in idf.items():
+            tf = toks.count(term)
+            if tf:
+                s += round(
+                    w
+                    * (tf * (BM25_K1 + 1))
+                    / (tf + BM25_K1 * ((1 - BM25_B) + BM25_B * (dl / avgdl))),
+                    7,
+                )
+        if s:
+            scores[doc_id] = round(s, 7)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = [
+        (r.doc_id, r.score)
+        for r in catalog.queries()["bm25_topk"](spark, SF_SMALL).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, a), (_, b) in zip(got, expect):
+        assert abs(a - b) < 1e-6
+
+
+def test_tree_split_matches_python_gini(spark):
+    """tree_split_histogram against an exhaustive plain-Python scan of
+    every candidate threshold's Gini decrease."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_returnflag"
+    )
+    pts: dict[str, list] = defaultdict(list)
+    for r in li.collect():
+        y = 1 if r.l_returnflag == "R" else 0
+        pts["quantity"].append((int(round(r.l_quantity)), y))
+        pts["discount"].append((int(round(r.l_discount * 100)), y))
+        pts["tax"].append((int(round(r.l_tax * 100)), y))
+
+    def gini(pos: int, n: int) -> float:
+        p, q = pos / n, (n - pos) / n
+        return 1 - p * p - q * q
+
+    expect = {}
+    for feat, vals in pts.items():
+        nt, post = len(vals), sum(y for _, y in vals)
+        best = None
+        for b in sorted({v for v, _ in vals})[:-1]:  # last bin: empty right
+            nl = sum(1 for v, _ in vals if v <= b)
+            posl = sum(y for v, y in vals if v <= b)
+            g = round(
+                gini(post, nt)
+                - (nl / nt) * gini(posl, nl)
+                - ((nt - nl) / nt) * gini(post - posl, nt - nl),
+                9,
+            )
+            if best is None or g > best[1]:
+                best = (b, g)
+        expect[feat] = best
+    got = {
+        r.feature: (r.split_bin, r.gain)
+        for r in catalog.queries()["tree_split_histogram"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for feat in expect:
+        assert got[feat][0] == expect[feat][0], feat
+        assert abs(got[feat][1] - expect[feat][1]) < 1e-8, feat
+
+
+def test_als_half_step_matches_numpy(spark):
+    """als_half_step against numpy: build each user's YᵀY + λI and Yᵀr
+    from the same md5-grid item factors and solve with linalg."""
+    import numpy as np
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", "value"
+    )
+    ratings: dict[tuple[int, str], float] = defaultdict(float)
+    for r in events.collect():
+        ratings[(r.user_id, r.event_type)] += r.value
+    yf = {}
+    for _, et in set(ratings):
+        yf[et] = (
+            (_md5_int(f"{et}|1", 0, 15) % 1000) / 1000.0,
+            (_md5_int(f"{et}|2", 0, 15) % 1000) / 1000.0,
+        )
+    by_user: dict[int, list] = defaultdict(list)
+    for (u, et), v in ratings.items():
+        by_user[u].append((yf[et], round(v, 6)))
+    got = {
+        r.user_id: (r.x1, r.x2)
+        for r in catalog.queries()["als_half_step"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_user)
+    lam = 0.25
+    for u, items in by_user.items():
+        Y = np.array([y for y, _ in items])
+        r_u = np.array([v for _, v in items])
+        x = np.linalg.solve(Y.T @ Y + lam * np.eye(2), Y.T @ r_u)
+        assert abs(got[u][0] - x[0]) < 1e-5, u
+        assert abs(got[u][1] - x[1]) < 1e-5, u
+
+
+def test_contrastive_negatives_deterministic_draws(spark):
+    """contrastive_negatives against the md5 mod-N draw replayed in
+    Python — including self-pair drops and the lang labels."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    n = len(lang)
+    expect = {}
+    for d in lang:
+        for j in range(4):
+            neg = _md5_int(f"{d}|{j}", 0, 15) % n
+            if neg != d:
+                expect[(d, j)] = (neg, lang[d], lang[neg], lang[d] != lang[neg])
+    got = {
+        (r.doc_id, r.j): (r.neg_id, r.anchor_lang, r.neg_lang, r.cross_lingual)
+        for r in catalog.queries()["contrastive_negatives"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expect
