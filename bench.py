@@ -56,6 +56,9 @@ HEADLINE = [
     "naive_bayes_langid",
     "allpairs_prefix_jaccard",
     "classifier_auc_eval",
+    # round 10 additions (retrieval scoring + GBDT split finding)
+    "bm25_topk",
+    "tree_split_histogram",
 ]
 
 

@@ -773,3 +773,71 @@ def test_bootstrap_is_one_scan_fanout_agg(spark):
     assert "Join" not in plan
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
     assert n_scans == 1, plan
+
+
+def test_bm25_topk_is_takeordered_with_slim_broadcasts(spark):
+    """bm25_topk: top-k must be TakeOrderedAndProject (no global sort),
+    the idf/avgdl frames must broadcast, and the only Generate (the
+    token explode) must be followed by the pre-shuffle term filter so
+    the (doc, term) agg never shuffles the full token stream."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the term filter sits between the explode and the aggregation:
+    # formatted plans list operators in execution order per subtree
+    gen = plan.index("Generate")
+    assert "Filter" in plan[gen : gen + 400], "term filter not adjacent to explode"
+
+
+def test_tree_split_windows_only_over_histogram(spark):
+    """tree_split_histogram: the corpus-sized stage is ONE partial+final
+    histogram agg; every Window must run downstream of it (over the
+    bins×features frame), and the per-feature argmax must plan as
+    WindowGroupLimit."""
+    import re
+
+    plan = plan_of(spark, "tree_split_histogram")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final histogram
+    assert "CartesianProduct" not in plan
+    # windows downstream of the histogram agg: formatted-plan operator
+    # numbers increase leaf → root, so every Window's number must exceed
+    # the first (partial) HashAggregate's
+    aggs = [int(n) for n in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(n) for n in re.findall(r"\((\d+)\) Window", plan)]
+    assert aggs and wins and min(wins) > min(aggs)
+
+
+def test_als_half_step_broadcasts_item_factors(spark):
+    """als_half_step: item factors join as a broadcast (never a
+    sort-merge of the ratings frame against a dim), and the normal
+    equations are ONE five-sum partial+final agg — no per-user Python."""
+    plan = plan_of(spark, "als_half_step")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+    import re
+
+    # one grouped agg carries all five Gram/moment sums together, and
+    # the whole solve costs ≤4 shuffles (ratings agg, factors distinct,
+    # user agg — plus nothing else)
+    assert "sum((y1" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+
+
+def test_contrastive_negatives_fanout_is_map_side(spark):
+    """contrastive_negatives: the ×K fan-out must be a Generate
+    (explode) with no join multiplying the corpus, and the only cross
+    join in the plan is the broadcast 1-row count frame."""
+    plan = plan_of(spark, "contrastive_negatives")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # any BNLJ present must be the single 1-row n_docs cross (its join
+    # condition references n_docs), never a data-sized cross
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    if bnlj:
+        assert len(bnlj) == 1
+        assert "n_docs" in plan
