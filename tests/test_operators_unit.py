@@ -1097,3 +1097,116 @@ def test_pca_two_components_on_planted_two_spikes(spark):
     assert abs(w1 @ evecs[:, -1]) > 0.995
     assert abs(w2 @ evecs[:, -2]) > 0.95
     assert abs(w1 @ w2) < 0.15
+
+
+def test_kcore_peels_cascading_chain(spark):
+    """kcore on a constructed graph where deletion CASCADES: a 5-clique
+    (its own 4-core) with a pendant path hanging off one clique node.
+    Each peeling round exposes the next path node, so a fixed-1-round
+    'degree filter' would keep path remnants — the loop must iterate to
+    the fixpoint."""
+    from mapreduce_itwiki_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, ["x", "y"])
+    got = {r.node: r.core_degree for r in kcore(edges, 4).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_empty_core_is_empty_frame(spark):
+    """A tree has no 2-core at k=3; the loop must converge to the empty
+    edge set without raising."""
+    from mapreduce_itwiki_spark.operators.graph import kcore
+
+    tree = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)], ["x", "y"]
+    )
+    assert kcore(tree, 3).count() == 0
+
+
+def test_kcore_oracle_unroll_is_converged(duck):
+    """The shipped 6-round unrolled oracle must already be at the
+    peeling fixpoint on the oracle-scale data: one MORE unrolled round
+    changes nothing. This is what lets the parity hash certify
+    convergence (the round-2 fixed-iteration-CC lesson)."""
+    from mapreduce_itwiki_spark.plans.llm_pipeline import _kcore_oracle_sql
+
+    r6 = sorted(duck.execute(_kcore_oracle_sql(6)).fetchall())
+    r7 = sorted(duck.execute(_kcore_oracle_sql(7)).fetchall())
+    assert r6 == r7
+    assert len(r6) > 0
+
+
+def test_jl_projection_matches_numpy(spark):
+    """embedding_random_projection against numpy: rebuild the ±1 sign
+    matrix from the same md5 grid and compare the projected values."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreduce_itwiki_spark.plans import catalog
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+    from conftest import SF_SMALL
+
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+                else -1
+                for j in range(8)
+            ]
+            for i in range(1, 65)
+        ],
+        dtype=np.float64,
+    )
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in catalog.queries()["embedding_random_projection"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(emb)
+    inv = 0.35355339059327373
+    for vid, v in emb.items():
+        expect = (v @ S) * inv
+        for j in range(8):
+            assert abs(got[vid][j] - expect[j]) < 1e-5, (vid, j)
+
+
+def test_jl_projection_preserves_distances_on_average(spark):
+    """The JL property itself (sanity, not parity): across sampled
+    pairs, the MEAN squared-distance ratio projected/original is near 1
+    (each ratio is an unbiased estimator with variance ~2/k)."""
+    import numpy as np
+
+    from mapreduce_itwiki_spark.plans import catalog
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+    from conftest import SF_SMALL
+
+    rows = sorted(
+        (
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in load_table(spark, SF_SMALL, "embeddings").collect()
+        ),
+    )[:40]
+    proj = {
+        r.vec_id: np.array([r[f"p{j}"] for j in range(8)])
+        for r in catalog.queries()["embedding_random_projection"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    ratios = []
+    for a in range(0, 40, 2):
+        (ida, va), (idb, vb) = rows[a], rows[a + 1]
+        d0 = float(np.sum((va - vb) ** 2))
+        d1 = float(np.sum((proj[ida] - proj[idb]) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    m = sum(ratios) / len(ratios)
+    assert 0.6 < m < 1.4, m

@@ -841,3 +841,29 @@ def test_contrastive_negatives_fanout_is_map_side(spark):
     if bnlj:
         assert len(bnlj) == 1
         assert "n_docs" in plan
+
+
+def test_jl_projection_is_shuffle_free(spark):
+    """embedding_random_projection: the whole operator must be ONE
+    map-side projection over the scan — no Exchange, no Generate, no
+    Python eval; this is the property that makes JL the 100 TB
+    dimensionality reducer (vs PCA's covariance pass)."""
+    import re
+
+    plan = plan_of(spark, "embedding_random_projection")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_output_reads_checkpoint_not_lineage(spark):
+    """kcore_membership: the peeling loop runs at build time; the
+    RETURNED frame must read the final round's localCheckpoint (Scan
+    ExistingRDD) and aggregate partial+final — never re-execute the
+    edge-construction lineage (the connected-components round-3
+    lesson: post-checkpoint frames must read the checkpoint)."""
+    plan = plan_of(spark, "kcore_membership")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # lineage truly truncated
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
