@@ -56,9 +56,12 @@ HEADLINE = [
     "naive_bayes_langid",
     "allpairs_prefix_jaccard",
     "classifier_auc_eval",
-    # round 10 additions (retrieval scoring + GBDT split finding)
+    # round 10 additions (retrieval scoring + GBDT split finding +
+    # zero-shuffle JL projection + convergence-checked k-core)
     "bm25_topk",
     "tree_split_histogram",
+    "embedding_random_projection",
+    "kcore_membership",
 ]
 
 

@@ -1210,3 +1210,57 @@ def test_jl_projection_preserves_distances_on_average(spark):
             ratios.append(d1 / d0)
     m = sum(ratios) / len(ratios)
     assert 0.6 < m < 1.4, m
+
+
+def test_kcore_nesting_property(spark):
+    """(k+1)-core ⊆ k-core, and within-core degrees can only DROP when k
+    rises — the structural invariant of the decomposition, checked on
+    the catalog's 3-out graph."""
+    from mapreduce_itwiki_spark.operators.graph import kcore
+    from mapreduce_itwiki_spark.plans.llm_pipeline import KCORE_OUT
+    from mapreduce_itwiki_spark.plans import catalog
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+    from conftest import SF_SMALL
+    import hashlib
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    ids = [r.doc_id for r in docs.collect()]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for j in range(KCORE_OUT):
+            y = int(hashlib.md5(f"{d}#{j}".encode()).hexdigest()[:15], 16) % n
+            if y != d:
+                edges.add((min(d, y), max(d, y)))
+    edf = spark.createDataFrame(sorted(edges), ["x", "y"])
+    c3 = {r.node: r.core_degree for r in kcore(edf, 3).collect()}
+    c4 = {r.node: r.core_degree for r in kcore(edf, 4).collect()}
+    assert set(c4) <= set(c3)
+    for node, d4 in c4.items():
+        assert d4 <= c3[node]
+    # and the catalog query equals the operator run on the same edges
+    got = {
+        r.node: r.core_degree
+        for r in catalog.queries()["kcore_membership"](spark, SF_SMALL).collect()
+    }
+    assert got == c4
+
+
+def test_tree_split_gain_bounds(spark):
+    """Gini gain of the chosen split is in (0, 0.5] and the split bin is
+    an interior boundary (a real left/right partition exists)."""
+    from mapreduce_itwiki_spark.plans import catalog
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+    from conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_quantity")
+    qmax = int(round(max(r.l_quantity for r in li.collect())))
+    rows = {
+        r.feature: (r.split_bin, r.gain)
+        for r in catalog.queries()["tree_split_histogram"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"quantity", "discount", "tax"}
+    for feat, (bin_, gain) in rows.items():
+        assert 0 <= gain <= 0.5, feat
+        if feat == "quantity":
+            assert bin_ < qmax
