@@ -867,3 +867,16 @@ def test_kcore_output_reads_checkpoint_not_lineage(spark):
     assert "Scan parquet" not in plan  # lineage truly truncated
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_top_components_is_single_arrow_map_stage(spark):
+    """embedding_top_components: ONE Arrow-batched python map over the
+    scan — no shuffle, no pandas boxing stage beyond the MapInArrow
+    node itself (the within-batch explode emits k rows per vector
+    without a Generate or join)."""
+    import re
+
+    plan = plan_of(spark, "embedding_top_components")
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "Generate" not in plan
