@@ -2425,3 +2425,76 @@ def robust_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > MAD_CUTOFF).alias("is_outlier"),
         )
     )
+
+
+GOPHER_MIN_WORDS = 40  #: word-count floor (Gopher uses 50 on web text)
+GOPHER_MAX_WORDS = 100_000  #: word-count ceiling
+GOPHER_WLEN_LO = 3.5  #: mean-word-length band (Gopher: [3, 10])
+GOPHER_WLEN_HI = 5.0
+GOPHER_MIN_STOP = 2  #: distinct-occurrence stopword floor (Gopher: 2)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             strlen(text) AS n_chars_m,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'on')))
+               AS n_stop
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round((n_chars_m - (n_words - 1)) * 1.0 / n_words, 6) + 0.0
+             AS mean_wlen,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AS r_word_count,
+           ((n_chars_m - (n_words - 1)) * 1.0 / n_words >= {GOPHER_WLEN_LO}
+            AND (n_chars_m - (n_words - 1)) * 1.0 / n_words <= {GOPHER_WLEN_HI})
+             AS r_mean_wlen,
+           (n_stop >= {GOPHER_MIN_STOP}) AS r_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND (n_chars_m - (n_words - 1)) * 1.0 / n_words >= {GOPHER_WLEN_LO}
+            AND (n_chars_m - (n_words - 1)) * 1.0 / n_words <= {GOPHER_WLEN_HI}
+            AND n_stop >= {GOPHER_MIN_STOP}) AS gopher_pass
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-rule battery (Rae et al. 2021 §A1.1, the
+    repetition rules live in `repetition_quality`): word-count band,
+    mean-word-length band, minimum stopword occurrences — the canonical
+    pretraining document filter, thresholds tuned to be non-vacuous on
+    the synthetic corpus (each rule passes some docs and fails others).
+    Everything is ONE map-side projection: the word count is
+    `size(split(...))`; the mean word length uses the single-space
+    invariant of the corpus — Σ token_len = chars − (words − 1) — so it
+    is pure integer codegen arithmetic with NO second pass, no explode,
+    no higher-order aggregate lambda; the stopword count is the one HOF
+    filter (array-local, no shuffle). Band comparisons run on the exact
+    unrounded quotient in both engines (identical operands → identical
+    boolean), the reported mean is rounded once for the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    sum_len = F.length(F.col("text")) - (n_words - 1)
+    mean_wlen = sum_len * 1.0 / n_words
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and", "in", "is", "on"))
+    )
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wl = (mean_wlen >= GOPHER_WLEN_LO) & (mean_wlen <= GOPHER_WLEN_HI)
+    r_st = n_stop >= GOPHER_MIN_STOP
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (F.round(mean_wlen, 6) + 0.0).alias("mean_wlen"),
+        n_stop.cast("long").alias("n_stop"),
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_mean_wlen"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_wl & r_st).alias("gopher_pass"),
+    )

@@ -1264,3 +1264,15 @@ def test_tree_split_gain_bounds(spark):
         assert 0 <= gain <= 0.5, feat
         if feat == "quantity":
             assert bin_ < qmax
+
+
+def test_gopher_rules_are_each_non_vacuous(spark):
+    """Every Gopher rule must discriminate on the corpus (pass some,
+    fail some) — a threshold that everything passes proves nothing."""
+    from mapreduce_itwiki_spark.plans import catalog
+    from conftest import SF_SMALL
+
+    rows = catalog.queries()["gopher_quality_rules"](spark, SF_SMALL).collect()
+    for rule in ("r_word_count", "r_mean_wlen", "r_stopwords", "gopher_pass"):
+        vals = {getattr(r, rule) for r in rows}
+        assert vals == {True, False}, f"{rule} is vacuous: {vals}"
