@@ -2498,3 +2498,49 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_st.alias("r_stopwords"),
         (r_wc & r_wl & r_st).alias("gopher_pass"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS ws,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           round(sum(bpe) * 1.0 / sum(ws), 6) + 0.0 AS fertility
+    FROM m GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE-ish tokens emitted per
+    whitespace word, the standard metric for how well a tokenizer fits
+    each language (fertility ≫ 1 on a language means its documents eat
+    disproportionate sequence length; multilingual data budgets are set
+    in tokens, so curation needs this per-lang exchange rate). One
+    map-side projection of two token counts (both codegen regex/split,
+    no explode) into a lang-keyed partial+final agg — integer sums, one
+    rounded division. The corpus-sized stage shuffles |langs| rows per
+    task, nothing else."""
+    from ..functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "lang",
+            TXT.ws_token_count(t).alias("ws"),
+            TXT.bpe_token_count(t).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            (F.round(F.sum("bpe") * 1.0 / F.sum("ws"), 6) + 0.0).alias("fertility"),
+        )
+    )
