@@ -880,3 +880,17 @@ def test_top_components_is_single_arrow_map_stage(spark):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
     assert not re.findall(r"\(\d+\) Exchange", plan)
     assert "Generate" not in plan
+
+
+def test_raw_frame_rank_filters_get_partial_group_limit(spark):
+    """Rank filters whose window partitions by a LOW-cardinality key
+    (lang) over a raw or near-raw frame are only scale-safe because
+    WindowGroupLimit runs in Partial mode BELOW the exchange: each map
+    task keeps top-k per lang locally, so the per-lang reduce task
+    receives ≤ k×tasks rows, never the whole language. Assert the
+    map-side half exists — a Final-only plan would funnel every row of
+    a language through one task at 100 TB."""
+    for name in ("balanced_sample_per_lang", "top_tokens_per_lang"):
+        plan = plan_of(spark, name)
+        assert "WindowGroupLimit" in plan, name
+        assert ", Partial" in plan and ", Final" in plan, name
