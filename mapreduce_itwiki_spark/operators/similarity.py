@@ -103,23 +103,53 @@ def band_key(vec: Column, b: int, dim: int = 64) -> Column:
     )
 
 
+def const_dot_sql(vec_sql: str, h: list[int]) -> str:
+    """SQL-text twin of :func:`const_dot` — same left-associated sum of
+    nonzero ``vec[i] * h[i]`` terms (Spark SQL array indexing is
+    0-based like ``Column.__getitem__``), ``D``-suffixed literals so
+    nothing parses as DECIMAL. Exists because building the 16-plane
+    band expressions Column-by-Column cost ~2 s of driver-side py4j
+    round-trips per query at ANY data size (~1000 RPCs); one
+    server-side parse of identical text is milliseconds (TUNING.md)."""
+    terms = [
+        f"(CAST({vec_sql}[{i}] AS DOUBLE) * {float(x)}D)"
+        for i, x in enumerate(h)
+        if x != 0
+    ]
+    return " + ".join(terms) if terms else "0.0D"
+
+
+def _sign_bit_sql(vec_sql: str, j: int, dim: int = 64) -> str:
+    dot = const_dot_sql(vec_sql, hyperplane(j, dim))
+    return f"CASE WHEN ({dot}) >= 0.0D THEN '1' ELSE '0' END"
+
+
+def band_key_sql(vec_sql: str, b: int, dim: int = 64) -> str:
+    """SQL-text twin of :func:`band_key` (same per-band planes)."""
+    bits = ", ".join(
+        _sign_bit_sql(vec_sql, b * BAND_BITS + r, dim) for r in range(BAND_BITS)
+    )
+    return f"concat({bits})"
+
+
 def capped_band_rows(emb: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(vec_id, embedding, band_id, band_key) rows, deterministically
     capped at ``max_bucket`` members per (band_id, band_key) — rank by
     vec_id, an order any engine reproduces. The row_number window and
     the downstream per-bucket groupBy hash-partition on the same keys,
-    so Catalyst reuses one exchange for both."""
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                band_key(F.col("embedding"), b).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
+    so Catalyst reuses one exchange for both.
+
+    The band structs are assembled as SQL text parsed server-side in
+    one call (``band_key_sql``), not via chained Column operations:
+    the expression tree is identical, but ~1000 py4j round-trips of
+    construction (measured ~2 s per calling query, data-independent)
+    collapse into one parse."""
+    bands_sql = "array(" + ", ".join(
+        f"named_struct('band_id', {b}, 'band_key', {band_key_sql('embedding', b)})"
+        for b in range(LSH_BANDS)
+    ) + ")"
     bands = emb.select(
-        F.col("vec_id"), F.col("embedding"), F.explode(bands_arr).alias("band")
+        F.col("vec_id"), F.col("embedding"), F.explode(F.expr(bands_sql)).alias("band")
     ).select("vec_id", "embedding", "band.band_id", "band.band_key")
     w = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
     return (
@@ -473,15 +503,22 @@ def knn_graph(
     # interpreted-HOF join (A/B'd ~8% faster at bench scale, and the
     # vectorized gap widens with bucket size at real scale)
     scored = bucketed_neardup_pairs(emb, threshold=-2.0, max_bucket=max_bucket)
-    # the undirected pair list feeds BOTH union branches; without a
-    # checkpoint the whole band+matmul pipeline executes twice (Spark
-    # has no cross-branch common-subplan elimination — TUNING.md)
-    scored = scored.localCheckpoint(eager=False)
-    sym = scored.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
-    ).unionAll(
-        scored.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine")
+    # symmetrize by exploding TWO structs per undirected pair in the
+    # SAME map stage — not a unionAll of two projections over the pair
+    # pipeline, which either executes the whole band+matmul subtree
+    # twice (no cross-branch common-subplan elimination) or needs a
+    # checkpoint whose plan-time toRdd cost ~1 s of eager physical
+    # planning per call (measured; TUNING.md). One pass, no
+    # materialization, map-side fan-out.
+    both = F.array(
+        F.struct(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), F.col("cosine")
+        ),
+        F.struct(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), F.col("cosine")
+        ),
     )
+    sym = scored.select(F.explode(both).alias("e")).select("e.src", "e.dst", "e.cosine")
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         sym.withColumn("rn", F.row_number().over(w))
