@@ -305,8 +305,14 @@ def kcore(
     lists, co-purchase projections) are usually far smaller than the
     corpus that produced them.
     """
+    # canonicalize orientation INSIDE the operator: an undirected edge
+    # supplied as both (a,b) and (b,a) must collapse to one row before
+    # distinct(), or every degree double-counts and the core shifts
     cur = (
-        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
         .filter(F.col("x") != F.col("y"))
         .distinct()
         .localCheckpoint(eager=True)

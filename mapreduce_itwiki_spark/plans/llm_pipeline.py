@@ -1077,6 +1077,108 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_decode",
+    # 16 uniform 16x16 RGB tiles from the first 48 text bytes → every
+    # MCU is constant-color, so the 4:2:0 lossy round-trip is EXACT in
+    # all three planes (DC step 8 + floor(x+0.5) color conversion, the
+    # same DC-exact trick as the gray codec) and the decoded per-plane
+    # means are SQL: the mean over a plane of equal-sized uniform tiles
+    # is the mean over the 16 tile YCbCr values, replayed here with the
+    # identical float64 expression (same coefficients, same
+    # left-to-right association, same floor grid).
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+                            i -> CAST(ascii(substr(text, 3 * i + 1, 1)) AS DOUBLE))
+               AS r,
+             list_transform(range(0, 16),
+                            i -> CAST(ascii(substr(text, 3 * i + 2, 1)) AS DOUBLE))
+               AS g,
+             list_transform(range(0, 16),
+                            i -> CAST(ascii(substr(text, 3 * i + 3, 1)) AS DOUBLE))
+               AS b
+      FROM documents)
+    SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           round(list_avg(list_transform(range(1, 17), i ->
+             floor(0.299 * r[i] + 0.587 * g[i] + 0.114 * b[i] + 0.5))), 6)
+             AS mean_y,
+           round(list_avg(list_transform(range(1, 17), i ->
+             floor(128.0 - 0.168736 * r[i] - 0.331264 * g[i] + 0.5 * b[i]
+                   + 0.5))), 6) AS mean_cb,
+           round(list_avg(list_transform(range(1, 17), i ->
+             floor(128.0 + 0.5 * r[i] - 0.418688 * g[i] - 0.081312 * b[i]
+                   + 0.5))), 6) AS mean_cr
+    FROM t
+    """,
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR 4:2:0 JPEG end-to-end — the web-crawl common case
+    (VERDICT r3 ask #7), extending the real-codec family beyond
+    grayscale: each document's first 48 bytes become 16 RGB tiles of a
+    64×64 color image, encoded as a standard baseline 4:2:0 JFIF
+    (YCbCr conversion, 2×2 chroma subsampling, MCU-interleaved scan —
+    operators/multimodal.py:encode_jpeg_color) and decoded by the full
+    3-component baseline decoder (per-component Huffman/DC predictors,
+    dequant, batched IDCT — decode_jpeg_color). Emits dims + per-plane
+    means; chroma means come from the SUBSAMPLED planes, which for
+    uniform tiles equal the full-resolution means exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_jpeg_color, encode_jpeg_color
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                vals = np.frombuffer(_head_bytes(t, 48), dtype=np.uint8)
+                tiles = vals.reshape(4, 4, 3)
+                img = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+                blobs.append(encode_jpeg_color(img.tobytes(), 64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": blobs})
+
+    images = docs.mapInPandas(
+        to_jpeg,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+        ),
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_y": [], "mean_cb": [], "mean_cr": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+                w, h, yb, cbb, crb = decode_jpeg_color(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                # integer-pixel sums over power-of-2 plane sizes: the
+                # mean is exact in float64, matching the oracle's
+                # 16-tile average bit-for-bit
+                out["mean_y"].append(
+                    round(float(np.frombuffer(yb, np.uint8).mean()), 6)
+                )
+                out["mean_cb"].append(
+                    round(float(np.frombuffer(cbb, np.uint8).mean()), 6)
+                )
+                out["mean_cr"].append(
+                    round(float(np.frombuffer(crb, np.uint8).mean()), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, "
+        "mean_y double, mean_cb double, mean_cr double",
+    )
+
+
+@register(
     "multimodal_png_decode",
     # pixels are the first 64 text bytes (ASCII corpus ⇒ byte == ascii),
     # so the decoded mean is SQL-expressible — a REAL image decode with
@@ -2526,6 +2628,9 @@ def embedding_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches):
         for batch in batches:
+            if len(batch) == 0:
+                # np.reshape((0,), (0, -1)) raises — skip empty batches
+                continue
             vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             col = batch.column("embedding")
             flat = col.flatten()  # list<float> values buffer, zero-copy view

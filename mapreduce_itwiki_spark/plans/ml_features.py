@@ -91,7 +91,7 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT event_type, round(sum(value), 6) AS s, count(*) AS n
                FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           round((g.s - e.value) / (g.n - 1), 6) + 0.0 AS loo_mean
+           round((g.s - e.value) / nullif(g.n - 1, 0), 6) + 0.0 AS loo_mean
     FROM events e JOIN g ON g.event_type = e.event_type
     """,
 )
@@ -115,9 +115,14 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.join(F.broadcast(g), "event_type").select(
         "event_id",
         "event_type",
-        (F.round((F.col("s") - F.col("value")) / (F.col("n") - 1), 6) + 0.0).alias(
-            "loo_mean"
-        ),
+        (
+            F.round(
+                (F.col("s") - F.col("value"))
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                6,
+            )
+            + 0.0
+        ).alias("loo_mean"),
     )
 
 
@@ -452,8 +457,8 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(stddev_pop(value), 6) AS sd
       FROM events GROUP BY 1)
     SELECT e.event_id, CAST(g.hod AS INTEGER) AS hod,
-           round((e.value - g.mu) / g.sd, 6) + 0.0 AS z,
-           abs(round((e.value - g.mu) / g.sd, 6)) > 3.0 AS is_anomaly
+           round((e.value - g.mu) / nullif(g.sd, 0), 6) + 0.0 AS z,
+           abs(round((e.value - g.mu) / nullif(g.sd, 0), 6)) > 3.0 AS is_anomaly
     FROM events e JOIN g ON g.hod = date_part('hour', e.ts)
     """,
 )
@@ -478,7 +483,9 @@ def seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("value"), 6).alias("sd"),
         )
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    z = F.round(
+        (F.col("value") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+    )
     return (
         events.select("event_id", "value", hod.alias("hod"))
         .join(F.broadcast(g), "hod")
@@ -1389,8 +1396,9 @@ def value_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
            round(sa / na - sb / nb, 6) + 0.0 AS mean_diff,
            round((sa / na - sb / nb)
-                 / sqrt((ssa - sa * sa / na) / (na - 1) / na
-                        + (ssb - sb * sb / nb) / (nb - 1) / nb), 6) + 0.0 AS t
+                 / sqrt(nullif((ssa - sa * sa / na) / nullif(na - 1, 0) / na
+                        + (ssb - sb * sb / nb) / nullif(nb - 1, 0) / nb, 0)),
+                 6) + 0.0 AS t
     FROM p
     """,
 )
@@ -1429,10 +1437,10 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
     var_term = (
         (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
-        / (F.col("na") - 1)
+        / F.nullif(F.col("na") - 1, F.lit(0))
         / F.col("na")
         + (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
-        / (F.col("nb") - 1)
+        / F.nullif(F.col("nb") - 1, F.lit(0))
         / F.col("nb")
     )
     return p.select(
@@ -1440,7 +1448,9 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("na"),
         F.col("nb").cast("long").alias("nb"),
         (F.round(mean_diff, 6) + 0.0).alias("mean_diff"),
-        (F.round(mean_diff / F.sqrt(var_term), 6) + 0.0).alias("t"),
+        (
+            F.round(mean_diff / F.sqrt(F.nullif(var_term, F.lit(0.0))), 6) + 0.0
+        ).alias("t"),
     )
 
 

@@ -818,11 +818,18 @@ def seasonal_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mu"),
         F.round(F.stddev_pop("value"), 6).alias("sd"),
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    z = F.round(
+        (F.col("value") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+    )
+    # coalesce: a zero-variance hour yields z=NULL (guarded divisor) on
+    # both engines; the rollup counts it as not-anomalous, matching the
+    # oracle's CASE ... ELSE 0
     enriched = (
         stream.withColumn("hod", F.hour("ts"))
         .join(F.broadcast(g), "hod")
-        .withColumn("is_anom", (F.abs(z) > 3.0).cast("int"))
+        .withColumn(
+            "is_anom", F.coalesce((F.abs(z) > 3.0).cast("int"), F.lit(0))
+        )
     )
     agg = enriched.groupBy("hod").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -854,7 +861,8 @@ register(
       FROM events GROUP BY 1)
     SELECT CAST(e.hod AS INTEGER) AS hod,
            count(*) AS n_events,
-           CAST(sum(CASE WHEN abs(round((e.value - g.mu) / g.sd, 6)) > 3.0
+           CAST(sum(CASE WHEN abs(round((e.value - g.mu) / nullif(g.sd, 0), 6))
+                              > 3.0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM (SELECT date_part('hour', ts) AS hod, value FROM events) e
     JOIN g ON g.hod = e.hod
