@@ -1359,7 +1359,14 @@ def resample_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 6  #: merges to learn (production: ~50k, on a sample)
 
 
-def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS, emit: str = "merges") -> str:
+BPE_SAMPLE_MOD = 4  #: 1-in-4 md5 doc coin for sampled training
+
+
+def _bpe_train_oracle(
+    rounds: int = BPE_TRAIN_ROUNDS,
+    emit: str = "merges",
+    sample_mod: int | None = None,
+) -> str:
     """Unrolled replay of the BPE trainer: per round, extract adjacent
     symbol pairs from the pipe encoding (list_zip of the two shifted
     symbol slices), pick argmax (count DESC, pair ASC), apply it as one
@@ -1367,12 +1374,23 @@ def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS, emit: str = "merges") -> s
     the round count is a fixed hyperparameter. ``emit='merges'`` yields
     the learned merge table; ``emit='tokens'`` carries (doc_id, text)
     through every encoding step and yields the per-doc token count
-    under the learned vocabulary (the train→apply capstone)."""
-    parts = ["""enc0 AS (
+    under the learned vocabulary (the train→apply capstone).
+    ``sample_mod=k`` trains on the deterministic 1-in-k md5 doc coin
+    (the `sample_stratified_hash` idiom) and — with ``emit='tokens'`` —
+    applies the learned merges to the FULL corpus via a separate apply
+    chain, replaying `bpe_train_sampled` exactly."""
+    src = "documents"
+    if sample_mod is not None:
+        src = (
+            "(SELECT doc_id, text FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            f"% {sample_mod} = 0)"
+        )
+    parts = [f"""enc0 AS (
       SELECT doc_id, text,
              regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')
                AS enc
-      FROM documents)"""]
+      FROM {src})"""]
     for r in range(1, rounds + 1):
         prev = f"enc{r - 1}"
         parts.append(f"""cand{r} AS (
@@ -1389,7 +1407,27 @@ def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS, emit: str = "merges") -> s
              replace(e.enc, '|' || w.a || '||' || w.b || '|',
                      '|' || w.a || w.b || '|') AS enc
       FROM {prev} e CROSS JOIN win{r} w)""")
-    if emit == "tokens":
+    if emit == "tokens" and sample_mod is not None:
+        # separate train→apply split: the enc chain above learned the
+        # merge table on the sample; the apply chain re-encodes EVERY
+        # document under win1..winN in rank order
+        parts.append("""apply0 AS (
+      SELECT doc_id, text,
+             regexp_replace(replace(text, '|', chr(1)), '(?s)(.)', '|\\1|', 'g')
+               AS enc
+      FROM documents)""")
+        for r in range(1, rounds + 1):
+            parts.append(f"""apply{r} AS (
+      SELECT e.doc_id, e.text,
+             replace(e.enc, '|' || w.a || '||' || w.b || '|',
+                     '|' || w.a || w.b || '|') AS enc
+      FROM apply{r - 1} e CROSS JOIN win{r} w)""")
+        sel = f"""SELECT doc_id,
+           CAST((strlen(enc) - strlen(replace(enc, '|', ''))) // 2
+                - (strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
+             AS n_tokens_learned
+    FROM apply{rounds}"""
+    elif emit == "tokens":
         sel = f"""SELECT doc_id,
            CAST((strlen(enc) - strlen(replace(enc, '|', ''))) // 2
                 - (strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
@@ -1499,6 +1537,54 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     merges = train_bpe(docs, BPE_TRAIN_ROUNDS)
+    pre = F.replace(F.col("text"), F.lit("|"), F.lit("\x01"))
+    enc = F.regexp_replace(pre, "(?s)(.)", "|$1|")
+    for a, b, _c in merges:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_pipe_syms = (
+        F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit("")))
+    ) / 2
+    n_spaces = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    return docs.select(
+        "doc_id", (n_pipe_syms - n_spaces).cast("long").alias("n_tokens_learned")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "bpe_train_sampled",
+    oracle=_bpe_train_oracle(emit="tokens", sample_mod=BPE_SAMPLE_MOD),
+)
+def bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-DEFAULT BPE path — train on a sample, apply to the
+    corpus: the merge table is learned from the deterministic 1-in-
+    {BPE_SAMPLE_MOD} md5 doc coin (the `sample_stratified_hash` idiom,
+    replayable in any engine), then every document is re-encoded under
+    the learned vocabulary in ONE full-corpus pass. This is how
+    production vocabularies are actually built — nobody re-encodes
+    100 TB once per merge; `bpe_train_merges` (the exact full-corpus loop)
+    stays as the oracle-grade twin for when the corpus IS small enough
+    to iterate on.
+
+    When to use which: exact (`bpe_train_merges` /`bpe_train_encode`)
+    when the training corpus fits a few-minute scan budget × rounds —
+    each merge round is a full corpus pass; sampled (this) whenever
+    rounds × corpus scans is the bottleneck — the driver-coordinated
+    loop then touches only the sample, and the full corpus is scanned
+    exactly once, by the codegen replace cascade. The oracle replays
+    the SAME sample (train CTEs on the coin subset, apply chain over
+    all documents), so the sampled path is hash-checked end-to-end,
+    not just smoke-tested."""
+    docs = dedup._fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % BPE_SAMPLE_MOD
+    )
+    merges = train_bpe(docs.filter(coin == 0), BPE_TRAIN_ROUNDS)
     pre = F.replace(F.col("text"), F.lit("|"), F.lit("\x01"))
     enc = F.regexp_replace(pre, "(?s)(.)", "|$1|")
     for a, b, _c in merges:
@@ -2441,7 +2527,7 @@ GOPHER_MIN_STOP = 2  #: distinct-occurrence stopword floor (Gopher: 2)
     WITH m AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_words,
-             strlen(text) AS n_chars_m,
+             length(text) AS n_chars_m,
              len(list_filter(string_split(text, ' '),
                  t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'on')))
                AS n_stop
