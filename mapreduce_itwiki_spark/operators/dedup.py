@@ -47,8 +47,18 @@ def _fanout(df: DataFrame, *cols: str) -> DataFrame:
     columns, so an expensive array column computed just before it is
     evaluated once instead of being re-inlined into every downstream
     expression by CollapseProject. Explicit numPartitions so AQE does
-    not coalesce it away."""
+    not coalesce it away.
+
+    Gated on the INPUT's partition count: when the upstream source is
+    already split at least `defaultParallelism` ways (the normal state
+    of a 100 TB parquet scan), the full-text exchange is pure cost and
+    is skipped — locally, where a few MB of parquet arrive as 1-2
+    splits, the repartition still fires. The materialization job only
+    matters when a computed column precedes the exchange; call sites
+    here fan out base columns, so skipping is semantics-free."""
     n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *[F.col(c) for c in cols])
 
 

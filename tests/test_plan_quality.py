@@ -894,3 +894,24 @@ def test_raw_frame_rank_filters_get_partial_group_limit(spark):
         plan = plan_of(spark, name)
         assert "WindowGroupLimit" in plan, name
         assert ", Partial" in plan and ", Final" in plan, name
+
+
+def test_fanout_skips_exchange_for_prepartitioned_input(spark):
+    """_fanout (operators/dedup.py): the explicit repartition before
+    signature math exists to decouple parallelism from file splits —
+    a few MB of local parquet is 1-2 splits. A 100 TB scan is already
+    thousands of splits, so there the full-text exchange is pure cost:
+    _fanout must return a well-partitioned input UNCHANGED and still
+    fan out a narrow one."""
+    from mapreduce_itwiki_spark.operators.dedup import _fanout
+
+    n = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "repeat('tok ', 5) AS text"
+    )
+    wide = docs.repartition(n + 4, "doc_id")
+    assert _fanout(wide, "doc_id") is wide  # no Exchange added
+    narrow = docs.coalesce(1)
+    fanned = _fanout(narrow, "doc_id")
+    assert fanned is not narrow
+    assert fanned.rdd.getNumPartitions() == max(n, 2)
