@@ -731,6 +731,307 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, img.tobytes()
 
 
+# Color JPEG: 4:2:0 chroma-subsampled YCbCr (the web-crawl common case),
+# same stdlib-only discipline as the grayscale codec above. JFIF color
+# model (ITU T.871): Y = 0.299R+0.587G+0.114B, Cb/Cr offset-128.
+# Rounding is floor(x+0.5) EVERYWHERE (not banker's rint) so a SQL
+# oracle can replay the color conversion bit-for-bit; the DC step of 8
+# keeps uniform blocks exact through quantization, so a constant-color
+# 16x16 MCU tile round-trips its YCbCr values EXACTLY (encoder and
+# decoder disagree only in AC, which is zero for uniform tiles).
+
+
+def _ycc_from_rgb(rgb):
+    """float64 (h, w, 3) RGB -> (Y, Cb, Cr) planes, JFIF full-range,
+    floor(x+0.5) rounding, left-to-right association (oracle-replayable)."""
+    import numpy as np
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    return y, cb, cr
+
+
+def _emit_block(w: "_BitWriter", zz: list[int], prev_dc: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC for
+    the next block's predictor."""
+    s, bits = _cat_bits(zz[0] - prev_dc)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s, bits = _cat_bits(zz[k])
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(bits, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
+def _quant_blocks(plane, qt):
+    """(h, w) float plane -> (n_blocks, 64) quantized int blocks in
+    raster block order (level shift, batched DCT, rint/quant)."""
+    import numpy as np
+
+    h, wd = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, wd // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    C = _dct_matrix()
+    coefs = C @ blocks @ C.T
+    return np.rint(coefs / qt.reshape(8, 8)).astype(np.int64).reshape(-1, 64)
+
+
+def encode_jpeg_color(rgb_pixels: bytes, width: int) -> bytes:
+    """Encode interleaved 8-bit RGB (row-major, dims multiples of 16) as
+    a baseline 4:2:0 JFIF: YCbCr conversion (_ycc_from_rgb), 2x2 chroma
+    mean subsampling, MCU-interleaved scan (4 Y + Cb + Cr per 16x16),
+    per-component DC predictors. Luma and chroma share the Annex-K
+    tables and the DC-exact quant table (ids 0/1 both = _JPEG_QT)."""
+    import struct
+
+    import numpy as np
+
+    if width <= 0 or width % 16 or len(rgb_pixels) % (3 * width):
+        raise ValueError("width and height must be positive multiples of 16")
+    height = len(rgb_pixels) // (3 * width)
+    if height % 16:
+        raise ValueError("width and height must be positive multiples of 16")
+
+    rgb = (
+        np.frombuffer(rgb_pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    y, cb, cr = _ycc_from_rgb(rgb)
+    # 4:2:0 — 2x2 mean then the same floor(x+0.5) grid the oracle replays
+    def sub(p):
+        q = p.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
+        return np.floor(q + 0.5)
+
+    cb_s, cr_s = sub(cb), sub(cr)
+    qt = np.array(_JPEG_QT, dtype=np.float64)
+    yq = _quant_blocks(y, qt)
+    cbq = _quant_blocks(cb_s, qt)
+    crq = _quant_blocks(cr_s, qt)
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    mcu_x, mcu_y = width // 16, height // 16
+    nbx_y = width // 8  # luma blocks per row
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for by in (0, 1):  # 4 luma blocks, raster order within MCU
+                for bx in (0, 1):
+                    blk = yq[(my * 2 + by) * nbx_y + mx * 2 + bx]
+                    zz = [int(blk[z]) for z in _ZIGZAG]
+                    dc_y = _emit_block(w, zz, dc_y, dc_codes, ac_codes)
+            for cq, dc_prev in ((cbq, "cb"), (crq, "cr")):
+                blk = cq[my * (width // 16) + mx]
+                zz = [int(blk[z]) for z in _ZIGZAG]
+                if dc_prev == "cb":
+                    dc_cb = _emit_block(w, zz, dc_cb, dc_codes, ac_codes)
+                else:
+                    dc_cr = _emit_block(w, zz, dc_cr, dc_codes, ac_codes)
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_qt = bytes(_JPEG_QT[_ZIGZAG[i]] for i in range(64))
+    out += seg(0xDB, b"\x00" + zz_qt + b"\x01" + zz_qt)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, bytes([0x00] + _DC_BITS + _DC_VALS))
+    out += seg(0xC4, bytes([0x10] + _AC_BITS + _AC_VALS))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return out + bytes(w.buf) + b"\xff\xd9"
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
+    """Decode a baseline 4:2:0 YCbCr JPEG → (width, height, y_plane,
+    cb_plane, cr_plane); chroma planes are (h/2)x(w/2), NOT upsampled
+    (feature extractors consume the subsampled planes directly). Tables
+    and per-component sampling/table ids are read from the file; the
+    restrictions mirror decode_jpeg_gray (dims multiples of 16, no
+    DRI/RSTn, SOF0 only) plus: exactly 3 components with 2x2/1x1/1x1
+    sampling."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    comp_qt: dict[int, int] = {}
+    comp_tabs: dict[int, tuple[int, int]] = {}
+    comp_order: list[int] = []
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zz = list(data[off + 1 : off + 65])
+                nat = [0] * 64
+                for i, z in enumerate(_ZIGZAG):
+                    nat[z] = zz[i]
+                qtables[tq] = nat
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0xF
+                bits = list(data[off + 1 : off + 17])
+                nsyms = sum(bits)
+                vals = list(data[off + 17 : off + 17 + nsyms])
+                dec: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        dec[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = dec
+                off += 17 + nsyms
+        elif marker == 0xC0:
+            _, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if ncomp != 3:
+                raise ValueError("decode_jpeg_color needs 3 components")
+            samplings = {}
+            for c in range(3):
+                cid, samp, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                samplings[cid] = samp
+                comp_qt[cid] = tq
+            if samplings != {1: 0x22, 2: 0x11, 3: 0x11}:
+                raise ValueError("only 4:2:0 (2x2,1x1,1x1) supported")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) supported")
+        elif marker == 0xDA:
+            ns = data[0]
+            if ns != 3:
+                raise ValueError("need a 3-component scan")
+            for c in range(3):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                comp_order.append(cid)
+                comp_tabs[cid] = (tabs >> 4, tabs & 0xF)
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if scan_start is None or not width or width % 16 or height % 16:
+        raise ValueError("missing SOS/SOF0 or dims not multiples of 16")
+    end = payload.rfind(b"\xff\xd9")
+    reader = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
+
+    def huff(tab: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | reader.bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    def read_block(cid: int, prev_dc: int) -> tuple[list[int], int]:
+        dc_tab = htables[(0, comp_tabs[cid][0])]
+        ac_tab = htables[(1, comp_tabs[cid][1])]
+        zz = [0] * 64
+        s = huff(dc_tab)
+        diff = _extend(reader.bits(s), s) if s else 0
+        dc = prev_dc + diff
+        zz[0] = dc
+        k = 1
+        while k < 64:
+            sym = huff(ac_tab)
+            if sym == 0x00:
+                break
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16
+                continue
+            k += run
+            zz[k] = _extend(reader.bits(s), s)
+            k += 1
+        nat = [0] * 64
+        for i, z in enumerate(_ZIGZAG):
+            nat[z] = zz[i]
+        return nat, dc
+
+    mcu_x, mcu_y = width // 16, height // 16
+    nbx_y = width // 8
+    y_blocks = np.zeros((nbx_y * (height // 8), 64))
+    cb_blocks = np.zeros((mcu_x * mcu_y, 64))
+    cr_blocks = np.zeros((mcu_x * mcu_y, 64))
+    dc = {1: 0, 2: 0, 3: 0}
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for by in (0, 1):
+                for bx in (0, 1):
+                    nat, dc[1] = read_block(1, dc[1])
+                    y_blocks[(my * 2 + by) * nbx_y + mx * 2 + bx] = nat
+            nat, dc[2] = read_block(2, dc[2])
+            cb_blocks[my * mcu_x + mx] = nat
+            nat, dc[3] = read_block(3, dc[3])
+            cr_blocks[my * mcu_x + mx] = nat
+
+    C = _dct_matrix()
+
+    def to_plane(blocks, h, wd, qt_id):
+        qt = np.array(qtables[qt_id], dtype=np.float64)
+        spatial = C.T @ (blocks * qt).reshape(-1, 8, 8) @ C + 128.0
+        px = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        return (
+            px.reshape(h // 8, wd // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h, wd)
+            .tobytes()
+        )
+
+    return (
+        width,
+        height,
+        to_plane(y_blocks, height, width, comp_qt[1]),
+        to_plane(cb_blocks, height // 2, width // 2, comp_qt[2]),
+        to_plane(cr_blocks, height // 2, width // 2, comp_qt[3]),
+    )
+
+
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing: 1 blob → N frame rows (video-style
     fan-out). Real frame extraction is NotImplemented (see decode_blob);

@@ -1276,3 +1276,48 @@ def test_gopher_rules_are_each_non_vacuous(spark):
     for rule in ("r_word_count", "r_mean_wlen", "r_stopwords", "gopher_pass"):
         vals = {getattr(r, rule) for r in rows}
         assert vals == {True, False}, f"{rule} is vacuous: {vals}"
+
+
+def test_jpeg_color_uniform_tiles_roundtrip_exact():
+    """4:2:0 color JPEG: constant-color 16x16 MCU tiles reconstruct all
+    THREE planes bit-exactly (DC step 8 + floor(x+0.5) conversion) —
+    the property the multimodal_jpeg_color_decode oracle relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 128, size=(16, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(4, 4, 3), 16, 0), 16, 1)
+    payload = multimodal.encode_jpeg_color(img.tobytes(), 64)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    w, h, yb, cbb, crb = multimodal.decode_jpeg_color(payload)
+    assert (w, h) == (64, 64)
+    ey, ecb, ecr = multimodal._ycc_from_rgb(img.astype(np.float64))
+    assert np.array_equal(
+        np.frombuffer(yb, np.uint8).reshape(64, 64), ey.astype(np.uint8)
+    )
+    # uniform tiles: subsampled chroma == floor-rounded plane at half res
+    for got, full in ((cbb, ecb), (crb, ecr)):
+        sub = np.floor(full.reshape(32, 2, 32, 2).mean(axis=(1, 3)) + 0.5)
+        assert np.array_equal(
+            np.frombuffer(got, np.uint8).reshape(32, 32), sub.astype(np.uint8)
+        )
+
+
+def test_jpeg_color_general_image_lossy_but_close():
+    """Arbitrary color content survives the full interleaved-MCU loop
+    (per-component DC predictors, shared Annex-K tables) within the
+    flat-16 quantization error bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    w, h, yb, cbb, crb = multimodal.decode_jpeg_color(
+        multimodal.encode_jpeg_color(img.tobytes(), 48)
+    )
+    assert (w, h) == (48, 32)
+    ey, ecb, ecr = multimodal._ycc_from_rgb(img.astype(np.float64))
+    yerr = np.abs(np.frombuffer(yb, np.uint8).reshape(32, 48).astype(float) - ey)
+    assert yerr.max() <= 48 and yerr.mean() <= 8
+    cb = np.frombuffer(cbb, np.uint8).reshape(16, 24).astype(float)
+    ecb_s = ecb.reshape(16, 2, 24, 2).mean(axis=(1, 3))
+    assert np.abs(cb - ecb_s).max() <= 48
