@@ -62,6 +62,10 @@ HEADLINE = [
     "tree_split_histogram",
     "embedding_random_projection",
     "kcore_membership",
+    # round 11 additions: the namesake XML pipeline (serialize->scan->
+    # parse->linkcount) gets a recorded wall-time trend, not just
+    # correctness artifacts
+    "wiki_xml_roundtrip",
 ]
 
 

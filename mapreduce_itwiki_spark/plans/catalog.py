@@ -63,52 +63,72 @@ _PRIORITY: tuple[str, ...] = (
     "two_stage_agg",
     "wiki_incoming_refs_salted",
     "wiki_incoming_refs_sql",
-    # ⊕ feature engineering / model fitting (1)
-    "naive_bayes_langid",
-    # ⊕ dedup (7)
-    "dedup_exact",
-    "doc_fingerprints",
-    "minhash_signature",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "simhash_signature",
-    "dedup_simhash",
+    # --- round-4 rotation (VERDICT r3 ask #3): the 14 reference slots
+    # above are pinned; the 36 ⊕/relational/streaming slots below are
+    # ALL fresh picks this round (none were in r03's 50), so
+    # CORRECTNESS_r04 ∪ r03 accumulates driver-grade sf0.01 evidence on
+    # 86 distinct queries while every family keeps a representative.
+    # r03's picks (rotated out, still judge-swept): naive_bayes_langid;
+    # dedup_exact, doc_fingerprints, minhash_signature,
+    # dedup_minhash_lsh, dedup_ngram_jaccard, simhash_signature,
+    # dedup_simhash; ann_cosine_topk, ann_lsh_topk, ann_ivf_topk,
+    # embedding_neardup_lsh; multimodal_blob_stats,
+    # multimodal_frame_counts, multimodal_jpeg_decode,
+    # multimodal_png_decode, multimodal_wav_decode; text_token_stats,
+    # text_quality, lang_profile; dedup_connected_components,
+    # pagerank_linkgraph, kmeans_two_rounds, triangle_count;
+    # token_budget_head, pack_documents_greedy, curate_corpus,
+    # pii_scrub_customer, decontaminate_against_eval;
+    # q1_pricing_summary, q3_shipping_priority,
+    # q5_local_supplier_volume, join_orders_lineitem,
+    # join_broadcast_dims, window_topk_per_group;
+    # streaming_hourly_rollup.
+    # ⊕ feature engineering / model fitting (4)
+    "ab_test_welch",
+    "bm25_topk",
+    "classifier_auc_eval",
+    "allpairs_prefix_jaccard",
+    # ⊕ dedup (5)
+    "dedup_apply_keep",
+    "neardup_apply_keep",
+    "block_dedup_fraction",
+    "duplicate_span_extents",
+    "dedup_incremental_batch",
     # ⊕ similarity search (4)
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_lsh",
-    # ⊕ multimodal (5; real-codec trio + plumbing — multimodal_features
-    # stays in the catalog for the judge's sweep, driver-checked in r02)
-    "multimodal_blob_stats",
-    "multimodal_frame_counts",
-    "multimodal_jpeg_decode",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
+    "ann_pq_topk",
+    "knn_graph_lsh",
+    "ann_recall_at_k",
+    "embedding_random_projection",
+    # ⊕ multimodal (5)
+    "multimodal_gif_video_decode",
+    "multimodal_audio_energy",
+    "multimodal_image_histogram",
+    "multimodal_binaryfile_ingest",
+    "multimodal_jpeg_color_decode",  # new this round (VERDICT r3 ask #7)
     # ⊕ text analysis (3)
-    "text_token_stats",
-    "text_quality",
-    "lang_profile",
-    # ⊕ graph / iterative (4)
-    "dedup_connected_components",
-    "pagerank_linkgraph",
-    "kmeans_two_rounds",
-    "triangle_count",
-    # ⊕ training-data curation (5)
-    "token_budget_head",
-    "pack_documents_greedy",
-    "curate_corpus",
-    "pii_scrub_customer",
-    "decontaminate_against_eval",
-    # relational headliners (6)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_orders_lineitem",
-    "join_broadcast_dims",
-    "window_topk_per_group",
-    # ⊕ streaming (1)
-    "streaming_hourly_rollup",
+    "gopher_quality_rules",
+    "token_entropy_quality",
+    "char_trigram_langid",
+    # ⊕ graph / iterative (3)
+    "kcore_membership",
+    "label_propagation_communities",
+    "bfs_hop_distance",
+    # ⊕ training-data curation (5; the full BPE train/apply family —
+    # bpe_train_sampled is new this round, VERDICT r3 ask #2)
+    "bpe_train_merges",
+    "bpe_train_encode",
+    "bpe_train_sampled",
+    "tfidf_top_terms",
+    "shuffle_shard_order",
+    # relational headliners (5)
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "q9_product_type_profit",
+    "asof_join_last_click",
+    "sessionize",
+    # ⊕ streaming (2)
+    "streaming_stream_stream_join",
+    "streaming_dedup_watermark",
 )
 
 
