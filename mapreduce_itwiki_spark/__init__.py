@@ -21,3 +21,37 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _ensure_protobuf_path() -> None:
+    """Expose the vendored minimal protobuf runtime (``_vendor/``, see
+    its docstring) when no real ``google.protobuf`` is installed.
+
+    Runs at PACKAGE import time because the $PYTHONPATH export must
+    precede JVM launch: pyspark's python workers — including the
+    transformWithStateInPandas driver worker, a separate process the
+    JVM spawns — build their sys.path from the JVM's environment, which
+    is frozen when the first SparkSession starts. Every entry path
+    (driver contract, bench, tests, sweeps) imports this package before
+    creating its session. A real protobuf distribution always wins: the
+    vendor dir is only added when the import fails without it."""
+    import os
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + existing if existing else "")
+        )
+
+
+_ensure_protobuf_path()

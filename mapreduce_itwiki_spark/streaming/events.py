@@ -16,6 +16,7 @@ of the oracle pairing.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -643,10 +644,14 @@ register(
 
 
 def _protobuf_available() -> bool:
-    """transformWithStateInPandas' driver worker requires google.protobuf
-    (Spark's state-server protocol); this container ships without it, so
-    the query registers only where the dependency exists — the honest
-    import-gate pattern for optional surface."""
+    """transformWithStateInPandas requires google.protobuf (Spark's
+    state-server protocol runs INSIDE the python workers). The package
+    __init__ already exposed the vendored minimal runtime
+    (`mapreduce_itwiki_spark/_vendor`, proto3 wire format sufficient
+    for StateMessage) on sys.path AND $PYTHONPATH at import time — the
+    env export must precede JVM launch because the tws driver worker is
+    a separate process built from the JVM's environment. This gate just
+    confirms SOME protobuf (real or vendored) resolves."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -664,6 +669,14 @@ def running_stats_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    # tws keeps each state variable in its own column family, which the
+    # default HDFS-backed provider rejects; RocksDB (bundled with Spark
+    # 4) is the supported provider. Runtime conf so the driver's vanilla
+    # session gets it too (same pattern as the timestamp confs).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     stream = _events_stream(spark, sf_dir)
 
     class RunningStats(StatefulProcessor):

@@ -39,18 +39,41 @@ def test_priority_slots_cover_every_family():
     from mapreduce_itwiki_spark.plans import catalog
 
     first50 = list(catalog.queries())[:50]
+    # membership by family PREFIX/name-set rather than one pinned query,
+    # so the per-round slot rotation (VERDICT r3 ask #3) keeps passing
+    # as long as each family retains a representative
     family_probes = {
-        "reference": "wiki_incoming_refs",
-        "dedup": "dedup_minhash_lsh",
-        "similarity": "ann_cosine_topk",
-        "multimodal": "multimodal_png_decode",
-        "text": "text_quality",
-        "graph": "dedup_connected_components",
-        "curation": "token_budget_head",
-        "relational": "q1_pricing_summary",
-        "streaming": "streaming_hourly_rollup",
+        "reference": lambda n: n.startswith("wiki_") or n in {
+            "scan_filter_project", "distinct_pairs", "group_count",
+            "total_sort", "csv_sink_roundtrip", "two_stage_agg",
+        },
+        "dedup": lambda n: "dedup" in n or "duplicate" in n or "minhash" in n,
+        "similarity": lambda n: n.startswith("ann_") or "knn" in n,
+        "multimodal": lambda n: n.startswith("multimodal_"),
+        "text": lambda n: n in {
+            "text_quality", "text_token_stats", "lang_profile",
+            "gopher_quality_rules", "token_entropy_quality",
+            "char_trigram_langid",
+        },
+        "graph": lambda n: n in {
+            "dedup_connected_components", "pagerank_linkgraph",
+            "kcore_membership", "label_propagation_communities",
+            "bfs_hop_distance", "triangle_count",
+        },
+        "curation": lambda n: n in {
+            "token_budget_head", "pack_documents_greedy", "curate_corpus",
+            "pii_scrub_customer", "decontaminate_against_eval",
+            "bpe_train_merges", "bpe_train_encode", "bpe_train_sampled",
+            "tfidf_top_terms", "shuffle_shard_order",
+        },
+        "relational": lambda n: n.startswith("q") and n[1].isdigit()
+        or n in {"join_orders_lineitem", "sessionize", "asof_join_last_click"},
+        "streaming": lambda n: n.startswith("streaming_"),
     }
-    missing = {fam: q for fam, q in family_probes.items() if q not in first50}
+    missing = [
+        fam for fam, probe in family_probes.items()
+        if not any(probe(n) for n in first50)
+    ]
     assert not missing, missing
 
 
@@ -66,7 +89,6 @@ def test_coverage_doc_lists_every_query():
     listed = set(re.findall(r"^\| `([a-z0-9_]+)`", cov, flags=re.M))
     for m in re.findall(r"\| `([a-z0-9_]+)` / `([a-z0-9_]+)`(?: / `([a-z0-9_]+)`)?", cov):
         listed.update(x for x in m if x)
-    listed.discard("streaming_running_stats_tws")  # protobuf-gated
     assert qs - listed == set(), sorted(qs - listed)
     assert listed - qs == set(), sorted(listed - qs)
 
@@ -86,9 +108,7 @@ def test_coverage_doc_names_match_catalog():
     for row in re.findall(r"^\|([^|]*)\|", src, re.M):
         doc_names.update(re.findall(r"`([a-z0-9_]+)`", row))
     registered = set(catalog.queries())
-    # protobuf-gated query documents itself even where protobuf is absent
-    known_gated = {"streaming_running_stats_tws"}
-    stale = doc_names - registered - known_gated
+    stale = doc_names - registered
     undocumented = registered - doc_names
     assert not stale, f"COVERAGE.md rows without a catalog query: {sorted(stale)}"
     assert not undocumented, (
