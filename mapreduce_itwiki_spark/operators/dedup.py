@@ -135,25 +135,48 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band.
+MINHASH_MAX_BUCKET = 2048  #: band-bucket ceiling: buckets above this
+#: generate no candidates. The sf5 soak (TUNING.md round 4) showed why:
+#: candidate cost is Σ bucket², and a band key shared by thousands of
+#: docs (boilerplate/templates in real corpora; a dense shingle space
+#: in the synthetic one) carries almost no pair-level signal while
+#: quadratically dominating the join. With b=8 bands, losing ONE capped
+#: band lowers recall at j=0.5 only from 1-(1-j²)^8≈0.90 to
+#: (1-(1-j²)^7)≈0.87 — a pair of real near-dups almost surely shares an
+#: uncapped band. The oracle replays the cap, so parity is exact.
 
-    Plain band self-join. Both join sides are the SAME subplan, so the
-    join's two hash exchanges canonicalize identically and exchange
-    reuse (AQE shuffle-stage reuse at runtime; a plan gate pins the
-    ``ReusedExchange``) makes the signature pipeline — the
-    md5-per-shingle cost that dominates a 100 TB pass — run exactly
-    once. Hot LSH buckets flow through a shuffle join that AQE
-    skew-splits, unlike a bucket-expansion (``collect_list`` + double
-    explode) where a hot bucket is one giant un-splittable array row in
-    an ObjectHashAggregate — an executor-OOM risk. An earlier variant
+
+def minhash_candidate_pairs(
+    docs: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 (bounded) band bucket.
+
+    Plain band self-join over DF-capped buckets. Both join sides are
+    the SAME subplan, so the join's two hash exchanges canonicalize
+    identically and exchange reuse (AQE shuffle-stage reuse at runtime;
+    a plan gate pins the ``ReusedExchange``) makes the signature
+    pipeline — the md5-per-shingle cost that dominates a 100 TB pass —
+    run exactly once. The bucket-size window partitions by the join key
+    itself, so the filter rides the same exchange. Hot-but-under-cap
+    buckets flow through a shuffle join that AQE skew-splits, unlike a
+    bucket-expansion (``collect_list`` + double explode) where a hot
+    bucket is one giant un-splittable array row in an
+    ObjectHashAggregate — an executor-OOM risk. An earlier variant
     inserted an explicit ``repartition(n, band_id, band_key)`` before
     the join to force reuse through a single exchange; measured at
     sf0.1 that was >2× SLOWER (2.5 s vs 1.1 s min-of-3, with
     pathological 19 s cold runs) — the fixed-width repartition fights
     AQE's partition sizing and adds an exchange the join then
     re-consumes, so the hint was removed (TUNING.md)."""
-    bands = _minhash_bands(minhash_signatures(docs))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    bands = (
+        _minhash_bands(minhash_signatures(docs))
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_id", "band_key"])

@@ -127,9 +127,14 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIR_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
     bands AS ({_BANDS_UNION}),
+    bandsf AS (
+      SELECT doc_id, band_id, band_key
+      FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands)
+      WHERE bsz <= {dedup.MINHASH_MAX_BUCKET}),
     cands AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b
+      FROM bandsf a JOIN bandsf b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
     tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
