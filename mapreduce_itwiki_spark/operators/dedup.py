@@ -116,8 +116,16 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     )
 
 
-def _minhash_bands(sigs: DataFrame) -> DataFrame:
-    """Explode signatures into (doc_id, band_id, band_key) rows."""
+def _minhash_bands(sigs: DataFrame, carry_sigs: bool = False) -> DataFrame:
+    """Explode signatures into (doc_id, band_id, band_key) rows.
+
+    With ``carry_sigs`` the full 16-component signature rides along as
+    16 long columns (~128 B/row extra) so the band self-join can filter
+    candidate pairs on signature agreement WITHOUT re-deriving the
+    signature subplan — the md5-per-shingle pipeline stays
+    executed-once, and the agreement predicate is plain codegen'd
+    column equality, evaluated map-side in the join stage before any
+    pair row is shuffled to the distinct."""
     n_bands = NUM_HASHES // BAND_ROWS
     bands = F.array(
         *[
@@ -130,9 +138,10 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return sigs.select(F.col("doc_id"), F.explode(bands).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    carried = [f"sig_{i}" for i in range(NUM_HASHES)] if carry_sigs else []
+    return sigs.select(
+        F.col("doc_id"), *[F.col(c) for c in carried], F.explode(bands).alias("band")
+    ).select("doc_id", *carried, "band.band_id", "band.band_key")
 
 
 MINHASH_MAX_BUCKET = 2048  #: band-bucket ceiling: buckets above this
@@ -146,10 +155,30 @@ MINHASH_MAX_BUCKET = 2048  #: band-bucket ceiling: buckets above this
 #: uncapped band. The oracle replays the cap, so parity is exact.
 
 
+MINHASH_MIN_AGREE = 6  #: signature-agreement prefilter: a candidate
+#: pair must match on ≥ this many of the NUM_HASHES signature
+#: components (E[matches] = 16·j, so 6/16 ≈ estimated j ≥ 0.375 for a
+#: 0.5 verify threshold). The sf5 soak profile (TUNING.md round 4)
+#: showed the exact-Jaccard verify join — shingle ARRAYS shuffled for
+#: every candidate — dominating wall time when band buckets collide
+#: heavily (dense shingle space / boilerplate); the signature the
+#: pipeline ALREADY computed is a free unbiased Jaccard estimate, so
+#: filtering on it map-side (before the candidate distinct) prunes the
+#: junk candidates at ~1/50 the per-row cost of the verify join.
+#: Recall cost at the j=0.5 boundary: P(Binom(16, 0.5) ≥ 6) ≈ 0.90,
+#: on par with the banding's own 1-(1-j²)^8 ≈ 0.90, vanishing for the
+#: higher-j pairs dedup actually targets (j=0.7 → 0.994; j=0.9 →
+#: 1-3e-8). The oracle replays the same prefilter, so parity is exact,
+#: and dedup_recall_report measures the end-to-end recall honestly.
+
+
 def minhash_candidate_pairs(
-    docs: DataFrame, max_bucket: int = MINHASH_MAX_BUCKET
+    docs: DataFrame,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+    min_agree: int = MINHASH_MIN_AGREE,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 (bounded) band bucket.
+    """LSH candidate pairs: docs sharing ≥1 (bounded) band bucket, with
+    estimated similarity (signature agreement) ≥ min_agree/NUM_HASHES.
 
     Plain band self-join over DF-capped buckets. Both join sides are
     the SAME subplan, so the join's two hash exchanges canonicalize
@@ -170,20 +199,27 @@ def minhash_candidate_pairs(
     re-consumes, so the hint was removed (TUNING.md)."""
     from pyspark.sql import Window
 
+    carry = min_agree > 0
     w = Window.partitionBy("band_id", "band_key")
     bands = (
-        _minhash_bands(minhash_signatures(docs))
+        _minhash_bands(minhash_signatures(docs), carry_sigs=carry)
         .withColumn("bsz", F.count(F.lit(1)).over(w))
         .filter(F.col("bsz") <= max_bucket)
         .drop("bsz")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    joined = a.join(b, ["band_id", "band_key"]).filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
     )
+    if carry:
+        agree = sum(
+            (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+            for i in range(NUM_HASHES)
+        )
+        joined = joined.filter(agree >= F.lit(min_agree))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
 
 
 def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:

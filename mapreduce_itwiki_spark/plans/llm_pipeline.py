@@ -121,6 +121,13 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+#: signature-agreement prefilter — twin of the min_agree predicate in
+#: dedup.minhash_candidate_pairs (see MINHASH_MIN_AGREE rationale there)
+_SIG_AGREE = " + ".join(
+    f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(dedup.NUM_HASHES)
+)
+
 #: shared CTE chain producing the MinHash-LSH verified near-dup pairs —
 #: used by dedup_minhash_lsh AND as the edge list of the
 #: connected-components oracle
@@ -135,7 +142,10 @@ _MINHASH_PAIR_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
     cands AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bandsf a JOIN bandsf b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN sig sa ON sa.doc_id = a.doc_id
+      JOIN sig sb ON sb.doc_id = b.doc_id
+      WHERE ({_SIG_AGREE}) >= {dedup.MINHASH_MIN_AGREE}),
     tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
     inter AS (

@@ -88,6 +88,8 @@ def main() -> None:
                 err = f"{type(e).__name__}: {str(e)[:300]}"
                 traceback.print_exc()
                 break
+            if times[-1] > 120:
+                break  # completion evidence is the point; skip the repeat
         results[name] = {
             "min": min(times) if times else None,
             "times": times,
