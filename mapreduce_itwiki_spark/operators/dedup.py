@@ -72,6 +72,45 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def shingle_rows(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> DataFrame:
+    """(doc_id, s) k-token shingle ROWS — the hot-path twin of
+    ``shingles()`` that stays inside whole-stage codegen.
+
+    The sf5 soak profile (TUNING.md round 4) measured the array path —
+    ``transform(starts, λ slice+concat_ws)`` + ``array_distinct`` — at
+    ~90 s per corpus pass for 75 M shingles: higher-order-function
+    lambdas evaluate INTERPRETED per element, so the per-shingle cost
+    is an expression-tree walk, not generated code. This builder emits
+    the same shingles through codegen'd expressions only: k aliased
+    shifted slices of the token array, ``arrays_zip`` (one array build
+    per doc, struct fields named by the input columns), ``posexplode``,
+    a position filter replicating ``greatest(n-k+1, 1)`` (short docs
+    yield their single partial shingle via concat_ws's null-skipping,
+    exactly like the array path), and one ``concat_ws`` per row.
+
+    ``distinct=True`` adds the per-doc set semantics of ``shingles()``
+    as a group-by — when the input was just fanned out by doc_id the
+    hash partitioning already satisfies the (doc_id, s) clustering, so
+    the distinct is partition-local (no second exchange)."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    shifted = [F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))).alias(f"t{j}") for j in range(k)]
+    zipped = docs.select(F.col("doc_id"), n.alias("n"), *shifted).select(
+        F.col("doc_id"),
+        F.col("n"),
+        F.posexplode(F.arrays_zip(*[f"t{j}" for j in range(k)])).alias("pos", "z"),
+    )
+    rows = zipped.filter(
+        F.col("pos") < F.greatest(F.col("n") - (k - 1), F.lit(1))
+    ).select(
+        F.col("doc_id"),
+        F.concat_ws(" ", *[F.col(f"z.t{j}") for j in range(k)]).alias("s"),
+    )
+    if distinct:
+        rows = rows.groupBy("doc_id", "s").agg(F.lit(1).alias("_one")).drop("_one")
+    return rows
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup via content fingerprint: one row per distinct text with
     the representative (min doc_id) and the multiplicity. The classic
@@ -86,7 +125,9 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, rows: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): minhash over shingles via ONE md5 per
     shingle + a universal-hash family g_i = (h1 + i·h2') mod P, where
     h1/h2 are the two 60-bit halves of md5(shingle) and h2' = h2 mod P.
@@ -100,11 +141,18 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     exploded rows stay inside whole-stage codegen. min() partial-
     aggregates map-side, and rows for a doc are co-partitioned by the
     fan-out, so the groupBy exchange carries one row per (doc,
-    partition)."""
-    base = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id")
-    sh_rows = base.select(
-        F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s")
-    ).select(F.col("doc_id"), F.md5(F.col("s")).alias("m"))
+    partition).
+
+    ``rows``: optionally consume a prebuilt (doc_id, s) shingle-rows
+    frame (minhash_near_dups shares one materialized frame between the
+    signature and verify stages). Duplicate shingle rows are fine —
+    min over a multiset equals min over its set — so the standalone
+    path skips the per-doc distinct entirely: one codegen map pass
+    from the scan into a map-side-partial min aggregation."""
+    if rows is None:
+        base = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id")
+        rows = shingle_rows(base, distinct=False)
+    sh_rows = rows.select(F.col("doc_id"), F.md5(F.col("s")).alias("m"))
     h1 = F.conv(F.substring(F.col("m"), 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.col("m"), 17, 15), 16, 10).cast("long") % MINHASH_P
     hashed = sh_rows.select(
@@ -176,6 +224,7 @@ def minhash_candidate_pairs(
     docs: DataFrame,
     max_bucket: int = MINHASH_MAX_BUCKET,
     min_agree: int = MINHASH_MIN_AGREE,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 (bounded) band bucket, with
     estimated similarity (signature agreement) ≥ min_agree/NUM_HASHES.
@@ -202,7 +251,7 @@ def minhash_candidate_pairs(
     carry = min_agree > 0
     w = Window.partitionBy("band_id", "band_key")
     bands = (
-        _minhash_bands(minhash_signatures(docs), carry_sigs=carry)
+        _minhash_bands(minhash_signatures(docs, rows=rows), carry_sigs=carry)
         .withColumn("bsz", F.count(F.lit(1)).over(w))
         .filter(F.col("bsz") <= max_bucket)
         .drop("bsz")
@@ -222,35 +271,101 @@ def minhash_candidate_pairs(
     ).distinct()
 
 
-def pair_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
+def pair_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    rows: DataFrame | None = None,
+    keep_zeros: bool = True,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs, via
+    shingle ROWS: |A∩B| is a count over a row-level equi-join, |A∪B| =
+    |A|+|B|−|A∩B| — the inclusion-exclusion shape the DuckDB oracle
+    itself uses. No shingle ARRAY is ever built, shuffled, or
+    intersected: an sf5 profile (TUNING.md round 4) measured the array
+    formulation (per-pair array_intersect/array_union over ~300-element
+    string arrays, arrays shuffled to the join) at ~166 s vs ~15 s for
+    this row shape, and the row shape keeps every operator — explode,
+    md5-free string equality join, count — inside whole-stage codegen.
 
-    Broadcast discipline: ONLY the slim (doc_a, doc_b) candidate list
-    is ever broadcast — LSH candidates are sparse by design, so probe 1
-    is a map-side hash join that filters+expands the a-side shingle
-    rows without shuffling them. Probe 2 brings in the b-side arrays;
-    neither side is slim there, so it shuffles ONCE on doc_b as a
-    shuffled-hash join (explicit hint — a sort-merge would pay an array
-    sort, and broadcasting the array-carrying side is a driver/executor
-    OOM at 100 TB; both alternatives also measured slower locally).
-    The plan gate in tests/test_plan_quality.py asserts no
-    BroadcastExchange ever carries a shingle array column."""
-    sets = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
-        F.col("doc_id"), shingles(F.col("text")).alias("sh")
+    Broadcast discipline (unchanged from the array formulation): ONLY
+    the slim (doc_a, doc_b) candidate list is ever broadcast — LSH
+    candidates are sparse by design, so expanding the a-side is a
+    map-side hash join over the shingle rows; the b-side match then
+    shuffles ONCE on (doc_b, s) as a shuffled-hash join (explicit
+    hint — sort-merge would pay a corpus-wide sort). The plan gate in
+    tests/test_plan_quality.py asserts no BroadcastExchange ever
+    carries shingle data.
+
+    Only candidate DOCS participate: the slim doc-id list derived from
+    ``pairs`` broadcast-semi-filters the shingle rows before the
+    distinct and all three verify consumers — LSH candidates are a
+    vanishing fraction of a real corpus, so the verify stage's input
+    shrinks from "every shingle in the corpus" to "shingles of docs
+    that are actually in some candidate pair".
+
+    ``rows``: optionally consume a prebuilt (doc_id, s) frame, dups
+    allowed (minhash_near_dups shares one exchange-materialized frame
+    with the signature stage; the per-doc distinct happens here, after
+    the candidate filter). Every input pair yields an output row —
+    zero-overlap candidates score jaccard 0.0 via the left join, like
+    the array formulation's empty intersect did — unless
+    ``keep_zeros=False`` (callers that threshold at > 0 anyway), which
+    drops that final join and one consumption of the pairs subtree."""
+    if rows is None:
+        rows = shingle_rows(docs.select(F.col("doc_id"), F.col("text"))).repartition(
+            F.col("doc_id")
+        )
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    with_a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").join(
-        F.broadcast(pairs), "doc_a"
+    from pyspark.sql import Window
+
+    rows_c = (
+        rows.join(F.broadcast(cand_docs), "doc_id")
+        .groupBy("doc_id", "s")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
     )
-    sets_b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
-    joined = with_a.hint("shuffle_hash").join(sets_b.hint("shuffle_hash"), "doc_b")
-    return joined.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-            6,
-        ).alias("jaccard"),
+    # Set sizes ride along as a partition-local window (doc_id is the
+    # partitioning key of the incoming exchange, so no new shuffle and
+    # no corpus-cardinality sizes frame to join — each intersection row
+    # already knows |A| and |B|, and the final group-by folds them out
+    # with first()).
+    rows_n = rows_c.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a_rows = rows_n.select(
+        F.col("doc_id").alias("doc_a"), F.col("s"), F.col("n_sh").alias("n_a")
+    ).join(F.broadcast(pairs), "doc_a")
+    b_rows = rows_n.select(
+        F.col("doc_id").alias("doc_b"), F.col("s"), F.col("n_sh").alias("n_b")
+    )
+    scored = (
+        a_rows.hint("shuffle_hash")
+        .join(b_rows.hint("shuffle_hash"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if not keep_zeros:
+        return scored
+    return (
+        pairs.join(scored, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -259,9 +374,24 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     exact shingle Jaccard ≥ threshold. Recall at j=0.5 is
     1-(1-0.25)^8 ≈ 0.90 with the default banding (tune NUM_HASHES /
     BAND_ROWS per corpus; the driver data's planted near-dups sit at
-    j ≥ 0.5 against a < 0.1 background)."""
-    cands = minhash_candidate_pairs(docs)
-    return pair_jaccard(docs, cands).filter(F.col("jaccard") >= threshold)
+    j ≥ 0.5 against a < 0.1 background).
+
+    One corpus pass: the shingle rows are computed map-side from the
+    scan and land in ONE hash exchange on doc_id; the signature stage
+    and all verify consumers sit above that exchange, so ReusedExchange
+    materializes the shingling exactly once — plain shuffle files, no
+    localCheckpoint (whose lazy variant still pays an eager toRdd
+    planning pass per call, TUNING.md round 3)."""
+    rows = shingle_rows(docs.select(F.col("doc_id"), F.col("text"))).repartition(
+        F.col("doc_id")
+    )
+    # The SLIM candidate list is consumed three times by the verify
+    # (expand-a, intersection probe, candidate-doc filter); checkpoint
+    # it — a few bytes per candidate pair — so the band join runs once.
+    cands = minhash_candidate_pairs(docs, rows=rows).localCheckpoint(eager=False)
+    return pair_jaccard(docs, cands, rows=rows, keep_zeros=False).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 NGRAM_MAX_DF = 100  #: stop-shingle ceiling: shingles in > this many docs
@@ -287,8 +417,17 @@ def ngram_jaccard_dups(
     exchange."""
     from pyspark.sql import Window
 
-    sh = _fanout(docs.select(F.col("doc_id"), F.col("text")), "doc_id").select(
-        F.col("doc_id"), F.explode(shingles(F.col("text"))).alias("s")
+    part = shingle_rows(docs.select(F.col("doc_id"), F.col("text"))).repartition(
+        F.col("doc_id")
+    )
+    # Distinct rows feed the DF-cap window AND both sides of the
+    # inverted-index self-join; checkpoint so the distinct agg (and the
+    # shingling under it) runs once rather than per consumer.
+    sh = (
+        part.groupBy("doc_id", "s")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("s")
     capped = (
@@ -302,8 +441,11 @@ def ngram_jaccard_dups(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)  # slim; the inverted-index join runs once
     )
-    return pair_jaccard(docs, cands).filter(F.col("jaccard") >= threshold)
+    return pair_jaccard(docs, cands, rows=sh, keep_zeros=False).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
