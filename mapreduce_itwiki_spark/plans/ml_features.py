@@ -1004,8 +1004,10 @@ def allpairs_pipeline(docs: DataFrame) -> DataFrame:
     separated from the catalog entry so the adversarial boundary-case
     tests (exact-τ corpora, one-token docs, duplicates) can run it on
     constructed inputs. See allpairs_prefix_jaccard for the story."""
-    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    # codegen shingle rows (dedup.shingle_rows rationale: the HOF array
+    # path evaluates interpreted per element — ~90 s/pass at sf5)
+    ex = dedup.shingle_rows(docs, distinct=True)
+    ex = ex.withColumnRenamed("s", "g")
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     n_pref = (
         F.col("n")
@@ -1041,18 +1043,26 @@ def allpairs_pipeline(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("s_b"))
+    # Row-based verification (the dedup.pair_jaccard inclusion-
+    # exclusion shape, but with ONLY shuffle joins — AllPairs makes no
+    # sparsity promise about its candidate set, so nothing here may
+    # assume the pair list is broadcastable): |A∩B| is a count over the
+    # (db, g) equi-join, set sizes join in from the per-doc counts, and
+    # the exact-rational τ test runs on the integer counts. Candidates
+    # with zero intersection vanish from the count join — they cannot
+    # pass τ > 0 anyway.
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_rows = ex.select(F.col("doc_id").alias("da"), F.col("g"))
+    b_rows = ex.select(F.col("doc_id").alias("db"), F.col("g"))
+    inter = (
+        cand.join(a_rows, "da")
+        .join(b_rows, ["db", "g"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
     verified = (
-        cand.join(sa, "da")
-        .join(sb, "db")
-        .select(
-            "da",
-            "db",
-            F.size(F.array_intersect("s_a", "s_b")).alias("i"),
-            F.size("s_a").alias("na"),
-            F.size("s_b").alias("nb"),
-        )
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
         .filter(
             ALLPAIRS_TAU_DEN * F.col("i")
             >= ALLPAIRS_TAU_NUM * (F.col("na") + F.col("nb") - F.col("i"))

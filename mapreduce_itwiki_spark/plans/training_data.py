@@ -530,9 +530,10 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side semi-join per shard. Verbatim 8-gram overlap is the
     standard published criterion (GPT-3 appendix style)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(dedup.shingles(F.col("text"), k=8)).alias("g")
-    )
+    # codegen shingle rows (dedup.shingle_rows rationale); per-doc
+    # duplicate grams are harmless here — eval side is distinct'd and
+    # the train side is a semi-join probe
+    grams = dedup.shingle_rows(docs, k=8).withColumnRenamed("s", "g")
     eval_grams = grams.filter(F.col("doc_id") < 10).select("g").distinct()
     train = docs.filter(F.col("doc_id") >= 10)
     hits = (
@@ -1702,36 +1703,48 @@ def duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(load_table(spark, sf_dir, "documents"), SPAN_K)
 
 
+def _gram_rows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, fp): xxhash64 fingerprint of every k-gram, 1-based
+    pos — the hot inner loop of the span-dedup family, kept entirely in
+    whole-stage codegen.
+
+    The fingerprint hashes k SHIFTED-SLICE token columns directly
+    (``xxhash64(t0..t{k-1})`` over an arrays_zip/posexplode stream, the
+    same zip trick as dedup.shingle_rows): an sf5 profile showed the
+    previous ``xxhash64(slice(toks, pos, k))`` spending most of the
+    pass allocating a k-element array per gram before hashing it —
+    pruned-away in a bare count() (5 s) but ~70 s/pass with the hash
+    live. Multi-arg xxhash64 chains per-field seeds, so its equality
+    classes are the same "all k tokens equal" relation (collisions
+    ~2^-64, structural shifts impossible); the fingerprint is INTERNAL
+    — the oracle replays equality classes via md5 of the joined string
+    and only the span output is compared. Docs shorter than k are
+    filtered first (Spark's sequence(1, 0) pitfall also goes away with
+    the position filter)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    shifted = [
+        F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))).alias(f"t{j}")
+        for j in range(k)
+    ]
+    zipped = docs.filter(n >= k).select(
+        F.col("doc_id"), n.alias("n"), *shifted
+    ).select(
+        F.col("doc_id"),
+        F.col("n"),
+        F.posexplode(F.arrays_zip(*[f"t{j}" for j in range(k)])).alias("pos0", "z"),
+    )
+    return zipped.filter(F.col("pos0") <= F.col("n") - k).select(
+        F.col("doc_id"),
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64(*[F.col(f"z.t{j}") for j in range(k)]).alias("fp"),
+    )
+
+
 def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
     """Core of duplicate_span_extents over any (doc_id, text) frame —
     see the catalog query's docstring for semantics and scale shape."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
-    # empty array — docs shorter than the gram must be filtered first
-    g = (
-        docs.filter(n >= k)
-        .select(
-            "doc_id",
-            toks.alias("toks"),
-            F.explode(F.sequence(F.lit(1), n - k + 1)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            # engine-side fingerprint is xxhash64 over the token slice —
-            # an 8-byte long through native codegen (no md5 string build,
-            # 4x smaller shuffle rows; A/B'd ~10% faster at sf0.1 and
-            # widening with scale). The oracle keeps md5: the fingerprint
-            # is INTERNAL — only the equality classes matter, and the
-            # span output is identical (verified). At 10^12 grams a
-            # 64-bit hash expects ~10^4 collisions, each falsely marking
-            # one k-gram duplicated — negligible against the dedup
-            # purpose (Lee et al. likewise hash); swap in md5 if an
-            # application needs collision-free exactness.
-            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k)).alias("fp"),
-        )
-    )
+    g = _gram_rows(docs, k)
     dup = (
         g.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1985,21 +1998,9 @@ def remove_spans(docs: DataFrame, k: int) -> DataFrame:
     toks_col = F.split(F.col("text"), " ")
     n = F.size(toks_col)
     base = docs.select("doc_id", toks_col.alias("toks"), n.alias("n"))
-    g = (
-        base.filter(F.col("n") >= k)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(1), F.col("n") - k + 1)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            # xxhash64 internal fingerprint, same rationale as
-            # duplicate_spans (oracle replays equality classes via md5)
-            F.xxhash64(F.slice(F.col("toks"), F.col("pos"), k)).alias("fp"),
-        )
-    )
+    # xxhash64-of-shifted-columns fingerprint, same rationale and
+    # codegen shape as duplicate_spans (see _gram_rows)
+    g = _gram_rows(docs, k)
     own = g.groupBy("fp").agg(
         F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
     )
