@@ -35,24 +35,55 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
 
 
+#: stopword-token matcher: a token is a maximal run between single-space
+#: separators, so ' word' with a '(?= )' lookahead on space-padded text
+#: matches exactly the split-token occurrences — the lookahead does not
+#: consume the trailing space, so adjacent stopwords ("a a a") all match.
+_STOPWORD_RE = " (?:" + "|".join(STOPWORDS) + ")(?= )"
+
+
+def stopword_count(text: Column) -> Column:
+    """Number of whitespace tokens that are stopwords (occurrences, not
+    distinct) — via one regexp_count pass over the padded text instead
+    of a higher-order filter: HOF lambdas evaluate INTERPRETED per
+    token (a 10-way isin expression-tree walk each), which an sf5 soak
+    measured as the dominant cost of the quality family; the regex is
+    compiled once and runs as a single JVM scan per document."""
+    return F.regexp_count(F.concat(F.lit(" "), text, F.lit(" ")), F.lit(_STOPWORD_RE))
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are stopwords."""
-    toks = tokens(text)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return n_stop.cast("double") / F.size(toks).cast("double")
+    return stopword_count(text).cast("double") / F.size(tokens(text)).cast("double")
+
+
+#: every char regexp's [a-zA-Z0-9 ] matches, for translate()-deletion
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    """Fraction of characters that are not [a-zA-Z0-9 ].
+
+    Counted by DELETING the alphanumeric+space alphabet with
+    translate() — a plain per-char table lookup — rather than
+    regexp_replace: the regex build-a-replaced-string path measured
+    37 s for a 250 k-doc pass at sf5 vs ~1 s for translate (the char
+    class is fixed, so the two are exactly equivalent)."""
     return (
-        F.length(text) - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9 ]", ""))
+        F.length(F.translate(text, _ALNUM_SPACE, ""))
     ).cast("double") / F.length(text).cast("double")
 
 
 def mean_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks).cast("double")
+    # Σ len(token) == len(text) − n_separators, and splitting on a
+    # single char always yields n_tokens − 1 separators (empty tokens
+    # included) — an exact identity that replaces the interpreted
+    # per-token aggregate() lambda with three codegen'd scalars.
+    n = F.size(tokens(text))
+    total = F.length(text) - (n - F.lit(1))
+    return total.cast("double") / n.cast("double")
 
 
 def quality_score(text: Column) -> Column:
