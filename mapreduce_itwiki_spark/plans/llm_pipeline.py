@@ -952,13 +952,22 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fp (md5 of normalized text) + winnowing-style shingle fp
+    (min md5 over 5-token shingles). The shingle min runs over codegen
+    shingle ROWS (dedup.shingle_rows rationale — the HOF array build is
+    interpreted per element) with a map-side-partial min aggregation,
+    then one doc_id join attaches the exact fp; duplicates in the row
+    stream are harmless under min."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        TXT.fingerprint(t).alias("fp"),
-        TXT.shingle_fingerprint(t, k=5).alias("shingle_fp"),
+    sfp = (
+        dedup.shingle_rows(docs, k=5)
+        .select(F.col("doc_id"), F.md5(F.col("s")).alias("m"))
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("shingle_fp"))
     )
+    return docs.select(
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+    ).join(sfp, "doc_id")
 
 
 # ---------------------------------------------------------------------------
