@@ -1130,13 +1130,17 @@ def block_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    df_ = b.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
+    # only "shared by >1 distinct doc" is consumed: min<max is exact
+    # and avoids countDistinct's (fp, doc_id) map-side hash table
+    df_ = b.groupBy("fp").agg(
+        (F.min("doc_id") < F.max("doc_id")).alias("shared")
+    )
     joined = b.join(df_, "fp")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_blocks"),
-        F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_shared"),
+        F.count(F.when(F.col("shared"), 1)).alias("n_shared"),
         F.round(
-            F.count(F.when(F.col("ndocs") > 1, 1)) * 1.0 / F.count(F.lit(1)), 6
+            F.count(F.when(F.col("shared"), 1)) * 1.0 / F.count(F.lit(1)), 6
         ).alias("shared_frac"),
     )
 
@@ -1194,12 +1198,14 @@ def remove_duplicate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), F.col("i") * BLOCK_TOKENS + 1, BLOCK_TOKENS)
         ).alias("block"),
     )
+    # "exactly one distinct doc" ⟺ min==max (see the countDistinct
+    # map-side note at duplicate_spans)
     df_ = b.groupBy(F.md5(F.col("block")).alias("fp")).agg(
-        F.countDistinct("doc_id").alias("ndocs")
+        (F.min("doc_id") == F.max("doc_id")).alias("unique_doc")
     )
     kept = (
         b.join(df_, F.md5(F.col("block")) == F.col("fp"))
-        .filter(F.col("ndocs") == 1)
+        .filter(F.col("unique_doc"))
         .select("doc_id", "i", "block")
     )
     reb = kept.groupBy("doc_id").agg(
@@ -1745,10 +1751,15 @@ def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
     """Core of duplicate_span_extents over any (doc_id, text) frame —
     see the catalog query's docstring for semantics and scale shape."""
     g = _gram_rows(docs, k)
+    # "fp appears in ≥2 DISTINCT docs" ⟺ min(doc_id) < max(doc_id):
+    # exact, and min/max partial-aggregate to two longs per (fp,
+    # partition) — countDistinct's expanded (fp, doc_id) partial agg
+    # built a per-task hash table ∝ the gram stream (hundreds of MB at
+    # sf20), the map-side memory cliff the sf20 soak exposed.
     dup = (
         g.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
         .select("fp")
     )
     d = g.join(dup, "fp", "left_semi")
@@ -2001,12 +2012,14 @@ def remove_spans(docs: DataFrame, k: int) -> DataFrame:
     # xxhash64-of-shifted-columns fingerprint, same rationale and
     # codegen shape as duplicate_spans (see _gram_rows)
     g = _gram_rows(docs, k)
+    # min<max ⟺ ≥2 distinct docs — see the duplicate_spans note on
+    # countDistinct's map-side hash-table cliff
     own = g.groupBy("fp").agg(
-        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+        F.min("doc_id").alias("owner"), F.max("doc_id").alias("hi")
     )
     cut = (
         g.join(own, "fp")
-        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .filter((F.col("owner") < F.col("hi")) & (F.col("doc_id") != F.col("owner")))
         .select(
             "doc_id",
             F.explode(
