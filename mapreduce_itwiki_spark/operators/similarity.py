@@ -481,6 +481,61 @@ def pq_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def _bucket_knn_rows(
+    capped: DataFrame, k: int
+) -> DataFrame:
+    """Per-bucket DIRECTED k-NN rows (src, dst, cosine): for every
+    bucket member, its k best in-bucket neighbors under the exact
+    (rounded-cosine desc, dst asc) total order.
+
+    This is the top-k pushdown that makes the k-NN graph scale: the
+    union of per-bucket top-k CONTAINS the global top-k under the same
+    total order (any globally k-best neighbor of src shares a bucket
+    with src, and fewer than k candidates beat it there), so the
+    downstream global window ranks ~bands·k rows per source instead of
+    every scored candidate pair — at sf5 that is 1.2 M rows out of the
+    Python workers instead of 338 M.
+
+    Tie-breaking is EXACT, not approximate: selection uses the integer
+    composite key round(cos·1e6)·2³³ + (2³² − dst) (the same 6-dp
+    rounding the output carries, so selection order ≡ output order ≡
+    the oracle's ORDER BY), np.argpartition for the top-k, full sort
+    only within the k selected."""
+    import numpy as np
+    import pandas as pd
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": ids[:0], "dst": ids[:0],
+                                 "cosine": np.zeros(0)})
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        c6 = np.rint(cos * 1e6).astype(np.int64)
+        key = c6 * (1 << 33) + ((1 << 32) - ids[None, :])
+        # sentinel must negate safely under the argpartition(-key)
+        # below — int64 min negates to ITSELF (two's-complement
+        # overflow) and would make the diagonal the best candidate
+        np.fill_diagonal(key, -(1 << 62))
+        kk = min(k, n - 1)
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = top.ravel()
+        return pd.DataFrame({
+            "src": ids[rows],
+            "dst": ids[cols],
+            "cosine": cos[rows, cols],
+        })
+
+    return capped.groupBy("band_id", "band_key").applyInPandas(
+        per_bucket, "src long, dst long, cosine double"
+    )
+
+
 def knn_graph(
     emb: DataFrame, k: int = 3, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
@@ -497,31 +552,17 @@ def knn_graph(
     Spark executes as WindowGroupLimit (per-partition heap before the
     exchange — the window twin of TakeOrderedAndProject). Columns:
     (src, dst, cosine)."""
-    # threshold −2 < min cosine ⇒ every banded candidate pair scored;
-    # the scoring itself is the bucket-local numpy matmul of
-    # bucketed_neardup_pairs (Arrow-vectorized) rather than a per-pair
-    # interpreted-HOF join (A/B'd ~8% faster at bench scale, and the
-    # vectorized gap widens with bucket size at real scale)
-    scored = bucketed_neardup_pairs(emb, threshold=-2.0, max_bucket=max_bucket)
-    # symmetrize by exploding TWO structs per undirected pair in the
-    # SAME map stage — not a unionAll of two projections over the pair
-    # pipeline, which either executes the whole band+matmul subtree
-    # twice (no cross-branch common-subplan elimination) or needs a
-    # checkpoint whose plan-time toRdd cost ~1 s of eager physical
-    # planning per call (measured; TUNING.md). One pass, no
-    # materialization, map-side fan-out.
-    both = F.array(
-        F.struct(
-            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), F.col("cosine")
-        ),
-        F.struct(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), F.col("cosine")
-        ),
-    )
-    sym = scored.select(F.explode(both).alias("e")).select("e.src", "e.dst", "e.cosine")
+    # Per-bucket top-k pushdown (see _bucket_knn_rows): each bucket
+    # emits only each member's k best in-bucket neighbors (directed, so
+    # no symmetrize stage at all), deduped across bands, and the global
+    # per-source window ranks ≤ bands·k rows per src. Supersedes both
+    # earlier shapes (full pair emission + struct-explode symmetrize):
+    # the pair stream out of Python shrinks from Σ bucket² to Σ n·k.
+    capped = capped_band_rows(emb, max_bucket=max_bucket)
+    knn_rows = _bucket_knn_rows(capped, k).distinct()
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
-        sym.withColumn("rn", F.row_number().over(w))
+        knn_rows.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("src", "dst", "cosine")
     )
