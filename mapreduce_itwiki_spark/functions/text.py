@@ -35,11 +35,23 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
 
 
-#: stopword-token matcher: a token is a maximal run between single-space
-#: separators, so ' word' with a '(?= )' lookahead on space-padded text
-#: matches exactly the split-token occurrences — the lookahead does not
-#: consume the trailing space, so adjacent stopwords ("a a a") all match.
-_STOPWORD_RE = " (?:" + "|".join(STOPWORDS) + ")(?= )"
+def stopword_regex(words: tuple[str, ...] = STOPWORDS) -> str:
+    """Token-boundary alternation over ``words``: a token is a maximal
+    run between single-space separators, so ' word' with a '(?= )'
+    lookahead on space-padded text matches exactly the split-token
+    occurrences — the lookahead does not consume the trailing space, so
+    adjacent stopwords ("a a a") all match. Every word is re.escape'd:
+    the current list is plain ASCII words (escape is a no-op), but an
+    unescaped metacharacter added on edit would silently corrupt the
+    alternation; re.escape only ever backslashes non-alphanumerics,
+    which Java regex (the engine running this via regexp_count) reads
+    as the same literals Python does."""
+    import re
+
+    return " (?:" + "|".join(re.escape(w) for w in words) + ")(?= )"
+
+
+_STOPWORD_RE = stopword_regex()
 
 
 def stopword_count(text: Column) -> Column:

@@ -290,3 +290,38 @@ def test_bpe_merge_cascade_is_idempotent(word):
     for a, b in BPE_MERGES:
         enc = enc.replace(f"|{a}||{b}|", f"|{a}{b}|")
     assert enc == once
+
+
+#: a hostile stopword list — every entry carries regex metacharacters
+#: that would corrupt the alternation if stopword_regex ever stopped
+#: escaping (VERDICT r4 #7: the original f-string interpolation was a
+#: foot-gun on edit)
+_META_WORDS = ("a.c", "x|y", "(", "c++", "[the]", "a*", "?", "\\d", "$5", "e{2}")
+
+
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet="axc.|(+)[]*?\\d${}e125",
+            min_size=1,
+            max_size=6,
+        ).filter(lambda t: " " not in t),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=500)
+def test_stopword_regex_escapes_metacharacters(toks):
+    """stopword_regex(words) must count exactly the split-token
+    occurrences of ``words`` — including words made of regex
+    metacharacters — because every word is re.escape'd. The reference
+    is the trivial split-and-membership count."""
+    import re
+
+    from mapreduce_itwiki_spark.functions.text import stopword_regex
+
+    text = " ".join(toks)
+    pat = stopword_regex(_META_WORDS)
+    got = len(re.findall(pat, f" {text} "))
+    want = sum(1 for t in toks if t in _META_WORDS)
+    assert got == want, (text, got, want)
