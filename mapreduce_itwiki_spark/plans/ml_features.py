@@ -955,15 +955,33 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ALLPAIRS_TAU_NUM = 4  #: Jaccard threshold τ = 4/5 as an exact rational
 ALLPAIRS_TAU_DEN = 5
+ALLPAIRS_MAX_DF = 100  #: stop-shingle ceiling on the PREFIX INDEX — the
+#: same scale guard as dedup.NGRAM_MAX_DF: prefix entries whose global
+#: document frequency exceeds this generate no candidates, so the
+#: candidate cost is Σ_capped prefix-bucket² ≤ docs·max_df instead of
+#: unbounded on boilerplate-dense corpora (the r4 sf5 soak's 31-word
+#: vocab put EVERY shingle at DF≈2400 and the unguarded operator could
+#: not complete — VERDICT r4 #1). Recall is lost exactly for pairs whose
+#: every common prefix shingle is near-universal; such pairs share only
+#: boilerplate in their rarest shingles. The cap is part of the operator
+#: semantics and the oracle replays it.
 
 
 # --------------------------------------------------------------------------
 @register(
     "allpairs_prefix_jaccard",
-    # the oracle is the O(n²) DEFINITION — brute-force all pairs with
-    # exact-rational threshold; matching it proves the prefix filter's
-    # completeness (no candidate the prefix scheme could miss survives)
-    oracle="""
+    # replays the operator's semantics EXACTLY — rarest-first prefix
+    # selection (row_number over (df, g)), the ALLPAIRS_MAX_DF stop-
+    # shingle cap on the index, prefix-prefix candidates, then full-set
+    # verification with the exact rational τ. On every testdata SF the
+    # cap never binds (max shingle DF is 25 at sf0.1 vs cap 100), so
+    # this oracle's output is IDENTICAL to the brute-force O(n²)
+    # definition there — the completeness proof is preserved by
+    # test_allpairs_equals_bruteforce_python, which compares against
+    # the definition with no prefix scheme in the loop at all; the
+    # cap's own semantics are pinned by
+    # test_allpairs_df_cap_drops_boilerplate_candidates.
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -971,12 +989,29 @@ ALLPAIRS_TAU_DEN = 5
                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
                                     ' '))) AS s
       FROM documents),
-    p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-                 len(list_intersect(a.s, b.s)) AS i,
-                 len(a.s) AS na, len(b.s) AS nb
-          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    tok AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM t),
+    dfreq AS (SELECT g, count(*) AS df FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT tok.doc_id, tok.g, tok.n, dfreq.df,
+             row_number() OVER (PARTITION BY tok.doc_id
+                                ORDER BY dfreq.df, tok.g) AS r
+      FROM tok JOIN dfreq USING (g)),
+    pref AS (
+      SELECT doc_id, g FROM ranked
+      WHERE r <= n - ({ALLPAIRS_TAU_NUM} * n + {ALLPAIRS_TAU_NUM})
+                     // {ALLPAIRS_TAU_DEN} + 1
+        AND df <= {ALLPAIRS_MAX_DF}),
+    cands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM pref a JOIN pref b
+                ON a.g = b.g AND a.doc_id < b.doc_id),
+    p AS (SELECT c.da, c.db,
+                 len(list_intersect(ta.s, tb.s)) AS i,
+                 len(ta.s) AS na, len(tb.s) AS nb
+          FROM cands c
+          JOIN t ta ON ta.doc_id = c.da
+          JOIN t tb ON tb.doc_id = c.db)
     SELECT da, db, round(i * 1.0 / (na + nb - i), 6) + 0.0 AS jacc
-    FROM p WHERE 5 * i >= 4 * (na + nb - i)
+    FROM p WHERE {ALLPAIRS_TAU_DEN} * i >= {ALLPAIRS_TAU_NUM} * (na + nb - i)
     """,
 )
 def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,9 +1030,13 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     5·|∩| ≥ 4·|∪|, and the frequency order ties on the shingle string.
     Scale: candidate cost ∝ Σ prefix-bucket² — the rarest-first order
     makes prefix buckets the SMALLEST ones (the whole point of the
-    algorithm); per-doc prefix selection is a bounded sort inside a
-    (doc)-keyed agg; verification joins only candidate pairs against
-    the sorted shingle arrays (JVM array_intersect, no Python)."""
+    algorithm) — AND the index is DF-capped at ALLPAIRS_MAX_DF (the
+    dedup.NGRAM_MAX_DF stop-shingle guard), because on boilerplate-
+    dense corpora even the rarest prefix shingles are near-universal
+    and the unguarded join is structurally quadratic (the r4 sf5 soak
+    aborted it at >1 h; capped it completes). Per-doc prefix selection
+    is a bounded sort inside a (doc)-keyed agg; verification joins only
+    candidate pairs against full distinct shingle sets."""
     # the sf0.1 documents parquet is ONE split: without the fanout the
     # CPU-bound shingle construction runs on a single core through the
     # whole pipeline (7.8 s → 3.8 s warm at sf0.1, TUNING.md). The
@@ -1009,11 +1048,22 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_pipeline(docs)
 
 
-def allpairs_pipeline(docs: DataFrame) -> DataFrame:
+def allpairs_pipeline(
+    docs: DataFrame, max_df: int | None = ALLPAIRS_MAX_DF
+) -> DataFrame:
     """The AllPairs prefix-filter join over any (doc_id, text) frame —
     separated from the catalog entry so the adversarial boundary-case
     tests (exact-τ corpora, one-token docs, duplicates) can run it on
-    constructed inputs. See allpairs_prefix_jaccard for the story."""
+    constructed inputs. See allpairs_prefix_jaccard for the story.
+
+    ``max_df`` (default ``ALLPAIRS_MAX_DF``) drops prefix-INDEX entries
+    whose global document frequency exceeds it — the scale guard that
+    bounds the self-join at Σ_capped bucket² ≤ docs·max_df on corpora
+    where even the rarest-first prefix ordering lands on near-universal
+    shingles (boilerplate-dense text). Verification is unchanged: full
+    distinct shingle sets, exact rational τ. ``max_df=None`` restores
+    the unguarded textbook algorithm (kept for the completeness-proof
+    tests against the brute-force definition)."""
     # codegen shingle rows (dedup.shingle_rows rationale: the HOF array
     # path evaluates interpreted per element — ~90 s/pass at sf5)
     ex = dedup.shingle_rows(docs, distinct=True)
@@ -1036,14 +1086,17 @@ def allpairs_pipeline(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ordered"), F.lit(1), n_pref),
-                    lambda x: x.getField("g"),
-                )
-            ).alias("g"),
+            F.explode(F.slice(F.col("ordered"), F.lit(1), n_pref)).alias("e"),
         )
+        .select("doc_id", F.col("e.df").alias("df"), F.col("e.g").alias("g"))
     )
+    if max_df is not None:
+        # the DF cap: prefix membership is decided FIRST (on the full
+        # rarest-first order), then near-universal entries are removed
+        # from the index — so a capped shingle never shifts which other
+        # shingles count as "prefix"
+        prefix = prefix.filter(F.col("df") <= max_df)
+    prefix = prefix.drop("df")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "g")

@@ -760,3 +760,34 @@ def test_contrastive_negatives_deterministic_draws(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_allpairs_df_cap_drops_boilerplate_candidates(spark):
+    """The ALLPAIRS_MAX_DF stop-shingle guard (VERDICT r4 #1): prefix
+    entries above the DF cap generate no candidates, so an identical
+    boilerplate cluster (every shingle near-universal) produces ZERO
+    pairs under a binding cap while a rare-shingle near-dup pair at
+    exactly τ still surfaces; uncapped (max_df=None) restores the
+    textbook algorithm and finds the boilerplate pairs too."""
+    from mapreduce_itwiki_spark.plans.ml_features import allpairs_pipeline
+
+    texts = {
+        # five identical boilerplate docs: every 3-gram has DF=5
+        **{d: "b1 b2 b3 b4 b5 b6" for d in range(1, 6)},
+        # a rare near-dup pair at exactly τ=4/5 (suffix extension)
+        6: "r1 r2 r3 r4 r5 r6",
+        7: "r1 r2 r3 r4 r5 r6 r7",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    capped = {
+        (r.da, r.db): r.jacc
+        for r in allpairs_pipeline(docs, max_df=2).collect()
+    }
+    assert capped == {(6, 7): 0.8}, capped
+    uncapped = {
+        (r.da, r.db) for r in allpairs_pipeline(docs, max_df=None).collect()
+    }
+    assert {(a, b) for a in range(1, 6) for b in range(a + 1, 6)} <= uncapped
+    assert (6, 7) in uncapped
