@@ -228,6 +228,29 @@ def bucketed_neardup_pairs(
 
 IVF_NLIST = 8  #: coarse-quantizer cells (inverted lists)
 IVF_NPROBE = 2  #: query-time cells scanned
+TRAIN_SAMPLE_MOD = 4  #: 1-in-4 md5 vec coin for sampled quantizer training
+#: (the BPE_SAMPLE_MOD idiom, plans/training_data.py — deterministic,
+#: engine-portable, stratification-free: md5 of the id is uniform)
+
+
+def sample_coin(col: Column, mod: int) -> Column:
+    """True for the deterministic 1-in-``mod`` md5 sample of ``col`` —
+    the repo-wide sampled-training idiom (first 60 bits of md5 as an
+    integer, mod ``mod``): any engine with md5 replays the exact same
+    subset, so sampled-trained indexes stay oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % mod
+        == 0
+    )
+
+
+def sample_coin_sql(col_sql: str, mod: int) -> str:
+    """DuckDB twin of :func:`sample_coin`."""
+    return (
+        f"(('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {mod} = 0)"
+    )
 
 
 def sq_dist(v: Column, cv: Column) -> Column:
@@ -245,7 +268,9 @@ def sq_dist(v: Column, cv: Column) -> Column:
     )
 
 
-def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
+def ivf_centroids(
+    emb: DataFrame, nlist: int = IVF_NLIST, sample_mod: int | None = None
+) -> DataFrame:
     """IVF coarse quantizer: ``nlist`` centroids seeded from the
     ``nlist`` smallest vec_ids (deterministic, engine-portable), refined
     by ONE Lloyd round with per-position averages rounded to 6 decimals
@@ -255,12 +280,33 @@ def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
     the assignment is a broadcast nested-loop over nlist rows (a map
     stage), and the update is a posexplode partial+final avg whose
     shuffle carries nlist×dim rows per partition regardless of corpus
-    size. Train on a sample at 100 TB; the index assignment below is
-    the only full scan."""
+    size.
+
+    ``sample_mod=k`` trains on the deterministic 1-in-k md5 vec coin
+    (:func:`sample_coin`) — the 100 TB default, where a Lloyd round
+    over the full corpus would cost a full scan per refinement for a
+    quantizer whose quality converges on a tiny fraction of the data
+    (the quantizer sees a uniform sample; assignment downstream is
+    still exact and full-corpus). Seeds become the ``nlist`` smallest
+    SAMPLED vec_ids so the sampled index is self-contained; ``None``
+    (the default) keeps the full-corpus training the original oracle
+    pins. When to use which: full training only when the corpus is
+    small enough that one extra scan is free; sampled everywhere else —
+    both are exactly oracle-replayable."""
     base = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
-    c0 = base.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    if sample_mod is not None:
+        base = base.filter(sample_coin(F.col("vec_id"), sample_mod))
+        # seeds: the nlist smallest sampled ids (tiny TakeOrdered, not
+        # a predicate — sampled ids are not contiguous)
+        c0 = (
+            base.orderBy("vec_id")
+            .limit(nlist)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+    else:
+        c0 = base.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
     a1 = (
         base.crossJoin(F.broadcast(c0))
@@ -306,6 +352,7 @@ def ivf_topk(
     k: int = 10,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k — the third member of the similarity trio
     (brute-force exact, LSH-banded, IVF coarse-quantized), and the
@@ -329,7 +376,9 @@ def ivf_topk(
     # cluster scale this is "train the quantizer once, persist it";
     # locally a lazy localCheckpoint materializes it on first use and
     # every other branch reads the nlist cached rows.
-    cents = ivf_centroids(emb, nlist).localCheckpoint(eager=False)
+    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+        eager=False
+    )
     lists = ivf_assign(emb, cents)
     wq = Window.partitionBy(F.lit(1)).orderBy("d", "cid")
     probe = (
@@ -374,7 +423,7 @@ def _pq_sub_rows(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebooks(sub: DataFrame) -> DataFrame:
+def pq_codebooks(sub: DataFrame, sample_mod: int | None = None) -> DataFrame:
     """(s, cid, cv): per-subspace PQ codebooks — seeds are the
     subvectors of the PQ_CODES smallest vec_ids, refined by ONE Lloyd
     round with per-position means rounded to 6 decimals (the same
@@ -385,11 +434,24 @@ def pq_codebooks(sub: DataFrame) -> DataFrame:
     assignment is a broadcast join + partial+final MIN-struct agg (no
     window, no per-row shuffle beyond the grouped argmin); the update
     shuffle carries PQ_M × PQ_CODES × PQ_SUB cells per partition
-    regardless of corpus size. At 100 TB train on a sample — encoding
-    below is the only full scan."""
-    seeds = sub.filter(F.col("vec_id") < PQ_CODES).select(
-        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
-    )
+    regardless of corpus size. ``sample_mod=k`` trains on the
+    deterministic 1-in-k md5 vec coin (:func:`sample_coin`, same
+    contract as ivf_centroids) — the 100 TB default; encoding stays the
+    only full scan either way."""
+    if sample_mod is not None:
+        sub = sub.filter(sample_coin(F.col("vec_id"), sample_mod))
+        # seed ids: the PQ_CODES smallest sampled ids (one tiny global
+        # TakeOrdered over the distinct ids, shared by every subspace)
+        seed_ids = (
+            sub.select("vec_id").distinct().orderBy("vec_id").limit(PQ_CODES)
+        )
+        seeds = sub.join(F.broadcast(seed_ids), "vec_id").select(
+            "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+    else:
+        seeds = sub.filter(F.col("vec_id") < PQ_CODES).select(
+            "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
     d1 = sub.join(F.broadcast(seeds), "s").select(
         "vec_id", "s", "cid", "sv", sq_dist(F.col("sv"), F.col("cv")).alias("d")
     )
@@ -421,6 +483,7 @@ def pq_topk(
     query_vec_id: int = 0,
     k: int = 10,
     rerank: int = PQ_RERANK,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k (FAISS PQ/ADC shape), the fourth
     member of the similarity family: train per-subspace codebooks,
@@ -444,7 +507,7 @@ def pq_topk(
     # the codebook subtree contains a full corpus scan; without cutting
     # lineage, encode + the ADC table would each re-run it (no
     # cross-branch common-subplan elimination — TUNING.md)
-    books = pq_codebooks(sub).localCheckpoint(eager=False)
+    books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
     d2 = sub.join(F.broadcast(books), "s").select(
         "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
     )
@@ -591,3 +654,118 @@ def lsh_bucket_topk(
     cands = emb.join(cand_ids, "vec_id", "left_semi")
     scored = with_cosine_to_query(cands, query)
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def lsh_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """BATCH ANN top-k — ``queries`` is a DataFrame with a ``qid``
+    column naming corpus vectors; every query is answered in ONE shared
+    pass through the banded index (VERDICT r4 #3: real retrieval scores
+    N queries per pass, not one job per query).
+
+    Shape: the query set rides broadcasts everywhere — its band keys
+    join the capped index once (at scale: one scan of the
+    (band_id, band_key)-partitioned index restricted to the union of
+    the queries' buckets), candidates join the corpus vectors once, and
+    the per-query top-k is a qid-partitioned WindowGroupLimit
+    (per-partition heaps). Corpus-side work is INDEPENDENT of |queries|
+    — the plan contains the same fixed number of corpus scans for 1 or
+    10 000 queries (asserted by the plan gate). Columns:
+    (qid, vec_id, label, cosine), ordered within qid by
+    (cosine desc, vec_id)."""
+    q_ids = queries.select("qid")
+    capped = capped_band_rows(emb, max_bucket=max_bucket)
+    qbands = capped.join(
+        F.broadcast(q_ids), capped["vec_id"] == q_ids["qid"]
+    ).select("qid", "band_id", "band_key")
+    cand = (
+        capped.join(F.broadcast(qbands), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    qv = ev.join(F.broadcast(q_ids), ev["vec_id"] == q_ids["qid"]).select(
+        "qid", F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )
+
+
+def ivf_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Batch IVF ANN top-k: the queries-as-a-DataFrame lift of
+    :func:`ivf_topk`. The quantizer is trained ONCE (optionally on the
+    md5 sample), every vector is assigned once, and then EACH query
+    probes its own ``nprobe`` nearest cells via a per-qid windowed
+    argmin over the broadcast centroid table — the inverted lists are
+    scanned once for the union of all probed (qid, cid) pairs. At
+    100 TB with lists persisted partitioned by cid this is one
+    partition-pruned scan for the whole query batch. Columns:
+    (qid, vec_id, label, cosine)."""
+    q_ids = queries.select("qid")
+    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+        eager=False
+    )
+    lists = ivf_assign(emb, cents)
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    qv = ev.join(F.broadcast(q_ids), ev["vec_id"] == q_ids["qid"]).select(
+        "qid", F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = (
+        lists.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )

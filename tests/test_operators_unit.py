@@ -1353,3 +1353,76 @@ def test_stopword_count_java_regex_matches_hof_twin(spark):
     ).collect()
     for r in out:
         assert r.rx == r.hof, (r.rx, r.hof)
+
+
+def test_batch_ann_equals_single_query_loop(spark):
+    """lsh_batch_topk / ivf_batch_topk answer EVERY query exactly as
+    the single-query operators would (the batch is a shared-pass
+    optimization, not a semantics change): per-qid slices must equal
+    lsh_bucket_topk / ivf_topk run one query at a time."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = list(range(4))
+    queries = spark.createDataFrame([(q,) for q in qids], "qid long")
+
+    batch = {
+        q: sorted((r.vec_id, r.cosine) for r in rows)
+        for q, rows in _group_by_qid(
+            similarity.lsh_batch_topk(emb, queries, k=10).collect()
+        ).items()
+    }
+    for q in qids:
+        single = sorted(
+            (r.vec_id, r.cosine)
+            for r in similarity.lsh_bucket_topk(emb, query_vec_id=q, k=10).collect()
+        )
+        assert batch.get(q, []) == single, q
+
+    batch_ivf = {
+        q: sorted((r.vec_id, r.cosine) for r in rows)
+        for q, rows in _group_by_qid(
+            similarity.ivf_batch_topk(emb, queries, k=10).collect()
+        ).items()
+    }
+    for q in qids:
+        single = sorted(
+            (r.vec_id, r.cosine)
+            for r in similarity.ivf_topk(emb, query_vec_id=q, k=10).collect()
+        )
+        assert batch_ivf.get(q, []) == single, q
+
+
+def _group_by_qid(rows):
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r.qid, []).append(r)
+    return out
+
+
+def test_sampled_ivf_trains_on_exact_md5_subset(spark):
+    """ivf_centroids(sample_mod=4) must equal ivf_centroids(None) run
+    on the pre-filtered md5 subset with the same seed rule — the
+    sampled trainer is a restriction, not a different algorithm."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sampled = similarity.ivf_centroids(
+        emb, sample_mod=similarity.TRAIN_SAMPLE_MOD
+    ).collect()
+    subset = emb.filter(
+        similarity.sample_coin(F.col("vec_id"), similarity.TRAIN_SAMPLE_MOD)
+    )
+    # full-corpus trainer on the subset, but seeds are 'vec_id < nlist'
+    # which the sampled path replaces with the nlist smallest sampled
+    # ids — replicate via a dense re-id of the subset
+    from pyspark.sql import Window as W
+
+    reid = subset.withColumn(
+        "new_id",
+        F.row_number().over(W.orderBy("vec_id")) - 1,
+    )
+    mapping = {r.new_id: r.vec_id for r in reid.select("new_id", "vec_id").collect()}
+    renamed = reid.drop("vec_id").withColumnRenamed("new_id", "vec_id")
+    expect = similarity.ivf_centroids(renamed).collect()
+    got = {tuple(r.cv) for r in sampled}
+    want = {tuple(r.cv) for r in expect}
+    assert got == want
+    # and cids map back to the original sampled ids
+    assert {r.cid for r in sampled} == {mapping[r.cid] for r in expect}

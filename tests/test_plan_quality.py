@@ -915,3 +915,79 @@ def test_fanout_skips_exchange_for_prepartitioned_input(spark):
     fanned = _fanout(narrow, "doc_id")
     assert fanned is not narrow
     assert fanned.rdd.getNumPartitions() == max(n, 2)
+
+
+def test_ann_batch_corpus_scans_independent_of_batch_size(spark):
+    """The batch-ANN contract (VERDICT r4 #3): corpus-side work is ONE
+    shared pass — the number of parquet scans in the physical plan must
+    not grow with the number of queries, the query-side frames must
+    ride broadcasts, and the per-query top-k must be a WindowGroupLimit
+    heap, never a total sort."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_itwiki_spark.operators import similarity
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def nscans(n_q):
+        q = emb.filter(F.col("vec_id") < n_q).select(F.col("vec_id").alias("qid"))
+        df = similarity.lsh_batch_topk(emb, q, k=10)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p2, p64 = nscans(2), nscans(64)
+    assert p2.count("Scan parquet") == p64.count("Scan parquet")
+    for plan in (p2, p64):
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+
+    plan = plan_of(spark, "ann_batch_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_batch_ivf_probe_is_broadcast_and_group_limited(spark):
+    """Batch IVF: centroids/probe ride broadcasts (nlist rows), the
+    candidate restriction joins the inverted lists once, and both the
+    per-query probe argmin and the final per-query top-k run as
+    WindowGroupLimit heaps."""
+    plan = plan_of(spark, "ann_batch_ivf_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_ann_sampled_training_filters_before_lloyd(spark):
+    """Sampled quantizer training (VERDICT r4 #4): the md5 coin filter
+    must sit in the training subtree (the Lloyd round sees ~1/4 of the
+    corpus) while the final top-k stays TakeOrderedAndProject and the
+    candidate restriction a semi-join — same gates as the full-corpus
+    twins."""
+    from mapreduce_itwiki_spark.operators import similarity
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # the training subtrees (the final query plans hide them behind the
+    # lazy localCheckpoint): the md5 coin filter must reach the scan
+    # stage of the Lloyd round
+    for train in (
+        similarity.ivf_centroids(emb, sample_mod=similarity.TRAIN_SAMPLE_MOD),
+        similarity.pq_codebooks(
+            similarity._pq_sub_rows(emb), sample_mod=similarity.TRAIN_SAMPLE_MOD
+        ),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            train.explain("formatted")
+        tplan = buf.getvalue()
+        assert "md5" in tplan
+        assert "CartesianProduct" not in tplan
+    for name in ("ann_ivf_sampled", "ann_pq_sampled"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "LeftSemi" in plan, name
+        assert "CartesianProduct" not in plan, name
