@@ -63,16 +63,16 @@ _PRIORITY: tuple[str, ...] = (
     "two_stage_agg",
     "wiki_incoming_refs_salted",
     "wiki_incoming_refs_sql",
-    # --- round-4 rotation (VERDICT r3 ask #3): the 14 reference slots
-    # above are pinned; the 36 ⊕/relational/streaming slots below are
-    # ALL fresh picks this round (none were in r03's 50), so
-    # CORRECTNESS_r04 ∪ r03 accumulates driver-grade sf0.01 evidence on
-    # 86 distinct queries while every family keeps a representative.
-    # r03's picks (rotated out, still judge-swept): naive_bayes_langid;
-    # dedup_exact, doc_fingerprints, minhash_signature,
-    # dedup_minhash_lsh, dedup_ngram_jaccard, simhash_signature,
-    # dedup_simhash; ann_cosine_topk, ann_lsh_topk, ann_ivf_topk,
-    # embedding_neardup_lsh; multimodal_blob_stats,
+    # --- round-5 rotation (VERDICT r4 ask #5): the 14 reference slots
+    # above stay pinned; the 36 ⊕/relational/streaming slots below are
+    # ALL fresh picks (none appeared in r03's or r04's 50), so
+    # r03 ∪ r04 ∪ r05 accumulates driver-grade sf0.01 evidence on
+    # 86 + 36 = 122 distinct queries (target ≥ 120) while every family
+    # keeps a representative. Rotated out but still judge-swept —
+    # r03's 36: naive_bayes_langid; dedup_exact, doc_fingerprints,
+    # minhash_signature, dedup_minhash_lsh, dedup_ngram_jaccard,
+    # simhash_signature, dedup_simhash; ann_cosine_topk, ann_lsh_topk,
+    # ann_ivf_topk, embedding_neardup_lsh; multimodal_blob_stats,
     # multimodal_frame_counts, multimodal_jpeg_decode,
     # multimodal_png_decode, multimodal_wav_decode; text_token_stats,
     # text_quality, lang_profile; dedup_connected_components,
@@ -83,52 +83,68 @@ _PRIORITY: tuple[str, ...] = (
     # q5_local_supplier_volume, join_orders_lineitem,
     # join_broadcast_dims, window_topk_per_group;
     # streaming_hourly_rollup.
+    # r04's 36: ab_test_welch, bm25_topk, classifier_auc_eval,
+    # allpairs_prefix_jaccard; dedup_apply_keep, neardup_apply_keep,
+    # block_dedup_fraction, duplicate_span_extents,
+    # dedup_incremental_batch; ann_pq_topk, knn_graph_lsh,
+    # ann_recall_at_k, embedding_random_projection;
+    # multimodal_gif_video_decode, multimodal_audio_energy,
+    # multimodal_image_histogram, multimodal_binaryfile_ingest,
+    # multimodal_jpeg_color_decode; gopher_quality_rules,
+    # token_entropy_quality, char_trigram_langid; kcore_membership,
+    # label_propagation_communities, bfs_hop_distance;
+    # bpe_train_merges, bpe_train_encode, bpe_train_sampled,
+    # tfidf_top_terms, shuffle_shard_order; q6_forecast_revenue,
+    # q18_large_volume_customer, q9_product_type_profit,
+    # asof_join_last_click, sessionize; streaming_stream_stream_join,
+    # streaming_dedup_watermark.
     # ⊕ feature engineering / model fitting (4)
-    "ab_test_welch",
-    "bm25_topk",
-    "classifier_auc_eval",
-    "allpairs_prefix_jaccard",
+    "chi2_feature_selection",
+    "logreg_gd_steps",
+    "market_basket_rules",
+    "tree_split_histogram",
     # ⊕ dedup (5)
-    "dedup_apply_keep",
-    "neardup_apply_keep",
-    "block_dedup_fraction",
-    "duplicate_span_extents",
-    "dedup_incremental_batch",
-    # ⊕ similarity search (4)
-    "ann_pq_topk",
-    "knn_graph_lsh",
-    "ann_recall_at_k",
-    "embedding_random_projection",
-    # ⊕ multimodal (5)
-    "multimodal_gif_video_decode",
-    "multimodal_audio_energy",
-    "multimodal_image_histogram",
-    "multimodal_binaryfile_ingest",
-    "multimodal_jpeg_color_decode",  # new this round (VERDICT r3 ask #7)
+    "remove_duplicate_spans",
+    "remove_duplicate_blocks",
+    "neardup_cluster_sizes",
+    "dedup_recall_report",
+    "embedding_neardup_apply_keep",
+    # ⊕ similarity search (4 — the round-5 additions: batch ANN and
+    # sampled quantizer training, VERDICT r4 asks #3/#4)
+    "ann_batch_topk",
+    "ann_batch_ivf_topk",
+    "ann_ivf_sampled",
+    "ann_pq_sampled",
+    # ⊕ multimodal (3)
+    "multimodal_features",
+    "multimodal_audio_resample",
+    "multimodal_resize_pool",
     # ⊕ text analysis (3)
-    "gopher_quality_rules",
-    "token_entropy_quality",
-    "char_trigram_langid",
+    "tokenizer_fertility_by_lang",
+    "pmi_collocations",
+    "ngram_diversity_report",
     # ⊕ graph / iterative (3)
-    "kcore_membership",
-    "label_propagation_communities",
-    "bfs_hop_distance",
-    # ⊕ training-data curation (5; the full BPE train/apply family —
-    # bpe_train_sampled is new this round, VERDICT r3 ask #2)
-    "bpe_train_merges",
-    "bpe_train_encode",
-    "bpe_train_sampled",
-    "tfidf_top_terms",
-    "shuffle_shard_order",
-    # relational headliners (5)
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "q9_product_type_profit",
-    "asof_join_last_click",
-    "sessionize",
+    "weighted_shortest_path",
+    "recursive_cte_dup_closure",
+    "als_half_step",
+    # ⊕ training-data curation (5)
+    "curate_and_pack_pipeline",
+    "sample_stratified_hash",
+    "chunk_documents_cdc",
+    "decontaminate_semantic",
+    "domain_mix_weights",
+    # relational (5 — incl. the skew-salted join and the range join)
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "salted_join_orders_lineitem",
+    "range_join_event_pairs",
+    # advanced relational / sketches (2)
+    "asof_join_cogrouped",
+    "hll_sketch_union",
     # ⊕ streaming (2)
-    "streaming_stream_stream_join",
-    "streaming_dedup_watermark",
+    "streaming_sessionize_stateful",
+    "streaming_sliding_counts",
 )
 
 
