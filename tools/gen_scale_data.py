@@ -13,8 +13,9 @@ Everything is a deterministic function of (table, id) via xxhash64 —
 fully distributed generation, no RNG state, no driver loops; a given
 (sf, id) always produces the same row.
 
-Usage: python tools/gen_scale_data.py SF OUT_DIR [--tables t1,t2]
+Usage: python tools/gen_scale_data.py SF OUT_DIR [--tables=t1,t2] [--vocab=dense|zipf]
   e.g. python tools/gen_scale_data.py 5 /root/repo/.scale/sf5
+       python tools/gen_scale_data.py 5 /root/repo/.scale/sf5z --tables=documents --vocab=zipf
 """
 
 from __future__ import annotations
@@ -33,6 +34,16 @@ VOCAB = (
     "merge join query row stream line small group spark fast customer batch "
     "data column order a vector"
 ).split()
+
+#: zipf-mode vocabulary size. The 31-word VOCAB above makes every
+#: 3-gram shingle near-universal (DF ≈ docs/vocab³·L — measured ~2,400
+#: at sf5) — the exact OPPOSITE of real text, where shingle DF is
+#: zipf-distributed with a long DF=1 tail. r4's soak numbers therefore
+#: measured a pathological corpus (VERDICT r4 #2). --vocab=zipf draws
+#: words "w<rank>" with rank = floor(V^u) (inverse-CDF of zipf s=1:
+#: P(rank=r) ∝ ln(1+1/r) ≈ 1/r), giving a realistic head ("w1" in
+#: nearly every doc, like "the") and tail (most types appear once).
+ZIPF_VOCAB = 50_000
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["HOUSEHOLD", "AUTOMOBILE", "FURNITURE", "BUILDING", "MACHINERY"]
@@ -59,7 +70,21 @@ def pick(options: list[str], seed: int, col: str = "id") -> F.Column:
     )
 
 
-def gen(sf: float, out: str, tables: set[str] | None = None) -> None:
+def zipf_word(hash_col: F.Column) -> F.Column:
+    """Deterministic zipf(s≈1) word from a 64-bit hash: rank =
+    floor(V^u)+0 clamped to [1, V], word = 'w<rank>'."""
+    uu = (hash_col % 1_000_000) / 1_000_000.0
+    import math
+
+    rank = F.least(
+        F.lit(ZIPF_VOCAB), F.floor(F.exp(uu * math.log(ZIPF_VOCAB))).cast("long")
+    )
+    return F.concat(F.lit("w"), F.greatest(rank, F.lit(1)).cast("string"))
+
+
+def gen(
+    sf: float, out: str, tables: set[str] | None = None, vocab: str = "dense"
+) -> None:
     spark = get_spark("gen_scale_data")
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -210,25 +235,44 @@ def gen(sf: float, out: str, tables: set[str] | None = None) -> None:
             planted, F.greatest(base - (h(31) % 997) - 1, F.lit(0))
         ).otherwise(base)
         n_words = (F.abs(F.xxhash64(content, F.lit(32))) % 568 + 10).cast("int")
-        vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
-        words = F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                vocab_arr,
-                (F.abs(F.xxhash64(content, i, F.lit(33))) % len(VOCAB) + 1).cast("int"),
-            ),
-        )
-        mutation = F.when(
-            planted,
-            F.concat(
-                F.lit(" "),
-                pick(VOCAB, 34),
-                F.lit(" "),
-                pick(VOCAB, 35),
-                F.lit(" "),
-                pick(VOCAB, 36),
-            ),
-        ).otherwise(F.lit(""))
+        if vocab == "zipf":
+            words = F.transform(
+                F.sequence(F.lit(1), n_words),
+                lambda i: zipf_word(F.abs(F.xxhash64(content, i, F.lit(33)))),
+            )
+            mutation = F.when(
+                planted,
+                F.concat(
+                    F.lit(" "),
+                    zipf_word(h(34)),
+                    F.lit(" "),
+                    zipf_word(h(35)),
+                    F.lit(" "),
+                    zipf_word(h(36)),
+                ),
+            ).otherwise(F.lit(""))
+        else:
+            vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
+            words = F.transform(
+                F.sequence(F.lit(1), n_words),
+                lambda i: F.element_at(
+                    vocab_arr,
+                    (F.abs(F.xxhash64(content, i, F.lit(33))) % len(VOCAB) + 1).cast(
+                        "int"
+                    ),
+                ),
+            )
+            mutation = F.when(
+                planted,
+                F.concat(
+                    F.lit(" "),
+                    pick(VOCAB, 34),
+                    F.lit(" "),
+                    pick(VOCAB, 35),
+                    F.lit(" "),
+                    pick(VOCAB, 36),
+                ),
+            ).otherwise(F.lit(""))
         text = F.concat(F.array_join(words, " "), mutation)
         write(
             spark.range(n_docs, numPartitions=parts_out).select(
@@ -266,9 +310,13 @@ def main() -> None:
     sf = float(sys.argv[1])
     out = sys.argv[2]
     tables = None
-    if len(sys.argv) > 3 and sys.argv[3].startswith("--tables"):
-        tables = set(sys.argv[3].split("=", 1)[1].split(","))
-    gen(sf, out, tables)
+    vocab = "dense"
+    for arg in sys.argv[3:]:
+        if arg.startswith("--tables"):
+            tables = set(arg.split("=", 1)[1].split(","))
+        elif arg.startswith("--vocab"):
+            vocab = arg.split("=", 1)[1]
+    gen(sf, out, tables, vocab=vocab)
 
 
 if __name__ == "__main__":
