@@ -537,19 +537,40 @@ def _nb_predictions(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    # Bag-of-words compaction: collapse the token stream to per-doc
-    # (tok, cnt) rows BEFORE the ×|classes| fan-out and model join —
-    # the fan-out then carries one row per doc-distinct token instead
-    # of one per occurrence (Σ cnt·logp ≡ Σ logp over occurrences; the
+    # ONE corpus-sized exchange, keyed tok. Everything token-shaped —
+    # the per-doc bag-of-words compaction, the (tok, lang) model
+    # counts, the vocabulary size, the per-token class-entry list, and
+    # the match join below — chains on this single partitioning:
+    # HashPartitioning(tok) satisfies every downstream clustering whose
+    # keys include tok, so Catalyst inserts no further corpus-sized
+    # exchange (the r4 shape paid three: the (doc,lang,tok) compaction,
+    # the ×|classes| fanned model join, and implicitly re-shuffling the
+    # fanned rows — ~400 M exchanged rows on the zipfian sf5 corpus,
+    # 50.7 s; this shape exchanges the 75 M raw token rows once).
+    # Compaction note: Σ cnt·logp ≡ Σ logp over occurrences — the
     # decimal-exact sum is the same number, so the 7 dp grid snap and
-    # the oracle are untouched). On the synthetic corpus this is a
-    # ~10× row cut; on real text, the type/token ratio (~2-3×).
-    tokc = toks.groupBy("doc_id", "lang", "tok").agg(
+    # the oracle are untouched. On zipfian text the compaction only
+    # buys the type/token ratio (~1.5×), which is exactly why it can't
+    # be the main lever — the exchange count is.
+    tokp = toks.repartition(F.col("tok"))
+    tokc = tokp.groupBy("tok", "doc_id", "lang").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    c = tokc.groupBy("lang", "tok").agg(F.sum("cnt").alias("c"))
-    tot = tokc.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    v = tokc.agg(F.countDistinct("tok").alias("v"))
+    # The model-side reduction (tok, lang) → count is SLIM (|vocab| ×
+    # |classes| rows); checkpoint it so tot / v / model / dflt read
+    # those rows instead of each re-running the corpus scan + explode +
+    # 75 M-row aggregation (Spark has no cross-branch common-subplan
+    # elimination — the ivf_centroids "train once" idiom). The corpus
+    # is then tokenized exactly twice — once into this reduction, once
+    # into the match join below — and both sit on the SAME tok
+    # exchange, which ReusedExchange materializes once.
+    c = (
+        tokc.groupBy("tok", "lang")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c.groupBy("lang").agg(F.sum("c").alias("tot"))
+    v = c.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
     model = (
         c.join(F.broadcast(tot), "lang")
         .crossJoin(F.broadcast(v))
@@ -565,13 +586,56 @@ def _nb_predictions(docs: DataFrame) -> DataFrame:
         F.col("lang").alias("cand_lang"),
         F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))), 7).alias("logp0"),
     )
-    cand = (
-        tokc.select("doc_id", "tok", "cnt")
-        .crossJoin(F.broadcast(dflt))
-        .join(model, ["cand_lang", "tok"], "left")
+    # Score WITHOUT the ×|classes| row fan-out. The r4 shape fanned
+    # tokc out 8× (crossJoin dflt) and pushed the fanned rows through a
+    # (cand_lang, tok)-keyed shuffle join against the model — on a
+    # zipfian corpus (types/doc ~200 vs the dense corpus's ≤31, so the
+    # bag-of-words compaction no longer absorbs it) that exchanged
+    # ~400 M rows at sf5 and cost 50.7 s of the 342 s battery. Instead:
+    # (a) collapse the model to ONE row per token carrying its
+    #     (class, logp) entries — |vocab| rows;
+    # (b) join tokc once on tok (the only corpus-sized exchange) and
+    #     explode the entries STRAIGHT INTO the (doc_id, cand_lang)
+    #     partial aggregation — the fan-out lives inside the map task
+    #     and is combined to |docs|×|classes| before the shuffle;
+    # (c) classes missing a token contribute logp0 via the exact
+    #     identity Σ_unmatched cnt·logp0 = logp0 · (T_doc − matched_cnt)
+    #     where T_doc = size(split(text)) is computed map-side from the
+    #     document itself (no extra shuffle).
+    # Decimal-grid contract untouched: the score is still
+    # round(Σ cnt·lp, 7) over the identical 7 dp-grid terms — only the
+    # (already arbitrary) partial-agg summation order changes, and the
+    # accumulated double error on a ~1e4-magnitude sum (~1e-11) stays
+    # far below the 0.5e-7 rounding slack.
+    mt = model.groupBy("tok").agg(
+        F.collect_list(F.struct("cand_lang", "logp")).alias("ents")
     )
-    scores = cand.groupBy("doc_id", "cand_lang").agg(
-        F.round(F.sum(F.col("cnt") * F.coalesce("logp", "logp0")), 7).alias("score")
+    matched = (
+        tokc.select("doc_id", "tok", "cnt")
+        .join(mt, "tok")
+        .select("doc_id", "cnt", F.explode("ents").alias("e"))
+        .groupBy("doc_id", F.col("e.cand_lang").alias("cand_lang"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("e.logp")).alias("msum"),
+            F.sum("cnt").alias("mcnt"),
+        )
+    )
+    t_doc = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("t_all")
+    )
+    scores = (
+        t_doc.crossJoin(F.broadcast(dflt))
+        .join(matched, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "cand_lang",
+            F.round(
+                F.coalesce(F.col("msum"), F.lit(0.0))
+                + F.col("logp0")
+                * (F.col("t_all") - F.coalesce(F.col("mcnt"), F.lit(0))),
+                7,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
     return (
