@@ -53,18 +53,23 @@ def test_priority_slots_cover_every_family():
         "text": lambda n: n in {
             "text_quality", "text_token_stats", "lang_profile",
             "gopher_quality_rules", "token_entropy_quality",
-            "char_trigram_langid",
+            "char_trigram_langid", "tokenizer_fertility_by_lang",
+            "pmi_collocations", "ngram_diversity_report",
         },
         "graph": lambda n: n in {
             "dedup_connected_components", "pagerank_linkgraph",
             "kcore_membership", "label_propagation_communities",
             "bfs_hop_distance", "triangle_count",
+            "weighted_shortest_path", "recursive_cte_dup_closure",
         },
         "curation": lambda n: n in {
             "token_budget_head", "pack_documents_greedy", "curate_corpus",
             "pii_scrub_customer", "decontaminate_against_eval",
             "bpe_train_merges", "bpe_train_encode", "bpe_train_sampled",
             "tfidf_top_terms", "shuffle_shard_order",
+            "curate_and_pack_pipeline", "sample_stratified_hash",
+            "chunk_documents_cdc", "decontaminate_semantic",
+            "domain_mix_weights",
         },
         "relational": lambda n: n.startswith("q") and n[1].isdigit()
         or n in {"join_orders_lineitem", "sessionize", "asof_join_last_click"},
