@@ -552,6 +552,10 @@ def _nb_predictions(docs: DataFrame) -> DataFrame:
     # the oracle are untouched. On zipfian text the compaction only
     # buys the type/token ratio (~1.5×), which is exactly why it can't
     # be the main lever — the exchange count is.
+    # Bare repartition(tok): AQE-coalescible, starts at the session's
+    # initialPartitionNum — the duplicate_spans single-phase-aggregate
+    # sizing rationale (plans/training_data.py, session.py) applied to
+    # the token stream.
     tokp = toks.repartition(F.col("tok"))
     tokc = tokp.groupBy("tok", "doc_id", "lang").agg(
         F.count(F.lit(1)).alias("cnt")

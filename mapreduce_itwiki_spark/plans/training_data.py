@@ -1750,7 +1750,22 @@ def _gram_rows(docs: DataFrame, k: int) -> DataFrame:
 def duplicate_spans(docs: DataFrame, k: int) -> DataFrame:
     """Core of duplicate_span_extents over any (doc_id, text) frame —
     see the catalog query's docstring for semantics and scale shape."""
-    g = _gram_rows(docs, k)
+    # ONE fp-keyed exchange for the whole gram stream: both consumers —
+    # the document-frequency aggregate and the semi-join probe — need
+    # clustering on fp, so an explicit repartition(fp) makes the agg
+    # exchange-free (HashPartitioning(fp) satisfies its distribution)
+    # and the semi join zip both sides without further movement, while
+    # ReusedExchange materializes the gram generation once instead of
+    # twice (the r4 shape exchanged the ~300 M-row sf20 stream twice
+    # and generated it twice — the naive-Bayes tok-exchange idiom).
+    # No explicit partition count: a bare repartition(col) is
+    # AQE-coalescible (REPARTITION_BY_COL), so it starts at the
+    # session's initialPartitionNum (8× parallelism — see session.py:
+    # the downstream aggregate is SINGLE-PHASE, its per-task hash state
+    # is rows/partitions keys, and the bare 32-partition default OOMed
+    # on the sf20 gram stream) and coalesces down to a handful of
+    # tasks on toy inputs instead of paying 256-way scheduling.
+    g = _gram_rows(docs, k).repartition(F.col("fp"))
     # "fp appears in ≥2 DISTINCT docs" ⟺ min(doc_id) < max(doc_id):
     # exact, and min/max partial-aggregate to two longs per (fp,
     # partition) — countDistinct's expanded (fp, doc_id) partial agg

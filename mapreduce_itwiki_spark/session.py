@@ -31,6 +31,18 @@ def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None =
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # every adaptive shuffle STARTS at 8× parallelism and AQE
+        # coalesces down by size (advisory 64 MB): big exchanges keep
+        # enough partitions that single-phase aggregates (the shared
+        # repartition idiom in duplicate_spans / naive Bayes) hold
+        # bounded per-task hash state — at the bare session default the
+        # sf20 gram stream put ~9 M keys × 32 tasks on one heap and
+        # OOMed — while toy-scale exchanges coalesce to a handful of
+        # tasks, so the toy bench doesn't pay 256-way scheduling.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * int(cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet timestamps written without isAdjustedToUTC (naive
