@@ -769,3 +769,80 @@ def ivf_batch_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "label", "cosine")
     )
+
+
+def pq_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = PQ_RERANK,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Batch PQ ANN top-k: the queries-as-a-DataFrame lift of
+    :func:`pq_topk`, completing the batch family (LSH / IVF / PQ).
+    Codebooks are trained once (optionally on the md5 sample), the
+    corpus is encoded once, and the ADC distance tables for ALL queries
+    — |queries| × PQ_M × PQ_CODES integer cells — ride one broadcast
+    into a single scan of the codes: each (s, cid) code row meets every
+    query's table cell in the map task and partial-aggregates straight
+    to (qid, vec_id) ADC sums before any shuffle. Per-query shortlist
+    and exact-cosine re-rank are qid-partitioned WindowGroupLimit
+    heaps. Columns: (qid, vec_id, label, cosine)."""
+    q_ids = queries.select("qid")
+    sub = _pq_sub_rows(emb)
+    books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
+    d2 = sub.join(F.broadcast(books), "s").select(
+        "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    enc = (
+        d2.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+    dt = (
+        sub.join(F.broadcast(q_ids), sub["vec_id"] == q_ids["qid"])
+        .select("qid", "s", F.col("sv").alias("qsv"))
+        .join(F.broadcast(books), "s")
+        .select(
+            "qid",
+            "s",
+            "cid",
+            F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+            .cast("long")
+            .alias("dti"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(dt), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dti").alias("adc"))
+    )
+    w_short = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    qv = ev.join(F.broadcast(q_ids), ev["vec_id"] == q_ids["qid"]).select(
+        "qid", F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )

@@ -577,6 +577,71 @@ def ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_batch_pq_topk",
+    # the ann_pq_topk oracle lifted to per-qid: one codebook training,
+    # one encode, per-query ADC tables, per-qid shortlist + re-rank
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ss AS (SELECT unnest(range(0, {similarity.PQ_M})) AS s),
+    sub AS (SELECT vec_id, s,
+                   list_slice(v, s * {similarity.PQ_SUB} + 1,
+                              s * {similarity.PQ_SUB} + {similarity.PQ_SUB}) AS sv
+            FROM e CROSS JOIN ss),
+    c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub
+           WHERE vec_id < {similarity.PQ_CODES}),
+    d1 AS (SELECT sub.vec_id, sub.s, c.cid, {_PQ_SUBDIST} AS d
+           FROM sub JOIN c0 c ON sub.s = c.s),
+    a1 AS (SELECT vec_id, s, CAST(min([d, cid::DOUBLE])[2] AS BIGINT) AS cid
+           FROM d1 GROUP BY vec_id, s),
+    upd AS (SELECT a1.s, a1.cid, unnest(sub.sv) AS val,
+                   generate_subscripts(sub.sv, 1) AS pos
+            FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s),
+    c1cell AS (SELECT s, cid, pos, round(avg(val), 6) AS val
+               FROM upd GROUP BY s, cid, pos),
+    c1 AS (SELECT s, cid, list(val ORDER BY pos) AS cv FROM c1cell GROUP BY s, cid),
+    d2 AS (SELECT sub.vec_id, sub.s, c.cid, {_PQ_SUBDIST} AS d
+           FROM sub JOIN c1 c ON sub.s = c.s),
+    enc AS (SELECT vec_id, s, CAST(min([d, cid::DOUBLE])[2] AS BIGINT) AS cid
+            FROM d2 GROUP BY vec_id, s),
+    qs AS (SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id < {_ANN_BATCH_NQ}),
+    dt AS (SELECT qs.qid, c.s, c.cid,
+                  CAST(round({_PQ_SUBDIST.replace('sub.sv', 'qs.sv')} * 1000000.0)
+                       AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT dt.qid, enc.vec_id, sum(dti) AS adc
+            FROM enc JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+            WHERE enc.vec_id <> dt.qid
+            GROUP BY dt.qid, enc.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adc, vec_id) AS rn
+               FROM adc) WHERE rn <= {similarity.PQ_RERANK}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_BATCH_NQ}),
+    scored AS (SELECT cand.qid, e.vec_id, e.label, {_COSINE_SQL} AS cosine
+               FROM cand JOIN e ON e.vec_id = cand.vec_id
+                         JOIN q ON q.qid = cand.qid)
+    SELECT qid, vec_id, label, cosine FROM (
+      SELECT qid, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def ann_batch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ ANN: one codebook training, one corpus encode, and ONE
+    scan of the codes against the broadcast ADC tables of all eight
+    queries (each code row partial-aggregates to (qid, vec_id) map-side)
+    — completes the batch family (LSH / IVF / PQ). See
+    operators/similarity.py:pq_batch_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("qid")
+    )
+    return similarity.pq_batch_topk(emb, queries, k=10)
+
+
+@register(
     "ann_pq_sampled",
     # replays the sampled PQ trainer: coin-sampled subvector rows train
     # the codebooks (seeds = PQ_CODES smallest sampled ids), the FULL

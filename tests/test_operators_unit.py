@@ -1426,3 +1426,24 @@ def test_sampled_ivf_trains_on_exact_md5_subset(spark):
     assert got == want
     # and cids map back to the original sampled ids
     assert {r.cid for r in sampled} == {mapping[r.cid] for r in expect}
+
+
+def test_batch_pq_equals_single_query_loop(spark):
+    """pq_batch_topk per-qid slices must equal pq_topk run one query at
+    a time (shared training/encode is an optimization, not a semantics
+    change)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = list(range(4))
+    queries = spark.createDataFrame([(q,) for q in qids], "qid long")
+    batch = {
+        q: sorted((r.vec_id, r.cosine) for r in rows)
+        for q, rows in _group_by_qid(
+            similarity.pq_batch_topk(emb, queries, k=10).collect()
+        ).items()
+    }
+    for q in qids:
+        single = sorted(
+            (r.vec_id, r.cosine)
+            for r in similarity.pq_topk(emb, query_vec_id=q, k=10).collect()
+        )
+        assert batch.get(q, []) == single, q

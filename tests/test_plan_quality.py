@@ -950,6 +950,16 @@ def test_ann_batch_corpus_scans_independent_of_batch_size(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_batch_pq_scan_is_one_pass(spark):
+    """Batch PQ: the ADC tables for all queries ride ONE broadcast into
+    the code scan (never a per-query scan), shortlist and re-rank are
+    per-qid WindowGroupLimit heaps, and nothing goes cartesian."""
+    plan = plan_of(spark, "ann_batch_pq_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ann_batch_ivf_probe_is_broadcast_and_group_limited(spark):
     """Batch IVF: centroids/probe ride broadcasts (nlist rows), the
     candidate restriction joins the inverted lists once, and both the
