@@ -174,7 +174,9 @@ def _morton_py(x: int, y: int, bits: int) -> int:
     x=st.integers(min_value=0, max_value=(1 << 16) - 1),
     y=st.integers(min_value=0, max_value=(1 << 16) - 1),
 )
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)  # each example runs a DuckDB
+# query; under a loaded host one call can trip hypothesis's 200 ms
+# per-example deadline (observed flaking in the full-suite run only)
 def test_morton_key_bijective_and_order(x, y):
     """The SQL-text Morton key (operators/layout.py:zorder_key_sql) must
     agree with an independent bitwise implementation, be a bijection on
