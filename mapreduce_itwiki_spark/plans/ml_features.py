@@ -1065,13 +1065,19 @@ ALLPAIRS_MAX_DF = 100  #: stop-shingle ceiling on the PREFIX INDEX — the
                                 ORDER BY dfreq.df, tok.g) AS r
       FROM tok JOIN dfreq USING (g)),
     pref AS (
-      SELECT doc_id, g FROM ranked
+      SELECT doc_id, g, n, r FROM ranked
       WHERE r <= n - ({ALLPAIRS_TAU_NUM} * n + {ALLPAIRS_TAU_NUM})
                      // {ALLPAIRS_TAU_DEN} + 1
         AND df <= {ALLPAIRS_MAX_DF}),
     cands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               FROM pref a JOIN pref b
-                ON a.g = b.g AND a.doc_id < b.doc_id),
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              WHERE {ALLPAIRS_TAU_DEN} * least(a.n, b.n)
+                      >= {ALLPAIRS_TAU_NUM} * greatest(a.n, b.n)
+                AND least(a.n - a.r, b.n - b.r) + 1
+                      >= ({ALLPAIRS_TAU_NUM} * (a.n + b.n)
+                          + {ALLPAIRS_TAU_NUM + ALLPAIRS_TAU_DEN} - 1)
+                         // {ALLPAIRS_TAU_NUM + ALLPAIRS_TAU_DEN}),
     p AS (SELECT c.da, c.db,
                  len(list_intersect(ta.s, tb.s)) AS i,
                  len(ta.s) AS na, len(tb.s) AS nb
@@ -1154,9 +1160,18 @@ def allpairs_pipeline(
         )
         .select(
             "doc_id",
-            F.explode(F.slice(F.col("ordered"), F.lit(1), n_pref)).alias("e"),
+            "n",
+            F.posexplode(F.slice(F.col("ordered"), F.lit(1), n_pref)).alias(
+                "p0", "e"
+            ),
         )
-        .select("doc_id", F.col("e.df").alias("df"), F.col("e.g").alias("g"))
+        .select(
+            "doc_id",
+            "n",
+            (F.col("p0") + 1).alias("p"),  # 1-based rank in the (df, g) order
+            F.col("e.df").alias("df"),
+            F.col("e.g").alias("g"),
+        )
     )
     if max_df is not None:
         # the DF cap: prefix membership is decided FIRST (on the full
@@ -1165,10 +1180,36 @@ def allpairs_pipeline(
         # shingles count as "prefix"
         prefix = prefix.filter(F.col("df") <= max_df)
     prefix = prefix.drop("df")
+    # ppjoin candidate filters (Xiao et al. 2008) — pure PRUNES, both
+    # exact for J ≥ τ (and replayed by the oracle, since under a
+    # binding DF cap they are part of the candidate semantics):
+    # * length: J ≤ min(na,nb)/max(na,nb), so J ≥ τ needs
+    #   DEN·min ≥ NUM·max;
+    # * position: J ≥ τ ⇒ |A∩B| ≥ α = ⌈τ/(1+τ)·(na+nb)⌉, and the
+    #   EARLIEST common token g* sits at pa ≤ na−|A∩B|+1 in A (resp. B)
+    #   — so g*'s collision row satisfies 1+min(na−pa, nb−pb) ≥ α, and
+    #   any row failing that bound can be dropped without losing the
+    #   pair. α via exact integer ⌈NUM·s/(NUM+DEN)⌉.
+    s_ = F.col("a.n") + F.col("b.n")
+    alpha = F.floor(
+        (ALLPAIRS_TAU_NUM * s_ + (ALLPAIRS_TAU_NUM + ALLPAIRS_TAU_DEN) - 1)
+        / (ALLPAIRS_TAU_NUM + ALLPAIRS_TAU_DEN)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "g")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            ALLPAIRS_TAU_DEN * F.least(F.col("a.n"), F.col("b.n"))
+            >= ALLPAIRS_TAU_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .filter(
+            F.least(
+                F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+            )
+            + 1
+            >= alpha
+        )
         .select(
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
         )
