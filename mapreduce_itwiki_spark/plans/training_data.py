@@ -679,31 +679,50 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     double divisions of integer counts — engine-identical, so even this
     floating-point query hash-matches its oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    # One (tok, next-tok) row per position via a shifted-slice zip —
+    # the bigram needs NO sort/window (the r4 shape paid a doc_id
+    # exchange + per-doc sort just to lead() the next token), and ONE
+    # doc_id-keyed exchange feeds all three signals: every downstream
+    # grouping's keys include doc_id, so HashPartitioning(doc_id)
+    # satisfies them all and the token stream is generated and
+    # exchanged exactly once (4 corpus-sized exchanges → 1; the
+    # duplicate_spans/naive-Bayes shared-exchange idiom).
+    toks_arr = F.split(F.col("text"), " ")
+    z = F.arrays_zip(
+        toks_arr,
+        F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
     )
-    n = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct"),
+    ex = (
+        docs.select("doc_id", F.explode(z).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z").getField("0").alias("tok"),
+            F.col("z").getField("1").alias("w2"),
+        )
+        .repartition(F.col("doc_id"))
     )
-    ttop = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok"))
+    # One aggregation CASCADE, finest grouping first — every level's
+    # keys include doc_id, so the single exchange above satisfies all
+    # three, and each level reduces the previous one's output instead
+    # of three independent consumers re-aggregating the full stream
+    # (null w2 = the doc's last token: its (tok, null) group counts
+    # toward token totals but is masked out of the bigram max):
+    #   (doc, tok, w2) counts  → bigram max + token counts
+    #   (doc, tok)   counts    → top token, distinct count, n_tokens
+    #   (doc)                  → the three report columns
+    b3 = ex.groupBy("doc_id", "tok", "w2").agg(F.count(F.lit(1)).alias("c3"))
+    b2 = b3.groupBy("doc_id", "tok").agg(
+        F.sum("c3").alias("c2"),
+        F.max(F.when(F.col("w2").isNotNull(), F.col("c3"))).alias("mb"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.withColumn("w2", F.lead("tok").over(w)).filter(F.col("w2").isNotNull())
-    btop = (
-        bg.groupBy("doc_id", "tok", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram"))
+    n = b2.groupBy("doc_id").agg(
+        F.sum("c2").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c2").alias("top_tok"),
+        F.max("mb").alias("top_bigram"),
     )
     return (
-        n.join(ttop, "doc_id")
-        .join(btop, "doc_id", "left")
-        .select(
+        n.select(
             "doc_id",
             F.round(F.lit(1.0) - F.col("n_distinct") * 1.0 / F.col("n_tokens"), 6)
             .alias("dup_token_frac"),
