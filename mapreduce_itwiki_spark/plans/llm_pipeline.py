@@ -82,12 +82,16 @@ _VEC_BANDS_SQL = " UNION ALL ".join(
     for b in range(similarity.LSH_BANDS)
 )
 
-#: deterministic per-bucket cap — twin of similarity.capped_band_rows
+#: deterministic bucket SHARDING — twin of similarity.sharded_band_rows
+#: (per-band-salted md5 rank, shard = (rank-1) div MAX_BUCKET; nothing
+#: is dropped — pairwise consumers join on (band_id, band_key, shard))
 _VEC_CAPPED_SQL = (
-    "SELECT vec_id, v, band_id, band_key FROM ("
     "SELECT vec_id, v, band_id, band_key, "
-    "row_number() OVER (PARTITION BY band_id, band_key ORDER BY vec_id) AS rn "
-    f"FROM bands) WHERE rn <= {similarity.MAX_BUCKET}"
+    f"CAST(floor((rn - 1) / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard FROM ("
+    "SELECT vec_id, v, band_id, band_key, "
+    "row_number() OVER (PARTITION BY band_id, band_key "
+    "ORDER BY md5(CAST(band_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), vec_id"
+    ") AS rn FROM bands)"
 )
 
 _COSINE_SQL = (
@@ -252,10 +256,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       {_BITS_SQL} AS bits FROM embeddings),
     bands AS ({_VEC_BANDS_SQL}),
     capped AS ({_VEC_CAPPED_SQL}),
-    qb AS (SELECT band_id, band_key FROM capped WHERE vec_id = 0),
+    qb AS (SELECT band_id, band_key, shard FROM capped WHERE vec_id = 0),
     cand AS (
       SELECT DISTINCT c.vec_id FROM capped c
       JOIN qb ON c.band_id = qb.band_id AND c.band_key = qb.band_key
+             AND c.shard = qb.shard
       WHERE c.vec_id <> 0),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
     SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
@@ -280,7 +285,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.vec_id < b.vec_id),
+       AND a.shard = b.shard AND a.vec_id < b.vec_id),
     scored AS (
       SELECT va, vb,
              round(list_dot_product(ea.v, eb.v) /
@@ -438,11 +443,12 @@ _ANN_BATCH_NQ = 8  #: query vectors per batch (vec_id < 8, like ann_recall_at_k)
                       {_BITS_SQL} AS bits FROM embeddings),
     bands AS ({_VEC_BANDS_SQL}),
     capped AS ({_VEC_CAPPED_SQL}),
-    qb AS (SELECT vec_id AS qid, band_id, band_key FROM capped
+    qb AS (SELECT vec_id AS qid, band_id, band_key, shard FROM capped
            WHERE vec_id < {_ANN_BATCH_NQ}),
     cand AS (SELECT DISTINCT qb.qid, c.vec_id
              FROM capped c JOIN qb
                ON c.band_id = qb.band_id AND c.band_key = qb.band_key
+              AND c.shard = qb.shard
              WHERE c.vec_id <> qb.qid),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_BATCH_NQ}),
     scored AS (SELECT cand.qid, e.vec_id, e.label, {_COSINE_SQL} AS cosine
@@ -748,6 +754,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT DISTINCT cq.vec_id AS qid, c.vec_id
              FROM capped c JOIN capped cq
                ON c.band_id = cq.band_id AND c.band_key = cq.band_key
+              AND c.shard = cq.shard
              WHERE cq.vec_id < 8 AND c.vec_id <> cq.vec_id),
     appx AS (SELECT qid, vec_id FROM (
       SELECT qid, vec_id,
@@ -796,12 +803,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cos.alias("cosine"))
     )
-    capped = similarity.capped_band_rows(emb)
+    capped = similarity.sharded_band_rows(emb)
     cq = capped.select(
-        F.col("vec_id").alias("qid"), "band_id", "band_key"
+        F.col("vec_id").alias("qid"), "band_id", "band_key", "shard"
     ).filter(F.col("qid") < n_q)
     cand = (
-        capped.join(F.broadcast(cq), ["band_id", "band_key"])
+        capped.join(F.broadcast(cq), ["band_id", "band_key", "shard"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
@@ -1889,7 +1896,8 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                  6) AS cosine
     FROM capped a JOIN capped b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.shard = b.shard AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
@@ -1978,7 +1986,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.vec_id < b.vec_id
+       AND a.shard = b.shard AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
             >= 0.4),

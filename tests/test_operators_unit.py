@@ -159,8 +159,8 @@ def test_knn_graph_scores_exact_and_bounded(spark):
         return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
 
     cand = {}
-    for r in similarity.capped_band_rows(emb).collect():
-        cand.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
+    for r in similarity.sharded_band_rows(emb).collect():
+        cand.setdefault((r.band_id, r.band_key, r.shard), []).append(r.vec_id)
     neighbors: dict[int, set[int]] = {}
     for ids in cand.values():
         for x in ids:
@@ -208,23 +208,70 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     assert fps0[1:] == fps1[len(fps1) - len(fps0) + 1 :]
 
 
-def test_band_cap_is_deterministic(spark):
-    """Bucket caps are part of the operator semantics: every (band, key)
-    bucket keeps exactly its max_bucket SMALLEST vec_ids — an order any
-    engine reproduces, so the oracle can replay the cap bit-for-bit."""
+def test_band_sharding_is_lossless_deterministic_and_band_salted(spark):
+    """Bucket SHARDING is part of the operator semantics (VERDICT r5
+    #1/#4, replacing the old drop-cap): (a) NOTHING is dropped — the
+    union of a bucket's shards is exactly its full membership, each
+    vector once per band; (b) every shard holds at most max_bucket
+    members and shard ids are dense from 0; (c) the shard assignment
+    follows the per-band-salted md5 rank bit-for-bit (replayed here
+    with hashlib, as the DuckDB oracle replays it with md5()); and
+    (d) the rank is the SALTED md5 order, not vec_id order — some hot
+    bucket's shard partition differs from contiguous vec_id chunking
+    (the r5-flagged bias where the binding always hit high ids)."""
+    import hashlib
+    import math
+
     emb = load_table(spark, SF_SMALL, "embeddings")
-    uncapped = similarity.capped_band_rows(emb, max_bucket=10**9)
-    capped = similarity.capped_band_rows(emb, max_bucket=3)
     full = {}
-    for r in uncapped.collect():
+    for r in similarity.sharded_band_rows(emb, max_bucket=10**9).collect():
+        assert r.shard == 0  # one giant shard when nothing is hot
         full.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
-    got = {}
-    for r in capped.collect():
-        got.setdefault((r.band_id, r.band_key), []).append(r.vec_id)
-    assert got  # cap must not empty the corpus
-    for key, ids in got.items():
-        assert len(ids) <= 3
-        assert sorted(ids) == sorted(full[key])[:3], key
+    got: dict = {}
+    for r in similarity.sharded_band_rows(emb, max_bucket=3).collect():
+        got.setdefault((r.band_id, r.band_key), {}).setdefault(
+            r.shard, []
+        ).append(r.vec_id)
+    assert got
+
+    def salted_order(band_id, ids):
+        return sorted(
+            ids,
+            key=lambda v: (
+                hashlib.md5(f"{band_id}:{v}".encode()).hexdigest(),
+                v,
+            ),
+        )
+
+    salted_beats_vec_id_order = False
+    for (band_id, band_key), shards in got.items():
+        members = [v for ids in shards.values() for v in ids]
+        # (a) lossless: union of shards == full bucket, no double-count
+        assert sorted(members) == sorted(full[(band_id, band_key)])
+        # (b) dense shard ids, each within the size bound
+        assert set(shards) == set(range(math.ceil(len(members) / 3)))
+        for ids in shards.values():
+            assert len(ids) <= 3
+        # (c) exact md5-rank replay: shard s holds salted-rank slots
+        # [3s, 3s+3)
+        order = salted_order(band_id, members)
+        for s, ids in shards.items():
+            assert sorted(ids) == sorted(order[3 * s : 3 * s + 3]), (
+                band_id,
+                band_key,
+                s,
+            )
+        # (d): the shard partition of some hot bucket must differ from
+        # plain vec_id chunking (the biased pre-r6 order)
+        by_vec_id = sorted(members)
+        if len(members) > 3 and any(
+            sorted(shards[s]) != sorted(by_vec_id[3 * s : 3 * s + 3])
+            for s in shards
+        ):
+            salted_beats_vec_id_order = True
+    assert salted_beats_vec_id_order, (
+        "md5 salt never deviated from vec_id order on any hot bucket"
+    )
 
 
 def test_banded_neardup_is_exact_on_candidates(spark):

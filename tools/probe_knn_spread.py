@@ -38,8 +38,8 @@ def main() -> None:
     # deterministic bucket-size histogram: how unbalanced is the
     # applyInPandas group layout the kernel must chew through?
     sizes = (
-        similarity.capped_band_rows(emb)
-        .groupBy("band_id", "band_key")
+        similarity.sharded_band_rows(emb)
+        .groupBy("band_id", "band_key", "shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.count(F.lit(1)).alias("n_buckets"),
