@@ -192,6 +192,57 @@ def _minhash_bands(sigs: DataFrame, carry_sigs: bool = False) -> DataFrame:
     ).select("doc_id", *carried, "band.band_id", "band.band_key")
 
 
+def minhash_coverage_report(
+    docs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """What the MINHASH_MAX_BUCKET cap DROPS — the "no silent caps"
+    monitoring twin of dedup_recall_report (VERDICT r5 #2): band
+    buckets hotter than the cap generate no candidates, so their rows
+    are excluded from all pairwise work. One-row report: how many band
+    rows exist, how many the cap excludes, and — the number a curation
+    run actually watches — how many DOCUMENTS retain at least one
+    surviving band row (a doc whose every band bucket is capped can
+    never be found as a near-dup). Columns: (n_band_rows,
+    n_dropped_rows, dropped_fraction, n_docs, n_docs_covered,
+    doc_coverage).
+
+    Shape: bucket counts via one partial+final hash agg; the surviving
+    check joins the band rows back on the same (band_id, band_key)
+    keys (one reused exchange); everything downstream is single-row
+    aggregates. Safe as a recurring 100 TB monitoring query."""
+    if max_bucket is None:
+        max_bucket = MINHASH_MAX_BUCKET
+    bands = _minhash_bands(minhash_signatures(docs))
+    bc = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("cnt"))
+    row_stats = bc.agg(
+        F.sum("cnt").alias("n_band_rows"),
+        F.sum(F.when(F.col("cnt") > max_bucket, F.col("cnt")).otherwise(0)).alias(
+            "n_dropped_rows"
+        ),
+    )
+    covered = (
+        bands.join(bc.filter(F.col("cnt") <= max_bucket), ["band_id", "band_key"])
+        .agg(F.countDistinct("doc_id").alias("n_docs_covered"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        row_stats.crossJoin(covered)
+        .crossJoin(n_docs)
+        .select(
+            "n_band_rows",
+            "n_dropped_rows",
+            F.round(F.col("n_dropped_rows") / F.col("n_band_rows"), 6).alias(
+                "dropped_fraction"
+            ),
+            "n_docs",
+            "n_docs_covered",
+            F.round(F.col("n_docs_covered") / F.col("n_docs"), 6).alias(
+                "doc_coverage"
+            ),
+        )
+    )
+
+
 MINHASH_MAX_BUCKET = 2048  #: band-bucket ceiling: buckets above this
 #: generate no candidates. The sf5 soak (TUNING.md round 4) showed why:
 #: candidate cost is Σ bucket², and a band key shared by thousands of

@@ -262,13 +262,18 @@ def ann_index_write(
     partitions (~LSH_BANDS/2^BAND_BITS of the data) via partition
     pruning, instead of re-planning the banding in-DAG per job.
 
-    Layout: 2^BAND_BITS·LSH_BANDS partition directories, each holding
-    (vec_id, embedding, shard) rows. At 100 TB each partition is
-    further split by parquet file sizing; ``shard`` rides as a normal
-    column for the pairwise consumers."""
-    sharded_band_rows(emb, max_bucket=max_bucket).write.mode(
-        "overwrite"
-    ).partitionBy("band_id", "band_key").parquet(path)
+    Layout: 2^BAND_BITS·LSH_BANDS partition directories keyed by
+    ``pkey = band_id || '_' || band_key`` (one STRING partition column:
+    a bare ``band_key`` directory value like ``0101`` would be
+    type-inferred back as the integer 101 on read; the underscore
+    keeps it textual and makes one IN-list predicate prune both
+    dimensions at once). band_id/band_key also ride as ordinary data
+    columns so consumers keep their original types; ``shard`` is a
+    normal column. At 100 TB each partition is further split by
+    parquet file sizing."""
+    sharded_band_rows(emb, max_bucket=max_bucket).withColumn(
+        "pkey", F.concat_ws("_", F.col("band_id"), F.col("band_key"))
+    ).write.mode("overwrite").partitionBy("pkey").parquet(path)
 
 
 def ann_index_topk(
@@ -284,32 +289,31 @@ def ann_index_topk(
     amortized across jobs and the candidate scan reads ONLY the query's
     probed (band_id, band_key) partitions.
 
-    Pruning mechanics: the query's ≤ LSH_BANDS (band_id, band_key,
-    shard) triples are read first and collected driver-side (a tiny
-    probe — ≤ 4 rows through a pushed vec_id filter), then spliced into
-    the main read as LITERAL partition predicates, which Spark turns
-    into static partition pruning (the plan's scan shows
-    PartitionFilters and a partition count ≤ LSH_BANDS — plan-gated in
+    Pruning mechanics: the query's ≤ LSH_BANDS (pkey, shard) pairs are
+    read first and collected driver-side (a tiny probe — ≤ 4 rows
+    through a pushed vec_id filter), then spliced into the main read as
+    a LITERAL ``pkey IN (...)`` partition predicate, which Spark turns
+    into static partition pruning — the scan touches ≤ LSH_BANDS of the
+    2^BAND_BITS·LSH_BANDS partition directories (the plan's scan shows
+    the IN-list under PartitionFilters — plan-gated in
     tests/test_plan_quality.py). This is the standard probe-then-prune
     index lookup; the probe cost is one small scan, not a shuffle."""
     idx = spark.read.parquet(index_path)
     probes = (
         idx.filter(F.col("vec_id") == query_vec_id)
-        .select("band_id", "band_key", "shard")
+        .select("pkey", "shard")
         .collect()
     )
-    pred = None
+    pkeys = sorted({p.pkey for p in probes}) or ["__none__"]
+    shard_pred = None
     for p in probes:
-        clause = (
-            (F.col("band_id") == p.band_id)
-            & (F.col("band_key") == p.band_key)
-            & (F.col("shard") == p.shard)
-        )
-        pred = clause if pred is None else (pred | clause)
-    if pred is None:  # query vector absent from the corpus
-        pred = F.lit(False)
+        clause = (F.col("pkey") == p.pkey) & (F.col("shard") == p.shard)
+        shard_pred = clause if shard_pred is None else (shard_pred | clause)
+    if shard_pred is None:  # query vector absent from the corpus
+        shard_pred = F.lit(False)
     cand_ids = (
-        idx.filter(pred)
+        idx.filter(F.col("pkey").isin(pkeys))  # the partition-pruning predicate
+        .filter(shard_pred)
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id")
         .distinct()

@@ -833,6 +833,169 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_coverage_report",
+    # one bucket-count agg over the band rows, rolled up per band —
+    # spill_rows is EXACTLY what the pre-r6 drop-cap excluded (now the
+    # rows participate in their own shard; only cross-shard pairs are
+    # lost); spill_fraction is the retuning signal for BAND_BITS
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    bc AS (SELECT band_id, band_key, count(*) AS cnt
+           FROM bands GROUP BY 1, 2)
+    SELECT band_id,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN cnt > {similarity.MAX_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_buckets,
+           CAST(sum((cnt + {similarity.MAX_BUCKET} - 1)
+                    // {similarity.MAX_BUCKET}) AS BIGINT) AS n_shards,
+           CAST(sum(greatest(cnt - {similarity.MAX_BUCKET}, 0)) AS BIGINT)
+               AS spill_rows,
+           round(sum(greatest(cnt - {similarity.MAX_BUCKET}, 0)) * 1.0
+                 / sum(cnt), 6) AS spill_fraction
+    FROM bc GROUP BY band_id
+    """,
+)
+def ann_lsh_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-LSH sharding/coverage report (VERDICT r5 #2 — the vector
+    twin of dedup_recall_report's "no silent caps" hygiene): per band,
+    bucket counts, how many buckets run hot enough to shard, and the
+    spill — the rows beyond MAX_BUCKET per bucket that the pre-r6
+    drop-cap silently excluded and sharding now keeps (at the cost of
+    cross-shard pairs only). A pipeline watches spill_fraction to
+    decide when to raise BAND_BITS. See
+    operators/similarity.py:band_coverage_report."""
+    return similarity.band_coverage_report(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "minhash_coverage_report",
+    # sh/sig/bands are the exact _MINHASH_PAIR_CTES front-end; buckets
+    # with cnt > MINHASH_MAX_BUCKET generate no candidates, so their
+    # rows — and any doc whose EVERY band bucket is hot — are what the
+    # cap silently drops from text near-dup recall
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
+    bands AS ({_BANDS_UNION}),
+    bc AS (SELECT band_id, band_key, count(*) AS cnt
+           FROM bands GROUP BY 1, 2),
+    rowstats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_band_rows,
+             CAST(sum(CASE WHEN cnt > {dedup.MINHASH_MAX_BUCKET}
+                           THEN cnt ELSE 0 END) AS BIGINT) AS n_dropped_rows
+      FROM bc),
+    surv AS (
+      SELECT count(DISTINCT b.doc_id) AS n_docs_covered
+      FROM bands b JOIN bc ON b.band_id = bc.band_id
+                          AND b.band_key = bc.band_key
+      WHERE bc.cnt <= {dedup.MINHASH_MAX_BUCKET}),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT n_band_rows, n_dropped_rows,
+           round(n_dropped_rows * 1.0 / n_band_rows, 6) AS dropped_fraction,
+           n_docs, n_docs_covered,
+           round(n_docs_covered * 1.0 / n_docs, 6) AS doc_coverage
+    FROM rowstats, surv, nd
+    """,
+)
+def minhash_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH cap coverage report (VERDICT r5 #2): what the
+    MINHASH_MAX_BUCKET band-bucket ceiling drops — band rows in hot
+    buckets, and documents left with NO surviving band row (such a doc
+    can never be found as a near-dup). Complements dedup_recall_report,
+    which measures end-to-end pair recall on corpora small enough to
+    brute-force; this report is the cap-specific signal that stays
+    computable at 100 TB. See
+    operators/dedup.py:minhash_coverage_report."""
+    return dedup.minhash_coverage_report(load_table(spark, sf_dir, "documents"))
+
+
+def _ann_index_path(sf_dir: str) -> str:
+    """Deterministic on-disk location for the persisted ANN index of a
+    given sf_dir — under the repo's spark-warehouse (the same scratch
+    area the bucketed-join tables use), keyed by the sf tag so
+    different scale factors never collide."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(repo_root, "spark-warehouse", f"ann_index_{tag}")
+
+
+@register(
+    "ann_index_build",
+    # the summary is read BACK from the written files (proving the
+    # write), but is semantically just the per-band band-row counts —
+    # which is what the oracle computes from the bands CTE
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL})
+    SELECT band_id, CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+           count(*) AS n_rows
+    FROM bands GROUP BY band_id
+    """,
+)
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index build (VERDICT r5 #3 — the cross-job
+    amortization the in-DAG ANN queries can't give): write the sharded
+    band rows partitioned by pkey = band_id||'_'||band_key, so
+    subsequent queries scan only their probed partitions. Returns the
+    per-band summary (band_id, n_keys, n_rows) read back from the
+    written files. At 100 TB this job is the one full-corpus banding
+    pass; every retrieval job after it is partition-pruned. See
+    operators/similarity.py:ann_index_write."""
+    path = _ann_index_path(sf_dir)
+    similarity.ann_index_write(load_table(spark, sf_dir, "embeddings"), path)
+    idx = spark.read.parquet(path)
+    return idx.groupBy("band_id").agg(
+        F.countDistinct("band_key").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "ann_index_topk",
+    # result-identical to ann_lsh_topk (same bands, same sharding, same
+    # candidates) — the index changes WHERE the bands live (parquet
+    # partitions, pruned) not WHAT they contain, so the oracle is the
+    # same banded-candidate query computed from the embeddings table
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    qb AS (SELECT band_id, band_key, shard FROM capped WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id FROM capped c
+      JOIN qb ON c.band_id = qb.band_id AND c.band_key = qb.band_key
+             AND c.shard = qb.shard
+      WHERE c.vec_id <> 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served FROM the persisted index: build (or refresh)
+    the partitioned index, then answer the query by reading ONLY its
+    probed pkey partitions — the probe-then-prune lookup whose scan is
+    partition-pruned (plan-gated). Result-identical to ann_lsh_topk;
+    what changes is that the banding work is amortized across jobs
+    instead of re-planned in-DAG per query. See
+    operators/similarity.py:ann_index_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir)
+    similarity.ann_index_write(emb, path)
+    return similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

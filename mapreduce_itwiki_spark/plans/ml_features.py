@@ -1034,6 +1034,31 @@ ALLPAIRS_MAX_DF = 100  #: stop-shingle ceiling on the PREFIX INDEX — the
 #: boilerplate in their rarest shingles. The cap is part of the operator
 #: semantics and the oracle replays it.
 
+#: shared AllPairs oracle front-end (shingles → global DF → rarest-
+#: first rank) — single-sourced so allpairs_prefix_jaccard and
+#: allpairs_coverage_report provably grade the same candidate
+#: semantics (the SQL twin of :func:`_allpairs_prefix_rows`)
+_AP_BASE_CTES = """t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                    ' '))) AS s
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM t),
+    dfreq AS (SELECT g, count(*) AS df FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT tok.doc_id, tok.g, tok.n, dfreq.df,
+             row_number() OVER (PARTITION BY tok.doc_id
+                                ORDER BY dfreq.df, tok.g) AS r
+      FROM tok JOIN dfreq USING (g))"""
+
+#: exact-integer prefix-membership bound ⌈τn⌉ via (NUM·n+NUM) div DEN
+_AP_PREF_COND = (
+    f"r <= n - ({ALLPAIRS_TAU_NUM} * n + {ALLPAIRS_TAU_NUM})"
+    f" // {ALLPAIRS_TAU_DEN} + 1"
+)
+
 
 # --------------------------------------------------------------------------
 @register(
@@ -1050,24 +1075,10 @@ ALLPAIRS_MAX_DF = 100  #: stop-shingle ceiling on the PREFIX INDEX — the
     # cap's own semantics are pinned by
     # test_allpairs_df_cap_drops_boilerplate_candidates.
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
-                                    ' '))) AS s
-      FROM documents),
-    tok AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM t),
-    dfreq AS (SELECT g, count(*) AS df FROM tok GROUP BY 1),
-    ranked AS (
-      SELECT tok.doc_id, tok.g, tok.n, dfreq.df,
-             row_number() OVER (PARTITION BY tok.doc_id
-                                ORDER BY dfreq.df, tok.g) AS r
-      FROM tok JOIN dfreq USING (g)),
+    WITH {_AP_BASE_CTES},
     pref AS (
       SELECT doc_id, g, n, r FROM ranked
-      WHERE r <= n - ({ALLPAIRS_TAU_NUM} * n + {ALLPAIRS_TAU_NUM})
-                     // {ALLPAIRS_TAU_DEN} + 1
+      WHERE {_AP_PREF_COND}
         AND df <= {ALLPAIRS_MAX_DF}),
     cands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               FROM pref a JOIN pref b
@@ -1122,22 +1133,15 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_pipeline(docs)
 
 
-def allpairs_pipeline(
-    docs: DataFrame, max_df: int | None = ALLPAIRS_MAX_DF
-) -> DataFrame:
-    """The AllPairs prefix-filter join over any (doc_id, text) frame —
-    separated from the catalog entry so the adversarial boundary-case
-    tests (exact-τ corpora, one-token docs, duplicates) can run it on
-    constructed inputs. See allpairs_prefix_jaccard for the story.
-
-    ``max_df`` (default ``ALLPAIRS_MAX_DF``) drops prefix-INDEX entries
-    whose global document frequency exceeds it — the scale guard that
-    bounds the self-join at Σ_capped bucket² ≤ docs·max_df on corpora
-    where even the rarest-first prefix ordering lands on near-universal
-    shingles (boilerplate-dense text). Verification is unchanged: full
-    distinct shingle sets, exact rational τ. ``max_df=None`` restores
-    the unguarded textbook algorithm (kept for the completeness-proof
-    tests against the brute-force definition)."""
+def _allpairs_prefix_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared AllPairs front-end: (shingle rows ``ex`` (doc_id, g),
+    PRE-cap prefix rows (doc_id, n, p, df, g)) — prefix membership is
+    decided on the full rarest-first (df, g) order with the exact
+    integer ⌈τn⌉, BEFORE any DF cap, so a capped shingle never shifts
+    which other shingles count as "prefix". Split out so the join
+    (:func:`allpairs_pipeline`) and the cap-coverage report
+    (:func:`allpairs_coverage_report`) provably share one candidate
+    semantics."""
     # codegen shingle rows (dedup.shingle_rows rationale: the HOF array
     # path evaluates interpreted per element — ~90 s/pass at sf5)
     ex = dedup.shingle_rows(docs, distinct=True)
@@ -1173,6 +1177,26 @@ def allpairs_pipeline(
             F.col("e.g").alias("g"),
         )
     )
+    return ex, prefix
+
+
+def allpairs_pipeline(
+    docs: DataFrame, max_df: int | None = ALLPAIRS_MAX_DF
+) -> DataFrame:
+    """The AllPairs prefix-filter join over any (doc_id, text) frame —
+    separated from the catalog entry so the adversarial boundary-case
+    tests (exact-τ corpora, one-token docs, duplicates) can run it on
+    constructed inputs. See allpairs_prefix_jaccard for the story.
+
+    ``max_df`` (default ``ALLPAIRS_MAX_DF``) drops prefix-INDEX entries
+    whose global document frequency exceeds it — the scale guard that
+    bounds the self-join at Σ_capped bucket² ≤ docs·max_df on corpora
+    where even the rarest-first prefix ordering lands on near-universal
+    shingles (boilerplate-dense text). Verification is unchanged: full
+    distinct shingle sets, exact rational τ. ``max_df=None`` restores
+    the unguarded textbook algorithm (kept for the completeness-proof
+    tests against the brute-force definition)."""
+    ex, prefix = _allpairs_prefix_rows(docs)
     if max_df is not None:
         # the DF cap: prefix membership is decided FIRST (on the full
         # rarest-first order), then near-universal entries are removed
@@ -1249,6 +1273,81 @@ def allpairs_pipeline(
             )
             + 0.0
         ).alias("jacc"),
+    )
+
+
+@register(
+    "allpairs_coverage_report",
+    # same t/tok/dfreq/ranked front-end as allpairs_prefix_jaccard
+    # (single-sourced _AP_BASE_CTES), graded PRE-cap so the report
+    # measures exactly what the df <= ALLPAIRS_MAX_DF filter excludes
+    oracle=f"""
+    WITH {_AP_BASE_CTES},
+    pref AS (SELECT doc_id, df FROM ranked WHERE {_AP_PREF_COND}),
+    estats AS (
+      SELECT count(*) AS n_prefix_entries,
+             CAST(sum(CASE WHEN df > {ALLPAIRS_MAX_DF} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_capped_entries
+      FROM pref),
+    perdoc AS (
+      SELECT doc_id,
+             max(CASE WHEN df <= {ALLPAIRS_MAX_DF} THEN 1 ELSE 0 END) AS any_kept
+      FROM pref GROUP BY doc_id),
+    dstats AS (SELECT count(*) AS n_docs,
+                      CAST(sum(any_kept) AS BIGINT) AS n_docs_covered
+               FROM perdoc)
+    SELECT n_prefix_entries, n_capped_entries,
+           round(n_capped_entries * 1.0 / n_prefix_entries, 6) AS capped_fraction,
+           n_docs, n_docs_covered,
+           round(n_docs_covered * 1.0 / n_docs, 6) AS doc_coverage
+    FROM estats, dstats
+    """,
+)
+def allpairs_coverage_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the ALLPAIRS_MAX_DF stop-shingle cap DROPS from the prefix
+    index — the "no silent caps" monitoring twin of dedup_recall_report
+    for the AllPairs join (VERDICT r5 #2). One-row report: prefix-index
+    entries pre-cap, entries the cap excludes, and — the recall-shaped
+    number — how many documents keep at least one indexed prefix entry
+    (a doc whose ENTIRE prefix is capped can never appear in any
+    candidate pair). A curation run watches capped_fraction /
+    doc_coverage at the target corpus before trusting the capped join's
+    recall; TUNING.md records it at sf5/sf20."""
+    return allpairs_coverage_report(load_table(spark, sf_dir, "documents"))
+
+
+def allpairs_coverage_report(
+    docs: DataFrame, max_df: int = ALLPAIRS_MAX_DF
+) -> DataFrame:
+    """See :func:`allpairs_coverage_report_query`. Shape: the shared
+    prefix front-end (one DF join + per-doc bounded sort), then
+    single-row aggregates — no pairwise work, safe as a recurring
+    monitoring query at full scale."""
+    _, prefix = _allpairs_prefix_rows(docs)
+    estats = prefix.agg(
+        F.count(F.lit(1)).alias("n_prefix_entries"),
+        F.sum(F.when(F.col("df") > max_df, 1).otherwise(0)).alias(
+            "n_capped_entries"
+        ),
+    )
+    perdoc = prefix.groupBy("doc_id").agg(
+        F.max(F.when(F.col("df") <= max_df, 1).otherwise(0)).alias("any_kept")
+    )
+    dstats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("any_kept").alias("n_docs_covered"),
+    )
+    return estats.crossJoin(dstats).select(
+        "n_prefix_entries",
+        "n_capped_entries",
+        F.round(F.col("n_capped_entries") / F.col("n_prefix_entries"), 6).alias(
+            "capped_fraction"
+        ),
+        "n_docs",
+        "n_docs_covered",
+        F.round(F.col("n_docs_covered") / F.col("n_docs"), 6).alias(
+            "doc_coverage"
+        ),
     )
 
 

@@ -1494,3 +1494,47 @@ def test_batch_pq_equals_single_query_loop(spark):
             for r in similarity.pq_topk(emb, query_vec_id=q, k=10).collect()
         )
         assert batch.get(q, []) == single, q
+
+
+def test_ann_index_topk_matches_in_dag_lsh(spark, tmp_path):
+    """The persisted index changes WHERE the band rows live, not WHAT
+    they contain: ann_index_topk over the written partitions must equal
+    lsh_bucket_topk's in-DAG answer row for row, and the index read
+    must touch at most LSH_BANDS partition directories."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "annidx")
+    similarity.ann_index_write(emb, path)
+    got = similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
+    want = similarity.lsh_bucket_topk(emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+
+
+def test_band_coverage_report_matches_shard_assignment(spark):
+    """The coverage report's numbers must be DERIVABLE from the actual
+    shard assignment (same constants, same semantics): recompute every
+    column from sharded_band_rows at a small max_bucket and compare."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rep = {
+        r.band_id: r
+        for r in similarity.band_coverage_report(emb, max_bucket=3).collect()
+    }
+    per: dict = {}
+    for r in similarity.sharded_band_rows(emb, max_bucket=3).collect():
+        per.setdefault(r.band_id, {}).setdefault(r.band_key, []).append(r.shard)
+    assert set(per) == set(rep)
+    for band_id, buckets in per.items():
+        row = rep[band_id]
+        assert row.n_rows == sum(len(v) for v in buckets.values())
+        assert row.n_buckets == len(buckets)
+        assert row.n_hot_buckets == sum(
+            1 for v in buckets.values() if len(v) > 3
+        )
+        assert row.n_shards == sum(1 + max(v) for v in buckets.values())
+        spill = sum(sum(1 for s in v if s > 0) for v in buckets.values())
+        assert row.spill_rows == spill
+        assert abs(row.spill_fraction - round(spill / row.n_rows, 6)) < 1e-9
+    # at least one band must actually shard at max_bucket=3, or the
+    # test proves nothing
+    assert any(r.n_hot_buckets > 0 for r in rep.values())
