@@ -66,6 +66,12 @@ HEADLINE = [
     # parse->linkcount) gets a recorded wall-time trend, not just
     # correctness artifacts
     "wiki_xml_roundtrip",
+    # round 12 additions (driver round 6): the persisted-index lookup
+    # (includes the index write — the amortized-read story lives in the
+    # plan gate), perceptual image dedup, and AA link prediction
+    "ann_index_topk",
+    "multimodal_dedup_phash",
+    "adamic_adar_link_prediction",
 ]
 
 

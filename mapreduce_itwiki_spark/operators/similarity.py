@@ -519,7 +519,7 @@ def ivf_topk(
     k: int = 10,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
-    sample_mod: int | None = None,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
 ) -> DataFrame:
     """IVF ANN top-k — the third member of the similarity trio
     (brute-force exact, LSH-banded, IVF coarse-quantized), and the
@@ -650,7 +650,7 @@ def pq_topk(
     query_vec_id: int = 0,
     k: int = 10,
     rerank: int = PQ_RERANK,
-    sample_mod: int | None = None,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
 ) -> DataFrame:
     """Product-quantization ANN top-k (FAISS PQ/ADC shape), the fourth
     member of the similarity family: train per-subspace codebooks,
@@ -892,7 +892,7 @@ def ivf_batch_topk(
     k: int = 10,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
-    sample_mod: int | None = None,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
 ) -> DataFrame:
     """Batch IVF ANN top-k: the queries-as-a-DataFrame lift of
     :func:`ivf_topk`. The quantizer is trained ONCE (optionally on the
@@ -950,7 +950,7 @@ def pq_batch_topk(
     queries: DataFrame,
     k: int = 10,
     rerank: int = PQ_RERANK,
-    sample_mod: int | None = None,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
 ) -> DataFrame:
     """Batch PQ ANN top-k: the queries-as-a-DataFrame lift of
     :func:`pq_topk`, completing the batch family (LSH / IVF / PQ).

@@ -63,12 +63,12 @@ _PRIORITY: tuple[str, ...] = (
     "two_stage_agg",
     "wiki_incoming_refs_salted",
     "wiki_incoming_refs_sql",
-    # --- round-5 rotation (VERDICT r4 ask #5): the 14 reference slots
-    # above stay pinned; the 36 ⊕/relational/streaming slots below are
-    # ALL fresh picks (none appeared in r03's or r04's 50), so
-    # r03 ∪ r04 ∪ r05 accumulates driver-grade sf0.01 evidence on
-    # 86 + 36 = 122 distinct queries (target ≥ 120) while every family
-    # keeps a representative. Rotated out but still judge-swept —
+    # --- round-6 rotation (VERDICT r5 ask #7): the 14 reference slots
+    # above stay pinned; the 36 slots below are ALL fresh picks (none
+    # in r03/r04/r05's 122 driver-checked names), so
+    # r03 ∪ r04 ∪ r05 ∪ r06 accumulates driver-grade sf0.01 evidence on
+    # 122 + 36 = 158 distinct queries (target ≥ 158). Rotated out but
+    # still judge-swept —
     # r03's 36: naive_bayes_langid; dedup_exact, doc_fingerprints,
     # minhash_signature, dedup_minhash_lsh, dedup_ngram_jaccard,
     # simhash_signature, dedup_simhash; ann_cosine_topk, ann_lsh_topk,
@@ -98,53 +98,71 @@ _PRIORITY: tuple[str, ...] = (
     # q18_large_volume_customer, q9_product_type_profit,
     # asof_join_last_click, sessionize; streaming_stream_stream_join,
     # streaming_dedup_watermark.
-    # ⊕ feature engineering / model fitting (4)
-    "chi2_feature_selection",
-    "logreg_gd_steps",
-    "market_basket_rules",
-    "tree_split_histogram",
-    # ⊕ dedup (5)
-    "remove_duplicate_spans",
-    "remove_duplicate_blocks",
-    "neardup_cluster_sizes",
-    "dedup_recall_report",
-    "embedding_neardup_apply_keep",
-    # ⊕ similarity search (4 — the round-5 additions: batch ANN and
-    # sampled quantizer training, VERDICT r4 asks #3/#4)
-    "ann_batch_topk",
-    "ann_batch_ivf_topk",
-    "ann_ivf_sampled",
-    "ann_pq_sampled",
-    # ⊕ multimodal (3)
-    "multimodal_features",
-    "multimodal_audio_resample",
-    "multimodal_resize_pool",
-    # ⊕ text analysis (3)
-    "tokenizer_fertility_by_lang",
-    "pmi_collocations",
-    "ngram_diversity_report",
-    # ⊕ graph / iterative (3)
-    "weighted_shortest_path",
-    "recursive_cte_dup_closure",
-    "als_half_step",
-    # ⊕ training-data curation (5)
-    "curate_and_pack_pipeline",
-    "sample_stratified_hash",
-    "chunk_documents_cdc",
-    "decontaminate_semantic",
-    "domain_mix_weights",
-    # relational (5 — incl. the skew-salted join and the range join)
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "salted_join_orders_lineitem",
-    "range_join_event_pairs",
-    # advanced relational / sketches (2)
-    "asof_join_cogrouped",
-    "hll_sketch_union",
-    # ⊕ streaming (2)
-    "streaming_sessionize_stateful",
-    "streaming_sliding_counts",
+    # r05's 36: chi2_feature_selection, logreg_gd_steps,
+    # market_basket_rules, tree_split_histogram;
+    # remove_duplicate_spans, remove_duplicate_blocks,
+    # neardup_cluster_sizes, dedup_recall_report,
+    # embedding_neardup_apply_keep; ann_batch_topk,
+    # ann_batch_ivf_topk, ann_ivf_sampled (now ann_ivf_topk's
+    # semantics — r5 #8 flipped the training defaults),
+    # ann_pq_sampled (likewise); multimodal_features,
+    # multimodal_audio_resample, multimodal_resize_pool;
+    # tokenizer_fertility_by_lang, pmi_collocations,
+    # ngram_diversity_report; weighted_shortest_path,
+    # recursive_cte_dup_closure, als_half_step;
+    # curate_and_pack_pipeline, sample_stratified_hash,
+    # chunk_documents_cdc, decontaminate_semantic, domain_mix_weights;
+    # q2_min_cost_supplier, q17_small_quantity_revenue,
+    # q21_waiting_suppliers, salted_join_orders_lineitem,
+    # range_join_event_pairs; asof_join_cogrouped, hll_sketch_union;
+    # streaming_sessionize_stateful, streaming_sliding_counts.
+    # ⊕ similarity / ANN — this round's new surface first (8)
+    "ann_batch_pq_topk",
+    "ann_ivf_full_train",
+    "ann_pq_full_train",
+    "ann_index_build",
+    "ann_index_topk",
+    "ann_lsh_coverage_report",
+    "embedding_int8_quantize",
+    "embedding_pca_project",
+    # ⊕ dedup cap coverage + perceptual image dedup (3 — phash is this
+    # round's new multimodal×dedup operator)
+    "minhash_coverage_report",
+    "allpairs_coverage_report",
+    "multimodal_dedup_phash",
+    # ⊕ text analysis (4)
+    "repetition_quality",
+    "normalize_text_pipeline",
+    "top_tokens_per_lang",
+    "bigram_logprob_scoring",
+    # ⊕ feature engineering / model evaluation (4)
+    "feature_hash_vectorize",
+    "target_encode_loo",
+    "naive_bayes_confusion",
+    "classifier_pr_curve",
+    # ⊕ training-data curation (4)
+    "chunk_documents_overlap",
+    "quality_blend_zscore",
+    "bpe_encode_tokens",
+    "resample_apply_mix",
+    # ⊕ graph (1 — this round's new link-prediction operator)
+    "adamic_adar_link_prediction",
+    # relational — TPC-H tail (4)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q22_global_sales_opportunity",
+    # advanced relational (4 — bucketed/bloom/lateral/partition-prune)
+    "join_orders_lineitem_bucketed",
+    "bloom_runtime_filter_join",
+    "lateral_topk_per_customer",
+    "partitioned_events_prune",
+    # sketches (1)
+    "countmin_heavy_hitters",
+    # ⊕ streaming (3)
+    "streaming_enrich_join",
+    "streaming_foreach_batch_upsert",
+    "streaming_chained_windows",
 )
 
 

@@ -667,13 +667,17 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality, topic) every large curation pipeline runs: per-language
     Laplace-smoothed token log-likelihoods fitted on the corpus itself,
     every document scored against ALL candidate languages, argmax
-    prediction checked against the true label. Scale shape: the model
-    is two grouped counts (∝ vocabulary, not corpus — broadcastable in
-    production); scoring fans the token stream out by the 5 candidate
-    languages (a bounded ×|classes| map), joins the model on
-    high-cardinality (lang, token), and reduces per (doc, lang) — every
-    shuffle key is high-cardinality, no low-cardinality windows except
-    the 5-row-per-doc argmax. Determinism: the log-likelihoods are
+    prediction checked against the true label. Scale shape (the r5
+    single-exchange rewrite — see _nb_predictions): the model is two
+    grouped counts (∝ vocabulary, not corpus — broadcastable in
+    production), collapsed to ONE row per token carrying its
+    (class, logp) entry list; the corpus token stream joins it ONCE on
+    tok (the only corpus-sized exchange) and the entries explode
+    straight into the map-side-combined (doc, class) partial
+    aggregation, so the ×|classes| fan-out never reaches a shuffle;
+    classes missing a token contribute their default log-prob via the
+    exact identity logp0 · (T_doc − matched_count), computed map-side
+    from the document itself. Determinism: the log-likelihoods are
     single ln() calls on exact integer ratios rounded at 7 dp (engines'
     ln agree to the last ulp — far inside the rounding), per-doc sums
     of those identical values are rounded at 7 dp — the model grid's

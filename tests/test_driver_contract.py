@@ -55,12 +55,15 @@ def test_priority_slots_cover_every_family():
             "gopher_quality_rules", "token_entropy_quality",
             "char_trigram_langid", "tokenizer_fertility_by_lang",
             "pmi_collocations", "ngram_diversity_report",
+            "repetition_quality", "normalize_text_pipeline",
+            "top_tokens_per_lang", "bigram_logprob_scoring",
         },
         "graph": lambda n: n in {
             "dedup_connected_components", "pagerank_linkgraph",
             "kcore_membership", "label_propagation_communities",
             "bfs_hop_distance", "triangle_count",
             "weighted_shortest_path", "recursive_cte_dup_closure",
+            "adamic_adar_link_prediction",
         },
         "curation": lambda n: n in {
             "token_budget_head", "pack_documents_greedy", "curate_corpus",
@@ -69,7 +72,9 @@ def test_priority_slots_cover_every_family():
             "tfidf_top_terms", "shuffle_shard_order",
             "curate_and_pack_pipeline", "sample_stratified_hash",
             "chunk_documents_cdc", "decontaminate_semantic",
-            "domain_mix_weights",
+            "domain_mix_weights", "chunk_documents_overlap",
+            "quality_blend_zscore", "bpe_encode_tokens",
+            "resample_apply_mix",
         },
         "relational": lambda n: n.startswith("q") and n[1].isdigit()
         or n in {"join_orders_lineitem", "sessionize", "asof_join_last_click"},

@@ -996,7 +996,11 @@ def test_ann_sampled_training_filters_before_lloyd(spark):
         tplan = buf.getvalue()
         assert "md5" in tplan
         assert "CartesianProduct" not in tplan
-    for name in ("ann_ivf_sampled", "ann_pq_sampled"):
+    # sampled training is the DEFAULT since r6 (VERDICT r5 #8):
+    # ann_ivf_topk / ann_pq_topk are the sampled entries; the
+    # *_full_train twins keep the full-corpus training oracle
+    for name in ("ann_ivf_topk", "ann_pq_topk", "ann_ivf_full_train",
+                 "ann_pq_full_train"):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "LeftSemi" in plan, name

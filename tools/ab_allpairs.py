@@ -8,8 +8,8 @@ Recorded runs (TUNING.md): sf5z old [93.6, 89.3] vs ppjoin [96.4,
 
 Usage: python tools/ab_allpairs.py SF_DIR
 """
-import sys, time
-sys.path.insert(0, '/root/repo')
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from mapreduce_itwiki_spark.session import get_spark
 from mapreduce_itwiki_spark.sources.parquet import load_table

@@ -66,6 +66,18 @@ SOAK = [
     # skew plants in the generated data exercise these specifically
     "salted_join_orders_lineitem",
     "dedup_connected_components",
+    # round-6 additions: the batch-ANN family (no sf20 row in r5 —
+    # VERDICT r5 #6), the persisted-index lookup, the cap-coverage
+    # monitors, and the two new family operators
+    "ann_batch_topk",
+    "ann_batch_ivf_topk",
+    "ann_batch_pq_topk",
+    "ann_index_topk",
+    "ann_lsh_coverage_report",
+    "minhash_coverage_report",
+    "allpairs_coverage_report",
+    "multimodal_dedup_phash",
+    "adamic_adar_link_prediction",
 ]
 
 

@@ -53,10 +53,16 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
         times.append(round(time.perf_counter() - t0, 2))
-    results["pipeline_sec"] = min(times)
+    # keys carry the statistic in their NAME (ADVICE r5: r4 recorded a
+    # single pass under the bare "pipeline_sec" key and r5 silently
+    # switched it to min-of-3 — cross-round trend readers must compare
+    # min-vs-min / median-vs-median, never bare-vs-min)
+    times_sorted = sorted(times)
+    results["pipeline_sec_min"] = times_sorted[0]
+    results["pipeline_sec_median"] = times_sorted[len(times_sorted) // 2]
     results["pipeline_times"] = times
-    results["scan_mb_per_sec"] = round(
-        n_bytes / 1e6 / results["pipeline_sec"], 1
+    results["scan_mb_per_sec_at_min"] = round(
+        n_bytes / 1e6 / results["pipeline_sec_min"], 1
     )
 
     # 2. stage cardinalities (separate actions; timed together)
