@@ -102,6 +102,17 @@ def main() -> None:
                 break
             if times[-1] > 120:
                 break  # completion evidence is the point; skip the repeat
+        # Driver-GC between queries: Spark's ContextCleaner deletes a
+        # query's shuffle files only when their driver-side references
+        # are COLLECTED — in a 44-query single-JVM soak the heavy
+        # near-dup passes otherwise leave tens of GB of shuffle data
+        # (and page-cache pollution) that inflated later queries ~3×
+        # (r6 measurement: neardup_apply_keep 97 s mid-battery vs
+        # 25.4 s fresh-JVM; kcore 16.4 vs 5.4). One System.gc() per
+        # query bounds the leak while keeping the same-JVM trend
+        # methodology.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         results[name] = {
             "min": min(times) if times else None,
             "times": times,
