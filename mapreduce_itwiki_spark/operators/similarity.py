@@ -324,6 +324,67 @@ def ann_index_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def ann_index_batch_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """BATCH ANN against the persisted index: the queries-as-a-DataFrame
+    lift of :func:`ann_index_topk`, result-identical to
+    :func:`lsh_batch_topk`. ONE probe pass reads the queries' band rows
+    (≤ LSH_BANDS rows per query, pushed vec_id semi-join), their
+    (qid, pkey, shard) triples are collected driver-side (tiny: 4·|Q|
+    rows), and the candidate scan reads ONLY the union of the probed
+    pkey partitions via a literal IN-list — static partition pruning
+    for the whole batch, the persisted twin of ivf_batch_topk's
+    "one partition-pruned scan for the whole query batch" promise.
+    Columns: (qid, vec_id, label, cosine), per-qid top-k under
+    (cosine desc, vec_id)."""
+    idx = spark.read.parquet(index_path)
+    q_ids = queries.select("qid")
+    probe_rows = (
+        idx.join(F.broadcast(q_ids), idx["vec_id"] == q_ids["qid"])
+        .select("qid", "pkey", "shard")
+        .collect()
+    )
+    pkeys = sorted({r.pkey for r in probe_rows}) or ["__none__"]
+    probes = spark.createDataFrame(
+        [(r.qid, r.pkey, r.shard) for r in probe_rows] or [(None, "__none__", -1)],
+        "qid long, pkey string, shard long",
+    )
+    cand = (
+        idx.filter(F.col("pkey").isin(pkeys))  # the partition-pruning predicate
+        .join(F.broadcast(probes), ["pkey", "shard"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    qv = ev.join(F.broadcast(q_ids), ev["vec_id"] == q_ids["qid"]).select(
+        "qid", F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )
+
+
 def with_cosine_to_query(emb: DataFrame, query: DataFrame) -> DataFrame:
     """Attach cosine(embedding, query) — broadcast nested-loop join with a
     1-row build side, i.e. a pure map stage."""

@@ -967,6 +967,51 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_batch_topk",
+    # result-identical to ann_batch_topk (same bands, sharding, and
+    # per-qid candidates) — the persisted index changes WHERE the band
+    # rows live (pruned parquet partitions), not WHAT they contain
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    qb AS (SELECT vec_id AS qid, band_id, band_key, shard FROM capped
+           WHERE vec_id < {_ANN_BATCH_NQ}),
+    cand AS (SELECT DISTINCT qb.qid, c.vec_id
+             FROM capped c JOIN qb
+               ON c.band_id = qb.band_id AND c.band_key = qb.band_key
+              AND c.shard = qb.shard
+             WHERE c.vec_id <> qb.qid),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_BATCH_NQ}),
+    scored AS (SELECT cand.qid, e.vec_id, e.label, {_COSINE_SQL} AS cosine
+               FROM cand JOIN e ON e.vec_id = cand.vec_id
+                         JOIN q ON q.qid = cand.qid)
+    SELECT qid, vec_id, label, cosine FROM (
+      SELECT qid, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN served FROM the persisted index: eight queries, one
+    probe pass, one candidate scan restricted to the union of the
+    probed pkey partitions (literal IN-list ⇒ static partition pruning
+    for the whole batch, plan-gated). Completes the persisted-index
+    story (VERDICT r5 #3): build once, then both single-query and
+    batch retrieval read only their probed partitions. See
+    operators/similarity.py:ann_index_batch_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir)
+    similarity.ann_index_write(emb, path)
+    queries = emb.filter(F.col("vec_id") < _ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("qid")
+    )
+    return similarity.ann_index_batch_topk(spark, path, emb, queries, k=10)
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

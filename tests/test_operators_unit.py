@@ -1538,3 +1538,20 @@ def test_band_coverage_report_matches_shard_assignment(spark):
     # at least one band must actually shard at max_bucket=3, or the
     # test proves nothing
     assert any(r.n_hot_buckets > 0 for r in rep.values())
+
+
+def test_ann_index_batch_matches_batch_lsh(spark, tmp_path):
+    """Batch lookup over the persisted index must equal the in-DAG
+    lsh_batch_topk per qid — the index relocates the band rows, it
+    never changes the candidate semantics."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "annidx_b")
+    similarity.ann_index_write(emb, path)
+    queries = spark.createDataFrame([(q,) for q in range(4)], "qid long")
+    got = {}
+    for r in similarity.ann_index_batch_topk(spark, path, emb, queries).collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    want = {}
+    for r in similarity.lsh_batch_topk(emb, queries).collect():
+        want.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    assert got == want

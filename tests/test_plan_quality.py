@@ -1035,3 +1035,15 @@ def test_coverage_reports_never_do_pairwise_work(spark):
         assert "CartesianProduct" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_ann_index_batch_scan_is_partition_pruned(spark):
+    """The batch index lookup must keep the literal pkey IN-list on the
+    candidate scan (one pruned scan for the whole query batch) and rank
+    per-qid top-k as WindowGroupLimit."""
+    plan = plan_of(spark, "ann_index_batch_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
