@@ -1081,3 +1081,65 @@ def pq_batch_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "label", "cosine")
     )
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    nlist: int = IVF_NLIST,
+    sample_mod: int | None = None,
+) -> None:
+    """Persist the IVF index: inverted lists as (vec_id, label,
+    embedding) rows PARTITIONED BY cid — the exact shape
+    :func:`ivf_assign`'s docstring promises for 100 TB ("persist it
+    partitioned by cid so a query scans only its nprobe cells"), now
+    implemented (the IVF twin of :func:`ann_index_write`). The
+    centroids ride along in a ``_centroids`` subdirectory so the query
+    path needs no retraining. cid is an integer partition value, so
+    directory-name type inference round-trips it exactly."""
+    if sample_mod is None:
+        sample_mod = TRAIN_SAMPLE_MOD
+    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+        eager=False
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    lists = ivf_assign(emb, cents)
+    emb.join(lists, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k from the PERSISTED index: rank the query's
+    ``nprobe`` nearest cells against the stored centroids (nlist rows,
+    driver-side), then scan ONLY those cid partitions — a literal
+    ``cid IN (...)`` predicate the reader turns into static partition
+    pruning (plan-gated). Result-identical to
+    ``ivf_topk(sample_mod=...)`` with the same training rows; the
+    difference is that quantizer training and assignment ran ONCE at
+    build time instead of in-DAG per query."""
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    qrow = lists.filter(F.col("vec_id") == query_vec_id).select(
+        vectors.as_double(F.col("embedding")).alias("qv")
+    )
+    probe = (
+        qrow.crossJoin(F.broadcast(cents))
+        .select("cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(nprobe)
+        .collect()
+    )
+    cids = sorted(r.cid for r in probe) or [-1]
+    cands = lists.filter(F.col("cid").isin(cids)).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    query = lists.filter(F.col("vec_id") == query_vec_id)
+    scored = with_cosine_to_query(cands, query)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -1012,6 +1012,33 @@ def ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_index_topk",
+    # result-identical to ann_ivf_topk (same sampled training, same
+    # assignment, same probe) — the index persists the inverted lists
+    # partitioned by cid, so the oracle is the same unrolled-index CTE
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True)},
+    {_IVF_SINGLE_TAIL}
+    """,
+)
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN from the PERSISTED inverted lists — closes the promise
+    in operators/similarity.py:ivf_assign ("persist it partitioned by
+    cid so a query scans only its nprobe cells"): quantizer training +
+    full-corpus assignment run once at build; the query ranks its
+    nprobe cells against the stored nlist centroids and scans only
+    those cid partitions (literal IN-list ⇒ static partition pruning,
+    plan-gated). With the LSH pkey index (ann_index_topk) this gives
+    both banded and coarse-quantized retrieval a cross-job amortized
+    path. See operators/similarity.py:ivf_index_write/ivf_index_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir) + "_ivf"
+    similarity.ivf_index_write(emb, path)
+    return similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10)
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

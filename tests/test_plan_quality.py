@@ -1047,3 +1047,15 @@ def test_ann_index_batch_scan_is_partition_pruned(spark):
     assert "pkey" in pf and "IN" in pf, pf
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_scan_is_partition_pruned(spark):
+    """The persisted IVF lists must be read with cid partition pruning
+    (the nprobe cells only) and the top-k must stay a per-partition
+    heap."""
+    plan = plan_of(spark, "ann_ivf_index_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cid" in pf, pf
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
