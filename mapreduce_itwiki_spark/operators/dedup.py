@@ -207,9 +207,14 @@ def minhash_coverage_report(
     doc_coverage).
 
     Shape: bucket counts via one partial+final hash agg; the surviving
-    check joins the band rows back on the same (band_id, band_key)
-    keys (one reused exchange); everything downstream is single-row
-    aggregates. Safe as a recurring 100 TB monitoring query."""
+    check joins the band rows back to the per-bucket counts on the same
+    (band_id, band_key) keys — an equi-join on the aggregation keys
+    (broadcast when the bucket-count side fits, a key-partitioned
+    shuffle join otherwise; NEVER a pairwise/candidate join — the join
+    fan-out is 1 count row per band row); everything downstream is
+    single-row aggregates. Plan-gated (no cartesian, no Python workers)
+    in tests/test_plan_quality.py. Safe as a recurring 100 TB
+    monitoring query."""
     if max_bucket is None:
         max_bucket = MINHASH_MAX_BUCKET
     bands = _minhash_bands(minhash_signatures(docs))
@@ -582,4 +587,130 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_BANDS - 1) -> 
         # non-qualifying rows through the distinct exchange is the cost)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+MINHASH_INDEX_PARTS = 32  #: pkey hash fan per band in the persisted
+#: index — 8 bands × 32 = 256 partition directories. Band keys
+#: themselves are signature-valued (cardinality ~ corpus size), far too
+#: many for one directory each; hashing them into a bounded fan keeps
+#: directory listings tame at 100 TB while a SMALL probe batch still
+#: prunes: a batch touching B distinct band buckets reads at most
+#: min(B, 256) directories. The fan value also rides in the index rows
+#: (``pkey``) so readers never have to recompute it.
+
+
+def _minhash_pkey(band_id: Column, band_key: Column) -> Column:
+    """Partition key of one band row in the persisted minhash index:
+    ``band_id || '_' || (first 60 md5 bits of band_key) mod PARTS``.
+    md5-derived so the fan is uniform regardless of signature skew, and
+    both the writer and the probe compute it from the same expression."""
+    h = F.conv(F.substring(F.md5(band_key), 1, 15), 16, 10).cast("long")
+    return F.concat_ws("_", band_id, h % MINHASH_INDEX_PARTS)
+
+
+def minhash_index_write(docs: DataFrame, path: str) -> None:
+    """Persist the corpus's MinHash band rows as an on-disk NEAR-DUP
+    index, partitioned by :func:`_minhash_pkey` — the TEXT twin of
+    similarity.ann_index_write, and the missing half of the
+    incremental-dedup story (dedup_incremental_batch covers EXACT
+    fingerprints; this covers near-dups): signatures + banding for the
+    existing corpus are computed ONCE, and every future ingest batch is
+    near-dup-checked against the corpus WITHOUT re-scanning or
+    re-hashing a single corpus document.
+
+    Row layout: (doc_id, sig_0..sig_15, band_id, band_key, bsz, pkey)
+    where ``bsz`` is the band-bucket size frozen at build time — the
+    MINHASH_MAX_BUCKET hot-bucket ceiling becomes a plain pushed
+    predicate at read time (``bsz <= cap``) instead of a corpus-wide
+    window per probe."""
+    from pyspark.sql import Window
+
+    bands = _minhash_bands(minhash_signatures(docs), carry_sigs=True)
+    w = Window.partitionBy("band_id", "band_key")
+    rows = bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+    rows.withColumn(
+        "pkey", _minhash_pkey(F.col("band_id"), F.col("band_key"))
+    ).write.mode("overwrite").partitionBy("pkey").parquet(path)
+
+
+def neardup_candidates_against_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+    min_agree: int = MINHASH_MIN_AGREE,
+) -> DataFrame:
+    """Near-dup CANDIDATE pairs of a new ingest batch against the
+    PERSISTED corpus index: (corpus_doc_id, new_doc_id) for every
+    corpus doc sharing ≥ 1 under-cap band bucket with a batch doc and
+    agreeing on ≥ ``min_agree`` of the 16 signature components (the
+    same two-stage screen as minhash_candidate_pairs, split across the
+    index boundary).
+
+    Scale shape — the whole point of the index: the batch's band rows
+    are computed from the batch alone (small), their distinct pkeys are
+    collected driver-side (≤ 8·MINHASH_INDEX_PARTS values) and spliced
+    into the index read as a literal IN-list ⇒ static partition
+    pruning; the hot-bucket cap is the pushed ``bsz <= cap`` predicate;
+    and the batch side is BROADCAST into the pruned scan, so the corpus
+    rows that survive pruning flow through ONE map-side hash join —
+    zero shuffles of corpus data, cost ∝ batch, never ∝ corpus.
+    Exactly-once batch hashing: the batch band rows are
+    localCheckpointed (lazily) so the probe collect and the join
+    consume one materialization."""
+    nb = (
+        _minhash_bands(minhash_signatures(new_docs), carry_sigs=True)
+        .localCheckpoint(eager=False)
+    )
+    pkeys = sorted(
+        r.pkey
+        for r in nb.select(
+            _minhash_pkey(F.col("band_id"), F.col("band_key")).alias("pkey")
+        )
+        .distinct()
+        .collect()
+    ) or ["__none__"]
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("pkey").isin(pkeys))  # static partition pruning
+        .filter(F.col("bsz") <= max_bucket)  # pushed hot-bucket ceiling
+    )
+    joined = idx.alias("c").join(F.broadcast(nb.alias("q")), ["band_id", "band_key"])
+    agree = sum(
+        (F.col(f"c.sig_{i}") == F.col(f"q.sig_{i}")).cast("int")
+        for i in range(NUM_HASHES)
+    )
+    return (
+        joined.filter(F.col("c.doc_id") != F.col("q.doc_id"))
+        .filter(agree >= F.lit(min_agree))
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def neardup_against_index(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """VERIFIED incremental near-dups: candidates from the persisted
+    index (:func:`neardup_candidates_against_index`), then exact
+    shingle-Jaccard verification ≥ ``threshold`` — pair_jaccard reads
+    text only for docs that appear in some candidate pair (its built-in
+    semi-filter), so the verify stage too costs ∝ candidates, not
+    ∝ corpus. Columns: (doc_a = corpus doc, doc_b = new doc, jaccard).
+
+    ``docs`` must cover both sides' text (corpus ∪ batch) — at 100 TB
+    that is the same lake the index was built from, read through a
+    candidate-doc semi-join, not scanned."""
+    cands = neardup_candidates_against_index(
+        spark, index_path, new_docs
+    ).localCheckpoint(eager=False)
+    return pair_jaccard(docs, cands, keep_zeros=False).filter(
+        F.col("jaccard") >= threshold
     )

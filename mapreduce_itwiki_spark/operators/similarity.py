@@ -146,6 +146,41 @@ def band_key_sql(vec_sql: str, b: int, dim: int = 64) -> str:
     return f"concat({bits})"
 
 
+def band_keys_py(vec: list[float]) -> list[str]:
+    """Driver-side Python twin of :func:`band_key` — the per-band
+    BAND_BITS-char sign-bit keys of one embedding, computed WITHOUT a
+    Spark job. Bit-identical to the Column/SQL paths: Python floats are
+    IEEE doubles and the accumulation below replays ``const_dot``'s
+    left-associated sum over the same nonzero plane coefficients (the
+    float32→double widening Spark performs on read is exact, and no
+    rounding is involved — only the sign test). This is what lets the
+    persisted-index PROBE prune: the query's pkeys are derivable from
+    its embedding alone, so the probe scan carries a pkey IN-list
+    instead of scanning every partition for the vec_id (ADVICE r6)."""
+    keys: list[str] = []
+    dim = len(vec)
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(BAND_BITS):
+            h = hyperplane(b * BAND_BITS + r, dim)
+            acc: float | None = None
+            for i, x in enumerate(h):
+                if x == 0:
+                    continue
+                term = float(vec[i]) * float(x)
+                acc = term if acc is None else acc + term
+            bits.append("1" if (acc if acc is not None else 0.0) >= 0 else "0")
+        keys.append("".join(bits))
+    return keys
+
+
+def pkeys_py(vec: list[float]) -> list[str]:
+    """The embedding's ``band_id || '_' || band_key`` partition keys in
+    the persisted-index layout of :func:`ann_index_write` — sorted,
+    deduplicated, ready to splice into a literal IN-list."""
+    return sorted({f"{b}_{k}" for b, k in enumerate(band_keys_py(vec))})
+
+
 def shard_rank_col() -> Column:
     """The per-band-salted, corpus-uniform shard ranking key:
     ``md5(band_id || ':' || vec_id)``. Salting by band_id means the
@@ -289,22 +324,28 @@ def ann_index_topk(
     amortized across jobs and the candidate scan reads ONLY the query's
     probed (band_id, band_key) partitions.
 
-    Pruning mechanics: the query's ≤ LSH_BANDS (pkey, shard) pairs are
-    read first and collected driver-side (a tiny probe — ≤ 4 rows
-    through a pushed vec_id filter), then spliced into the main read as
-    a LITERAL ``pkey IN (...)`` partition predicate, which Spark turns
-    into static partition pruning — the scan touches ≤ LSH_BANDS of the
-    2^BAND_BITS·LSH_BANDS partition directories (the plan's scan shows
-    the IN-list under PartitionFilters — plan-gated in
-    tests/test_plan_quality.py). This is the standard probe-then-prune
-    index lookup; the probe cost is one small scan, not a shuffle."""
+    Pruning mechanics — BOTH scans are pruned (ADVICE r6 closed the
+    probe gap): the query's pkeys are recomputed driver-side from its
+    embedding (:func:`pkeys_py` — the banding is deterministic, no
+    Spark job), so the PROBE read that fetches the query's per-band
+    ``shard`` values carries the literal ``pkey IN (...)`` predicate
+    too and touches ≤ LSH_BANDS of the 2^BAND_BITS·LSH_BANDS partition
+    directories, exactly like the candidate scan that follows (both
+    plan-gated in tests/test_plan_quality.py). Fetching the query
+    embedding is one pushed-filter read of the corpus table — at 100 TB
+    a caller that already holds the query vector skips even that."""
     idx = spark.read.parquet(index_path)
-    probes = (
-        idx.filter(F.col("vec_id") == query_vec_id)
-        .select("pkey", "shard")
-        .collect()
-    )
-    pkeys = sorted({p.pkey for p in probes}) or ["__none__"]
+    qrows = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").take(1)
+    if qrows:
+        pkeys = pkeys_py(list(qrows[0].embedding))
+        probes = (
+            idx.filter(F.col("pkey").isin(pkeys))  # pruned probe
+            .filter(F.col("vec_id") == query_vec_id)
+            .select("pkey", "shard")
+            .collect()
+        )
+    else:  # query vector absent from the corpus
+        pkeys, probes = ["__none__"], []
     shard_pred = None
     for p in probes:
         clause = (F.col("pkey") == p.pkey) & (F.col("shard") == p.shard)
@@ -340,16 +381,28 @@ def ann_index_batch_topk(
     pkey partitions via a literal IN-list — static partition pruning
     for the whole batch, the persisted twin of ivf_batch_topk's
     "one partition-pruned scan for the whole query batch" promise.
+    The probe read is pruned too (ADVICE r6): the batch's pkey union is
+    recomputed driver-side from the collected query embeddings
+    (:func:`pkeys_py`), so fetching the per-(qid, band) shard values
+    never scans partitions outside the batch's own bands.
     Columns: (qid, vec_id, label, cosine), per-qid top-k under
     (cosine desc, vec_id)."""
     idx = spark.read.parquet(index_path)
     q_ids = queries.select("qid")
+    q_emb = (
+        emb.join(F.broadcast(q_ids), emb["vec_id"] == q_ids["qid"])
+        .select("qid", "embedding")
+        .collect()
+    )
+    pkeys = sorted(
+        {p for r in q_emb for p in pkeys_py(list(r.embedding))}
+    ) or ["__none__"]
     probe_rows = (
-        idx.join(F.broadcast(q_ids), idx["vec_id"] == q_ids["qid"])
+        idx.filter(F.col("pkey").isin(pkeys))  # pruned probe
+        .join(F.broadcast(q_ids), idx["vec_id"] == q_ids["qid"])
         .select("qid", "pkey", "shard")
         .collect()
     )
-    pkeys = sorted({r.pkey for r in probe_rows}) or ["__none__"]
     probes = spark.createDataFrame(
         [(r.qid, r.pkey, r.shard) for r in probe_rows] or [(None, "__none__", -1)],
         "qid long, pkey string, shard long",
@@ -1087,7 +1140,7 @@ def ivf_index_write(
     emb: DataFrame,
     path: str,
     nlist: int = IVF_NLIST,
-    sample_mod: int | None = None,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
 ) -> None:
     """Persist the IVF index: inverted lists as (vec_id, label,
     embedding) rows PARTITIONED BY cid — the exact shape
@@ -1096,9 +1149,12 @@ def ivf_index_write(
     implemented (the IVF twin of :func:`ann_index_write`). The
     centroids ride along in a ``_centroids`` subdirectory so the query
     path needs no retraining. cid is an integer partition value, so
-    directory-name type inference round-trips it exactly."""
-    if sample_mod is None:
-        sample_mod = TRAIN_SAMPLE_MOD
+    directory-name type inference round-trips it exactly.
+
+    ``sample_mod`` follows the module-wide convention (ADVICE r6):
+    ``None`` means full-corpus quantizer training; the DEFAULT is the
+    sampled 1-in-``TRAIN_SAMPLE_MOD`` md5 coin — the scale-safe choice,
+    matching ``ivf_topk``'s defaults since the r5 #8 flip."""
     cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
         eager=False
     )
@@ -1115,6 +1171,7 @@ def ivf_index_topk(
     query_vec_id: int = 0,
     k: int = 10,
     nprobe: int = IVF_NPROBE,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k from the PERSISTED index: rank the query's
     ``nprobe`` nearest cells against the stored centroids (nlist rows,
@@ -1123,23 +1180,57 @@ def ivf_index_topk(
     pruning (plan-gated). Result-identical to
     ``ivf_topk(sample_mod=...)`` with the same training rows; the
     difference is that quantizer training and assignment ran ONCE at
-    build time instead of in-DAG per query."""
+    build time instead of in-DAG per query.
+
+    Probe mechanics (ADVICE r6 — the probe must not scan the index):
+    when ``emb`` is given, the query embedding comes from ONE
+    pushed-filter read of the corpus table and is spliced into the
+    cell-ranking job as a literal double array, so the probe touches
+    only the nlist-row ``_centroids`` file — zero unpruned reads of the
+    cid-partitioned lists. ``repr(float)`` round-trips doubles exactly
+    and the distance still runs through Spark's :func:`sq_dist`, so the
+    probed cell set is bit-identical to the in-DAG path. Without
+    ``emb`` the query row falls back to a lists scan (kept for callers
+    that only hold the index)."""
     cents = spark.read.parquet(f"{index_path}/_centroids")
     lists = spark.read.parquet(f"{index_path}/lists")
-    qrow = lists.filter(F.col("vec_id") == query_vec_id).select(
-        vectors.as_double(F.col("embedding")).alias("qv")
-    )
-    probe = (
-        qrow.crossJoin(F.broadcast(cents))
-        .select("cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
-        .orderBy("d", "cid")
-        .limit(nprobe)
-        .collect()
-    )
+    if emb is not None:
+        qrows = (
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select(vectors.as_double(F.col("embedding")).alias("qv"))
+            .take(1)
+        )
+        if qrows:
+            qlit = "array(" + ", ".join(f"{x!r}D" for x in qrows[0].qv) + ")"
+            probe = (
+                cents.select(
+                    "cid", sq_dist(F.expr(qlit), F.col("cv")).alias("d")
+                )
+                .orderBy("d", "cid")
+                .limit(nprobe)
+                .collect()
+            )
+        else:
+            probe = []
+    else:
+        qrow = lists.filter(F.col("vec_id") == query_vec_id).select(
+            vectors.as_double(F.col("embedding")).alias("qv")
+        )
+        probe = (
+            qrow.crossJoin(F.broadcast(cents))
+            .select("cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+            .orderBy("d", "cid")
+            .limit(nprobe)
+            .collect()
+        )
     cids = sorted(r.cid for r in probe) or [-1]
     cands = lists.filter(F.col("cid").isin(cids)).filter(
         F.col("vec_id") != query_vec_id
     )
-    query = lists.filter(F.col("vec_id") == query_vec_id)
+    # the scoring-side query row follows the same rule: read it from the
+    # corpus table (pushed filter) when available, never an unpruned
+    # scan of the cid-partitioned lists
+    qsrc = emb if emb is not None else lists
+    query = qsrc.filter(F.col("vec_id") == query_vec_id)
     scored = with_cosine_to_query(cands, query)
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -883,18 +883,196 @@ def minhash_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_coverage_report(load_table(spark, sf_dir, "documents"))
 
 
+def _minhash_index_path(sf_dir: str) -> str:
+    """On-disk location of the persisted minhash near-dup index for the
+    CORPUS half (doc_id < INCR_SPLIT) of ``sf_dir``'s documents — keyed
+    like :func:`_ann_index_path`: readable sf tag + md5 of the absolute
+    corpus path + every constant the index bakes in (signature length,
+    band shape, partition fan, split point), so retuning or a same-name
+    corpus elsewhere can never serve stale partitions."""
+    import hashlib
+    import os
+
+    from .training_data import INCR_SPLIT
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{dedup.NUM_HASHES}:{dedup.BAND_ROWS}"
+        f":{dedup.MINHASH_INDEX_PARTS}:{INCR_SPLIT}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse", f"mh_index_{tag}_{key}")
+
+
+def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the corpus-half minhash index only if absent (same
+    skip-if-exists contract as :func:`_ensure_ann_index`); the explicit
+    minhash_index_build entry always rebuilds."""
+    import os
+
+    from .training_data import INCR_SPLIT
+
+    path = _minhash_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < INCR_SPLIT
+        )
+        dedup.minhash_index_write(corpus, path)
+    return path
+
+
+def _mh_index_summary_oracle() -> str:
+    from .training_data import INCR_SPLIT
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+                WHERE doc_id < {INCR_SPLIT}),
+    sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
+    bands AS ({_BANDS_UNION}),
+    bc AS (SELECT band_id, band_key, count(*) AS cnt
+           FROM bands GROUP BY 1, 2)
+    SELECT band_id, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN cnt > {dedup.MINHASH_MAX_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
+    FROM bc GROUP BY band_id
+    """
+
+
+@register("minhash_index_build", oracle=_mh_index_summary_oracle())
+def minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED near-dup index build — the TEXT twin of
+    ann_index_build, and the near-dup half of the incremental-dedup
+    story (dedup_incremental_batch = exact fingerprints; this = MinHash
+    bands): hash + band the EXISTING corpus (doc_id < INCR_SPLIT) once,
+    write the band rows partitioned by the bounded band-bucket pkey,
+    and every future ingest batch probes it without re-hashing a single
+    corpus document. Returns the per-band summary (band_id, n_rows,
+    n_buckets, n_hot_buckets) read BACK from the written files (proving
+    the write); the frozen ``bsz`` column makes the hot-bucket ceiling
+    a pushed predicate at probe time. See
+    operators/dedup.py:minhash_index_write."""
+    path = _minhash_index_path(sf_dir)
+    from .training_data import INCR_SPLIT
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCR_SPLIT
+    )
+    dedup.minhash_index_write(corpus, path)
+    idx = spark.read.parquet(path)
+    return idx.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("band_key").alias("n_buckets"),
+        F.countDistinct(
+            F.when(F.col("bsz") > dedup.MINHASH_MAX_BUCKET, F.col("band_key"))
+        ).alias("n_hot_buckets"),
+    )
+
+
+def _neardup_incr_oracle() -> str:
+    from .training_data import INCR_SPLIT
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
+    bands AS ({_BANDS_UNION}),
+    cbf AS (
+      SELECT doc_id, band_id, band_key
+      FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands WHERE doc_id < {INCR_SPLIT})
+      WHERE bsz <= {dedup.MINHASH_MAX_BUCKET}),
+    qb AS (SELECT doc_id, band_id, band_key FROM bands
+           WHERE doc_id >= {INCR_SPLIT}),
+    cands AS (
+      SELECT DISTINCT c.doc_id AS da, q.doc_id AS db
+      FROM cbf c JOIN qb q
+        ON c.band_id = q.band_id AND c.band_key = q.band_key
+      JOIN sig sa ON sa.doc_id = c.doc_id
+      JOIN sig sb ON sb.doc_id = q.doc_id
+      WHERE c.doc_id <> q.doc_id
+        AND ({_SIG_AGREE}) >= {dedup.MINHASH_MIN_AGREE}),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT c.da, c.db, count(*) AS i
+      FROM cands c
+      JOIN tok ta ON ta.doc_id = c.da
+      JOIN tok tb ON tb.doc_id = c.db AND tb.s = ta.s
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT inter.da AS doc_a, inter.db AS doc_b,
+             round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.da = sa.doc_id
+      JOIN sz sb ON inter.db = sb.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+@register("neardup_incremental_index", oracle=_neardup_incr_oracle())
+def neardup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup — the production daily-ingest shape, now
+    with the corpus side fully amortized: the new batch
+    (doc_id ≥ INCR_SPLIT) is MinHash-hashed (batch-sized work), probes
+    the PERSISTED corpus index through a driver-derived pkey IN-list
+    (static partition pruning) with the hot-bucket ceiling as a pushed
+    ``bsz`` predicate, broadcast-joins the batch band rows into the
+    pruned scan (zero corpus shuffles), and exact-verifies only the
+    candidates' shingles (pair_jaccard's candidate-doc semi-filter).
+    Ingest cost ∝ batch + candidates, never ∝ corpus — the near-dup
+    claim dedup_incremental_batch makes for exact fingerprints.
+    Columns: (doc_a = corpus doc, doc_b = new doc, jaccard ≥ 0.5). See
+    operators/dedup.py:neardup_against_index."""
+    from .training_data import INCR_SPLIT
+
+    path = _ensure_minhash_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    return dedup.neardup_against_index(spark, path, docs, new_docs)
+
+
 def _ann_index_path(sf_dir: str) -> str:
     """Deterministic on-disk location for the persisted ANN index of a
     given sf_dir — under the repo's spark-warehouse (the same scratch
-    area the bucketed-join tables use), keyed by the sf tag so
-    different scale factors never collide."""
+    area the bucketed-join tables use). Keyed by (ADVICE r6): the sf
+    tag for readability, an md5 of the ABSOLUTE corpus path (two
+    corpora whose directories share a basename — /a/sf0.01 vs
+    /b/sf0.01 — must never collide), and the LSH/shard constants (an
+    index persisted under different banding parameters is a different
+    index; retuning NUM_HYPERPLANES can never silently serve stale
+    partitions)."""
+    import hashlib
     import os
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(repo_root, "spark-warehouse", f"ann_index_{tag}")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{similarity.NUM_HYPERPLANES}"
+        f":{similarity.LSH_BANDS}:{similarity.MAX_BUCKET}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse", f"ann_index_{tag}_{key}")
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, emb) -> str:
+    """Build the persisted LSH index for ``sf_dir`` only if it is not
+    already on disk (the ``_SUCCESS`` marker of a completed write) —
+    the retrieval queries reuse it across calls/sweeps (ADVICE r6:
+    every query used to rebuild with mode('overwrite'), so a
+    concurrent reader could observe a half-overwritten index). The
+    explicit ``ann_index_build`` catalog entry still always rebuilds —
+    that IS the build operator. Correct because the path is keyed by
+    the absolute corpus dir + banding constants (see
+    :func:`_ann_index_path`): same key ⇒ byte-identical index."""
+    import os
+
+    path = _ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.ann_index_write(emb, path)
+    return path
 
 
 @register(
@@ -961,8 +1139,7 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-planned in-DAG per query. See
     operators/similarity.py:ann_index_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _ann_index_path(sf_dir)
-    similarity.ann_index_write(emb, path)
+    path = _ensure_ann_index(spark, sf_dir, emb)
     return similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
 
 
@@ -1003,8 +1180,7 @@ def ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch retrieval read only their probed partitions. See
     operators/similarity.py:ann_index_batch_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _ann_index_path(sf_dir)
-    similarity.ann_index_write(emb, path)
+    path = _ensure_ann_index(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < _ANN_BATCH_NQ).select(
         F.col("vec_id").alias("qid")
     )
@@ -1033,9 +1209,14 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both banded and coarse-quantized retrieval a cross-job amortized
     path. See operators/similarity.py:ivf_index_write/ivf_index_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _ann_index_path(sf_dir) + "_ivf"
-    similarity.ivf_index_write(emb, path)
-    return similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivf{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+    )
+    import os
+
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        similarity.ivf_index_write(emb, path)
+    return similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10, emb=emb)
 
 
 @register(

@@ -1555,3 +1555,84 @@ def test_ann_index_batch_matches_batch_lsh(spark, tmp_path):
     for r in similarity.lsh_batch_topk(emb, queries).collect():
         want.setdefault(r.qid, []).append((r.vec_id, r.cosine))
     assert got == want
+
+
+def test_band_keys_py_matches_spark_banding(spark):
+    """The driver-side Python band keys (the probe-pruning derivation,
+    ADVICE r6) must be bit-identical to the Spark-computed banding for
+    every vector — same planes, same left-to-right double sums, same
+    sign convention. Checked over the whole sf0.001 corpus."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    spark_keys: dict = {}
+    for r in (
+        similarity.sharded_band_rows(emb)
+        .select("vec_id", "band_id", "band_key")
+        .collect()
+    ):
+        spark_keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+    rows = emb.select("vec_id", "embedding").collect()
+    assert len(rows) > 0
+    for r in rows:
+        keys = similarity.band_keys_py(list(r.embedding))
+        assert {b: k for b, k in enumerate(keys)} == spark_keys[r.vec_id], r.vec_id
+
+
+def test_ivf_index_topk_probe_avoids_lists_scan(spark, tmp_path):
+    """With the corpus table supplied, ivf_index_topk must answer
+    identically to the lists-scan fallback while ranking cells against
+    the literal query vector (ADVICE r6: the probe itself is pruned —
+    only the _centroids file and the nprobe cid partitions are read)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    similarity.ivf_index_write(emb, path)
+    got = similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10, emb=emb)
+    want = similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in want.collect()
+    ]
+
+
+def test_neardup_against_index_matches_in_dag_twin(spark, tmp_path):
+    """The persisted index relocates the corpus band rows; it must not
+    change near-dup semantics. In-DAG twin built from the same split:
+    corpus bands (bucket-capped over the corpus alone) joined to batch
+    bands with the same agreement screen, verified with the same exact
+    Jaccard."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path / "mhidx_twin")
+    dedup.minhash_index_write(corpus, path)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.neardup_against_index(spark, path, docs, batch).collect()
+    )
+    # in-DAG twin
+    w = Window.partitionBy("band_id", "band_key")
+    cb = (
+        dedup._minhash_bands(dedup.minhash_signatures(corpus), carry_sigs=True)
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= dedup.MINHASH_MAX_BUCKET)
+        .drop("bsz")
+    )
+    qb = dedup._minhash_bands(dedup.minhash_signatures(batch), carry_sigs=True)
+    joined = cb.alias("c").join(qb.alias("q"), ["band_id", "band_key"])
+    agree = sum(
+        (F.col(f"c.sig_{i}") == F.col(f"q.sig_{i}")).cast("int")
+        for i in range(dedup.NUM_HASHES)
+    )
+    pairs = (
+        joined.filter(F.col("c.doc_id") != F.col("q.doc_id"))
+        .filter(agree >= F.lit(dedup.MINHASH_MIN_AGREE))
+        .select(F.col("c.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.pair_jaccard(docs, pairs, keep_zeros=False)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    )
+    assert got == want and len(got) > 0

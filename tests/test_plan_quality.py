@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from mapreduce_itwiki_spark.plans import catalog
 
 from conftest import SF_SMALL
@@ -1022,19 +1024,57 @@ def test_ann_index_scan_is_partition_pruned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_index_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The PROBE read of the persisted index (the shard fetch inside
+    ann_index_topk / ann_index_batch_topk) must itself be pruned
+    (ADVICE r6): the pkeys derived driver-side from the query embedding
+    land as a literal IN-list under PartitionFilters, so the probe
+    touches ≤ LSH_BANDS of the 2^BAND_BITS·LSH_BANDS directories — the
+    old vec_id-only probe scanned them all."""
+    from mapreduce_itwiki_spark.operators import similarity
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "annidx_probe")
+    similarity.ann_index_write(emb, path)
+    qvec = list(emb.filter("vec_id = 0").select("embedding").take(1)[0].embedding)
+    pkeys = similarity.pkeys_py(qvec)
+    assert 1 <= len(pkeys) <= similarity.LSH_BANDS
+    probe = (
+        spark.read.parquet(path)
+        .filter(F.col("pkey").isin(pkeys))
+        .filter(F.col("vec_id") == 0)
+        .select("pkey", "shard")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    # and the probe finds the query's actual band rows
+    assert {r.pkey for r in probe.collect()} == set(pkeys)
+
+
 def test_coverage_reports_never_do_pairwise_work(spark):
     """The cap-coverage monitoring queries (VERDICT r5 #2) must stay
     runnable on the full corpus: pure aggregation rollups — no
     self-joins of band/prefix rows (no pairwise candidate generation),
-    no cartesian products, no Python workers."""
+    no cartesian products, no Python workers. minhash_coverage_report
+    (ADVICE r6 — previously ungated) legitimately JOINS band rows back
+    to their per-bucket counts on the aggregation keys (fan-out 1, not
+    pairwise), so for it only the cartesian/Python assertions apply."""
     for name in (
         "ann_lsh_coverage_report",
         "allpairs_coverage_report",
+        "minhash_coverage_report",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
-        assert "SortMergeJoin" not in plan, name
+        if name != "minhash_coverage_report":
+            assert "SortMergeJoin" not in plan, name
 
 
 def test_ann_index_batch_scan_is_partition_pruned(spark):
@@ -1058,4 +1098,33 @@ def test_ivf_index_scan_is_partition_pruned(spark):
     pf = plan.split("PartitionFilters")[1].split("\n")[0]
     assert "cid" in pf, pf
     assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_index_probe_is_pruned_and_broadcast(spark, tmp_path):
+    """The persisted near-dup index probe must show the three scale
+    properties its docstring claims: (a) the index scan is partition-
+    pruned by the batch-derived pkey IN-list, (b) the frozen hot-bucket
+    ceiling is a PUSHED ``bsz`` predicate (no corpus-wide window at
+    probe time), and (c) the batch side is broadcast — no shuffle, sort
+    or cartesian of corpus band rows."""
+    from mapreduce_itwiki_spark.operators import dedup
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "mhidx")
+    dedup.minhash_index_write(docs.filter(F.col("doc_id") < 250), path)
+    cands = dedup.neardup_candidates_against_index(
+        spark, path, docs.filter(F.col("doc_id") >= 250)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cands.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and ("INSET" in pf or "IN" in pf), pf
+    assert "LessThanOrEqual(bsz" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
