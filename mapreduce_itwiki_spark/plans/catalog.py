@@ -116,53 +116,78 @@ _PRIORITY: tuple[str, ...] = (
     # q21_waiting_suppliers, salted_join_orders_lineitem,
     # range_join_event_pairs; asof_join_cogrouped, hll_sketch_union;
     # streaming_sessionize_stateful, streaming_sliding_counts.
-    # ⊕ similarity / ANN — this round's new surface first (8)
-    "ann_batch_pq_topk",
-    "ann_ivf_full_train",
-    "ann_pq_full_train",
-    "ann_index_build",
-    "ann_index_topk",
-    "ann_lsh_coverage_report",
-    "embedding_int8_quantize",
-    "embedding_pca_project",
-    # ⊕ dedup cap coverage + perceptual image dedup (3 — phash is this
-    # round's new multimodal×dedup operator)
-    "minhash_coverage_report",
-    "allpairs_coverage_report",
-    "multimodal_dedup_phash",
-    # ⊕ text analysis (4)
-    "repetition_quality",
-    "normalize_text_pipeline",
-    "top_tokens_per_lang",
-    "bigram_logprob_scoring",
-    # ⊕ feature engineering / model evaluation (4)
-    "feature_hash_vectorize",
-    "target_encode_loo",
-    "naive_bayes_confusion",
-    "classifier_pr_curve",
+    # r06's 36: ann_batch_pq_topk, ann_ivf_full_train,
+    # ann_pq_full_train, ann_index_build, ann_index_topk,
+    # ann_lsh_coverage_report, embedding_int8_quantize,
+    # embedding_pca_project; minhash_coverage_report,
+    # allpairs_coverage_report, multimodal_dedup_phash;
+    # repetition_quality, normalize_text_pipeline, top_tokens_per_lang,
+    # bigram_logprob_scoring; feature_hash_vectorize, target_encode_loo,
+    # naive_bayes_confusion, classifier_pr_curve;
+    # chunk_documents_overlap, quality_blend_zscore, bpe_encode_tokens,
+    # resample_apply_mix; adamic_adar_link_prediction;
+    # q4_order_priority, q7_volume_shipping, q10_returned_items,
+    # q22_global_sales_opportunity; join_orders_lineitem_bucketed,
+    # bloom_runtime_filter_join, lateral_topk_per_customer,
+    # partitioned_events_prune; countmin_heavy_hitters;
+    # streaming_enrich_join, streaming_foreach_batch_upsert,
+    # streaming_chained_windows.
+    # --- round-7 rotation: 34 fresh picks (none in r03…r06's 158
+    # driver-checked names) + 2 family re-checks (multimodal and graph
+    # have NO never-checked members left — every query in both families
+    # already carries driver evidence — so their slots re-verify the
+    # r03-era representatives instead), so r03 ∪ … ∪ r07 accumulates
+    # driver-grade sf0.01 evidence on 158 + 34 = 192 distinct queries.
+    # ⊕ this round's new persisted near-dup index first (2)
+    "minhash_index_build",
+    "neardup_incremental_index",
+    # ⊕ similarity / ANN / embedding analytics (6 — the two persisted-
+    # index entries r6 landed but never driver-checked, then the
+    # embedding-statistics tail)
+    "ann_index_batch_topk",
+    "ann_ivf_index_topk",
+    "embedding_pca_project2d",
+    "embedding_outlier_mahalanobis",
+    "embedding_covariance",
+    # ⊕ multimodal + graph family re-checks (see note above)
+    "multimodal_blob_stats",
+    "triangle_count",
+    # ⊕ text analysis (3)
+    "sentences_tokenize",
+    "fuzzy_name_match_dist1",
+    "corpus_drift_kl",
     # ⊕ training-data curation (4)
-    "chunk_documents_overlap",
-    "quality_blend_zscore",
-    "bpe_encode_tokens",
-    "resample_apply_mix",
-    # ⊕ graph (1 — this round's new link-prediction operator)
-    "adamic_adar_link_prediction",
-    # relational — TPC-H tail (4)
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q22_global_sales_opportunity",
-    # advanced relational (4 — bucketed/bloom/lateral/partition-prune)
-    "join_orders_lineitem_bucketed",
-    "bloom_runtime_filter_join",
-    "lateral_topk_per_customer",
-    "partitioned_events_prune",
+    "balanced_sample_per_lang",
+    "length_bucket_padding",
+    "split_leakage_safe",
+    "contrastive_negatives",
+    # ⊕ quality / data-profiling (2)
+    "dq_expectations_report",
+    "robust_value_outliers_mad",
+    # relational — TPC-H tail (6)
+    "q8_market_share",
+    "q11_important_part_value",
+    "q12_shipmode_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    # advanced SQL surface (4)
+    "grouping_sets_agg",
+    "pivot_linestatus",
+    "scalar_subquery_filter",
+    "unpivot_measures",
+    # windows / events (4)
+    "window_range_frame",
+    "rolling_active_users",
+    "funnel_analysis",
+    "time_bucket_hourly",
+    # sources / sinks (2)
+    "orc_sink_roundtrip",
+    "from_xml_extract",
     # sketches (1)
-    "countmin_heavy_hitters",
-    # ⊕ streaming (3)
-    "streaming_enrich_join",
-    "streaming_foreach_batch_upsert",
-    "streaming_chained_windows",
+    "bitmap_distinct_count",
+    # ⊕ streaming (1)
+    "streaming_running_stats_tws",
 )
 
 

@@ -57,6 +57,8 @@ def test_priority_slots_cover_every_family():
             "pmi_collocations", "ngram_diversity_report",
             "repetition_quality", "normalize_text_pipeline",
             "top_tokens_per_lang", "bigram_logprob_scoring",
+            "sentences_tokenize", "fuzzy_name_match_dist1",
+            "corpus_drift_kl",
         },
         "graph": lambda n: n in {
             "dedup_connected_components", "pagerank_linkgraph",
@@ -74,7 +76,9 @@ def test_priority_slots_cover_every_family():
             "chunk_documents_cdc", "decontaminate_semantic",
             "domain_mix_weights", "chunk_documents_overlap",
             "quality_blend_zscore", "bpe_encode_tokens",
-            "resample_apply_mix",
+            "resample_apply_mix", "balanced_sample_per_lang",
+            "length_bucket_padding", "split_leakage_safe",
+            "contrastive_negatives",
         },
         "relational": lambda n: n.startswith("q") and n[1].isdigit()
         or n in {"join_orders_lineitem", "sessionize", "asof_join_last_click"},
