@@ -882,3 +882,110 @@ register(
     GROUP BY 1
     """,
 )(seasonal_anomaly_stream)
+
+
+def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest NEAR-DUP screening against the PERSISTED corpus
+    minhash index — the streaming lift of neardup_incremental_index,
+    and the shape a 100 TB ingest pipeline actually runs: documents
+    arrive as a stream (here: the new-batch half of the documents table
+    split into 3 files, one micro-batch each via maxFilesPerTrigger=1 +
+    availableNow), and every micro-batch probes the index through
+    foreachBatch — batch-sized MinHash hashing, a driver-derived pkey
+    IN-list (static partition pruning of the index), the frozen ``bsz``
+    hot-bucket cap as a pushed predicate, and a broadcast of the batch
+    band rows (zero corpus shuffles per batch) — appending one verdict
+    row per ingested doc: (doc_id, n_corpus_candidates,
+    neardup_of_corpus). Per-doc verdicts depend only on the persisted
+    index, never on co-batched docs, so the drained result is
+    batch-partitioning-invariant and equals the batch answer — which is
+    exactly what the oracle checks."""
+    import os
+    import shutil
+
+    from ..operators import dedup as D
+    from ..plans.llm_pipeline import _ensure_minhash_index
+    from ..plans.relational import _scratch_dir
+    from ..plans.training_data import INCR_SPLIT
+    from ..sources.parquet import load_table
+
+    idx_path = _ensure_minhash_index(spark, sf_dir)
+    base = _scratch_dir("ndingest", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    feed, out, ckpt = (os.path.join(base, d) for d in ("feed", "out", "ckpt"))
+    batch_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= INCR_SPLIT)
+        .select("doc_id", "text")
+    )
+    batch_docs.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+    def probe(bdf: DataFrame, batch_id: int) -> None:
+        cands = D.neardup_candidates_against_index(spark, idx_path, bdf)
+        roll = cands.groupBy(F.col("doc_b").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_corpus_candidates")
+        )
+        (
+            bdf.select("doc_id")
+            .join(roll, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                    "n_corpus_candidates"
+                ),
+            )
+            .withColumn("neardup_of_corpus", F.col("n_corpus_candidates") > 0)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _neardup_ingest_oracle() -> str:
+    from ..operators import dedup
+    from ..plans.llm_pipeline import _BANDS_UNION, _SHINGLES, _SIG_AGREE, _SIG_EXPRS
+    from ..plans.training_data import INCR_SPLIT
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
+    bands AS ({_BANDS_UNION}),
+    cbf AS (
+      SELECT doc_id, band_id, band_key
+      FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands WHERE doc_id < {INCR_SPLIT})
+      WHERE bsz <= {dedup.MINHASH_MAX_BUCKET}),
+    qb AS (SELECT doc_id, band_id, band_key FROM bands
+           WHERE doc_id >= {INCR_SPLIT}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS da, q.doc_id AS db
+      FROM cbf c JOIN qb q
+        ON c.band_id = q.band_id AND c.band_key = q.band_key
+      JOIN sig sa ON sa.doc_id = c.doc_id
+      JOIN sig sb ON sb.doc_id = q.doc_id
+      WHERE c.doc_id <> q.doc_id
+        AND ({_SIG_AGREE}) >= {dedup.MINHASH_MIN_AGREE}),
+    roll AS (SELECT db, count(*) AS n FROM cand GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(r.n, 0) AS BIGINT) AS n_corpus_candidates,
+           coalesce(r.n, 0) > 0 AS neardup_of_corpus
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {INCR_SPLIT}) d
+    LEFT JOIN roll r ON r.db = d.doc_id
+    """
+
+
+register("streaming_neardup_ingest", oracle=_neardup_ingest_oracle())(
+    neardup_ingest_stream
+)

@@ -156,6 +156,7 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "jsonl_sink_roundtrip",
         "multimodal_binaryfile_ingest",  # writes the per-doc PNG files eagerly
         "streaming_foreach_batch_upsert",  # drains the stream on build
+        "streaming_neardup_ingest",  # drains the stream on build
         "wiki_xml_roundtrip",
         "join_orders_lineitem_bucketed",
         "schema_evolution_merge",
