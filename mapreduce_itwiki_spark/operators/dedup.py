@@ -206,33 +206,39 @@ def minhash_coverage_report(
     n_dropped_rows, dropped_fraction, n_docs, n_docs_covered,
     doc_coverage).
 
-    Shape: bucket counts via one partial+final hash agg; the surviving
-    check joins the band rows back to the per-bucket counts on the same
-    (band_id, band_key) keys — an equi-join on the aggregation keys
-    (broadcast when the bucket-count side fits, a key-partitioned
-    shuffle join otherwise; NEVER a pairwise/candidate join — the join
-    fan-out is 1 count row per band row); everything downstream is
-    single-row aggregates. Plan-gated (no cartesian, no Python workers)
-    in tests/test_plan_quality.py. Safe as a recurring 100 TB
-    monitoring query."""
+    Shape (round 7 — ONE consumption of the signature front-end): the
+    per-bucket size rides each band row as a window count over the
+    bucket keys, then a per-doc aggregate (row count, dropped count,
+    any-surviving flag) cascades into the single-row rollup. The
+    original shape aggregated the band rows TWICE (bucket stats + a
+    join back for the doc-coverage check); Spark has no cross-branch
+    common-subplan elimination, so the md5-per-shingle signature
+    pipeline — the dominant cost — executed twice. n_docs stays a
+    separate count over the documents table (column-pruned scan):
+    the oracle defines coverage against ALL docs, not docs-with-band-
+    rows, and the 1-row cross joins are broadcast nested loops, never
+    cartesian (plan-gated in tests/test_plan_quality.py). Safe as a
+    recurring 100 TB monitoring query."""
+    from pyspark.sql import Window
+
     if max_bucket is None:
         max_bucket = MINHASH_MAX_BUCKET
     bands = _minhash_bands(minhash_signatures(docs))
-    bc = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("cnt"))
-    row_stats = bc.agg(
-        F.sum("cnt").alias("n_band_rows"),
-        F.sum(F.when(F.col("cnt") > max_bucket, F.col("cnt")).otherwise(0)).alias(
-            "n_dropped_rows"
-        ),
+    w = Window.partitionBy("band_id", "band_key")
+    bands_sz = bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+    perdoc = bands_sz.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0)).alias("n_d"),
+        F.max(F.when(F.col("bsz") <= max_bucket, 1).otherwise(0)).alias("cov"),
     )
-    covered = (
-        bands.join(bc.filter(F.col("cnt") <= max_bucket), ["band_id", "band_key"])
-        .agg(F.countDistinct("doc_id").alias("n_docs_covered"))
+    stats = perdoc.agg(
+        F.sum("n_r").alias("n_band_rows"),
+        F.sum("n_d").alias("n_dropped_rows"),
+        F.sum("cov").alias("n_docs_covered"),
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        row_stats.crossJoin(covered)
-        .crossJoin(n_docs)
+        stats.crossJoin(n_docs)
         .select(
             "n_band_rows",
             "n_dropped_rows",
@@ -653,12 +659,18 @@ def neardup_candidates_against_index(
     collected driver-side (≤ 8·MINHASH_INDEX_PARTS values) and spliced
     into the index read as a literal IN-list ⇒ static partition
     pruning; the hot-bucket cap is the pushed ``bsz <= cap`` predicate;
-    and the batch side is BROADCAST into the pruned scan, so the corpus
-    rows that survive pruning flow through ONE map-side hash join —
-    zero shuffles of corpus data, cost ∝ batch, never ∝ corpus.
-    Exactly-once batch hashing: the batch band rows are
-    localCheckpointed (lazily) so the probe collect and the join
-    consume one materialization."""
+    and the batch side is BROADCAST into the pruned scan when it is
+    actually small — the gate below, not an unconditional hint — so the
+    corpus rows that survive pruning flow through ONE map-side hash
+    join: zero shuffles of corpus data, cost ∝ batch, never ∝ corpus.
+    A batch too big to broadcast falls back to the shuffle join AQE
+    plans (the explicit-hint override would ship the whole batch to
+    every executor — the broadcast_if_small rationale,
+    plans/relational.py). Exactly-once batch hashing: the batch band
+    rows are localCheckpointed (lazily) so the probe collect and the
+    join consume one materialization; the size gate is row-count-based
+    because a checkpointed frame's Catalyst size estimate is the
+    unknown-size default."""
     nb = (
         _minhash_bands(minhash_signatures(new_docs), carry_sigs=True)
         .localCheckpoint(eager=False)
@@ -676,7 +688,16 @@ def neardup_candidates_against_index(
         .filter(F.col("pkey").isin(pkeys))  # static partition pruning
         .filter(F.col("bsz") <= max_bucket)  # pushed hot-bucket ceiling
     )
-    joined = idx.alias("c").join(F.broadcast(nb.alias("q")), ["band_id", "band_key"])
+    thr_str = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:  # "-1" disables; byteStringAsBytes rejects negatives
+        thr = int(thr_str)
+    except ValueError:
+        thr = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(thr_str)
+    batch_side = nb.alias("q")
+    # ~200 B/band row: doc_id + 16 sig longs + band key strings
+    if thr > 0 and nb.count() * 200 <= thr:
+        batch_side = F.broadcast(batch_side)
+    joined = idx.alias("c").join(batch_side, ["band_id", "band_key"])
     agree = sum(
         (F.col(f"c.sig_{i}") == F.col(f"q.sig_{i}")).cast("int")
         for i in range(NUM_HASHES)

@@ -883,17 +883,31 @@ def minhash_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_coverage_report(load_table(spark, sf_dir, "documents"))
 
 
+#: corpus/batch boundary for the persisted-index incremental queries:
+#: corpus = doc_id < 3·max(doc_id)//4, batch = the top quarter. DERIVED
+#: from the corpus (one column-pruned max scan / a scalar subquery in
+#: the oracle) rather than a fixed id like training_data.INCR_SPLIT —
+#: a constant tuned at sf0.01 INVERTS the shape at scale (sf5: corpus
+#: 250 docs, "batch" 250 k — backwards for a daily-ingest story whose
+#: whole point is batch ≪ corpus).
+_MH_SPLIT_SQL = "SELECT 3 * max(doc_id) // 4 AS s FROM documents"
+
+
+def _mh_split(spark: SparkSession, sf_dir: str) -> int:
+    docs = load_table(spark, sf_dir, "documents")
+    return 3 * docs.agg(F.max("doc_id")).collect()[0][0] // 4
+
+
 def _minhash_index_path(sf_dir: str) -> str:
     """On-disk location of the persisted minhash near-dup index for the
-    CORPUS half (doc_id < INCR_SPLIT) of ``sf_dir``'s documents — keyed
-    like :func:`_ann_index_path`: readable sf tag + md5 of the absolute
-    corpus path + every constant the index bakes in (signature length,
-    band shape, partition fan, split point), so retuning or a same-name
-    corpus elsewhere can never serve stale partitions."""
+    CORPUS side (doc_id < the derived 3/4 split) of ``sf_dir``'s
+    documents — keyed like :func:`_ann_index_path`: readable sf tag +
+    md5 of the absolute corpus path + every constant the index bakes in
+    (signature length, band shape, partition fan, split formula), so
+    retuning or a same-name corpus elsewhere can never serve stale
+    partitions."""
     import hashlib
     import os
-
-    from .training_data import INCR_SPLIT
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -901,34 +915,31 @@ def _minhash_index_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{dedup.NUM_HASHES}:{dedup.BAND_ROWS}"
-        f":{dedup.MINHASH_INDEX_PARTS}:{INCR_SPLIT}".encode()
+        f":{dedup.MINHASH_INDEX_PARTS}:q3_4split".encode()
     ).hexdigest()[:10]
     return os.path.join(repo_root, "spark-warehouse", f"mh_index_{tag}_{key}")
 
 
 def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the corpus-half minhash index only if absent (same
+    """Build the corpus-side minhash index only if absent (same
     skip-if-exists contract as :func:`_ensure_ann_index`); the explicit
     minhash_index_build entry always rebuilds."""
     import os
 
-    from .training_data import INCR_SPLIT
-
     path = _minhash_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") < INCR_SPLIT
+            F.col("doc_id") < _mh_split(spark, sf_dir)
         )
         dedup.minhash_index_write(corpus, path)
     return path
 
 
 def _mh_index_summary_oracle() -> str:
-    from .training_data import INCR_SPLIT
-
     return f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
-                WHERE doc_id < {INCR_SPLIT}),
+    WITH sp AS ({_MH_SPLIT_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+           WHERE doc_id < (SELECT s FROM sp)),
     sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
     bands AS ({_BANDS_UNION}),
     bc AS (SELECT band_id, band_key, count(*) AS cnt
@@ -946,19 +957,18 @@ def minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED near-dup index build — the TEXT twin of
     ann_index_build, and the near-dup half of the incremental-dedup
     story (dedup_incremental_batch = exact fingerprints; this = MinHash
-    bands): hash + band the EXISTING corpus (doc_id < INCR_SPLIT) once,
-    write the band rows partitioned by the bounded band-bucket pkey,
-    and every future ingest batch probes it without re-hashing a single
-    corpus document. Returns the per-band summary (band_id, n_rows,
-    n_buckets, n_hot_buckets) read BACK from the written files (proving
-    the write); the frozen ``bsz`` column makes the hot-bucket ceiling
-    a pushed predicate at probe time. See
+    bands): hash + band the EXISTING corpus (doc_id below the derived
+    3/4 split — see _MH_SPLIT_SQL) once, write the band rows
+    partitioned by the bounded band-bucket pkey, and every future
+    ingest batch probes it without re-hashing a single corpus document.
+    Returns the per-band summary (band_id, n_rows, n_buckets,
+    n_hot_buckets) read BACK from the written files (proving the
+    write); the frozen ``bsz`` column makes the hot-bucket ceiling a
+    pushed predicate at probe time. See
     operators/dedup.py:minhash_index_write."""
     path = _minhash_index_path(sf_dir)
-    from .training_data import INCR_SPLIT
-
     corpus = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < INCR_SPLIT
+        F.col("doc_id") < _mh_split(spark, sf_dir)
     )
     dedup.minhash_index_write(corpus, path)
     idx = spark.read.parquet(path)
@@ -972,19 +982,18 @@ def minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_incr_oracle() -> str:
-    from .training_data import INCR_SPLIT
-
     return f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    WITH sp AS ({_MH_SPLIT_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
     bands AS ({_BANDS_UNION}),
     cbf AS (
       SELECT doc_id, band_id, band_key
       FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
-            FROM bands WHERE doc_id < {INCR_SPLIT})
+            FROM bands WHERE doc_id < (SELECT s FROM sp))
       WHERE bsz <= {dedup.MINHASH_MAX_BUCKET}),
     qb AS (SELECT doc_id, band_id, band_key FROM bands
-           WHERE doc_id >= {INCR_SPLIT}),
+           WHERE doc_id >= (SELECT s FROM sp)),
     cands AS (
       SELECT DISTINCT c.doc_id AS da, q.doc_id AS db
       FROM cbf c JOIN qb q
@@ -1014,22 +1023,21 @@ def _neardup_incr_oracle() -> str:
 @register("neardup_incremental_index", oracle=_neardup_incr_oracle())
 def neardup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup — the production daily-ingest shape, now
-    with the corpus side fully amortized: the new batch
-    (doc_id ≥ INCR_SPLIT) is MinHash-hashed (batch-sized work), probes
-    the PERSISTED corpus index through a driver-derived pkey IN-list
+    with the corpus side fully amortized: the new batch (the top
+    quarter of doc_ids — the derived split keeps batch ≪ corpus at
+    every scale) is MinHash-hashed (batch-sized work), probes the
+    PERSISTED corpus index through a driver-derived pkey IN-list
     (static partition pruning) with the hot-bucket ceiling as a pushed
-    ``bsz`` predicate, broadcast-joins the batch band rows into the
-    pruned scan (zero corpus shuffles), and exact-verifies only the
-    candidates' shingles (pair_jaccard's candidate-doc semi-filter).
-    Ingest cost ∝ batch + candidates, never ∝ corpus — the near-dup
-    claim dedup_incremental_batch makes for exact fingerprints.
-    Columns: (doc_a = corpus doc, doc_b = new doc, jaccard ≥ 0.5). See
-    operators/dedup.py:neardup_against_index."""
-    from .training_data import INCR_SPLIT
-
+    ``bsz`` predicate, joins the batch band rows into the pruned scan
+    (broadcast when the batch is genuinely small — size-gated), and
+    exact-verifies only the candidates' shingles (pair_jaccard's
+    candidate-doc semi-filter). Ingest cost ∝ batch + candidates,
+    never ∝ corpus — the near-dup claim dedup_incremental_batch makes
+    for exact fingerprints. Columns: (doc_a = corpus doc, doc_b = new
+    doc, jaccard ≥ 0.5). See operators/dedup.py:neardup_against_index."""
     path = _ensure_minhash_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    new_docs = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    new_docs = docs.filter(F.col("doc_id") >= _mh_split(spark, sf_dir))
     return dedup.neardup_against_index(spark, path, docs, new_docs)
 
 
@@ -2419,8 +2427,20 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures exactly that. One-row report: n_exact, n_lsh, n_common,
     recall."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_dups(docs, threshold=0.5).select("doc_a", "doc_b")
-    lsh = dedup.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    # each pair list is consumed TWICE (its count + the intersection);
+    # without cutting lineage the full inverted-index / MinHash-verify
+    # pipelines would re-execute per consumer (no cross-branch
+    # common-subplan elimination) — checkpoint the SLIM pair lists only
+    exact = (
+        dedup.ngram_jaccard_dups(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        dedup.minhash_near_dups(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -1324,24 +1324,30 @@ def allpairs_coverage_report(
     docs: DataFrame, max_df: int = ALLPAIRS_MAX_DF
 ) -> DataFrame:
     """See :func:`allpairs_coverage_report_query`. Shape: the shared
-    prefix front-end (one DF join + per-doc bounded sort), then
-    single-row aggregates — no pairwise work, safe as a recurring
-    monitoring query at full scale."""
+    prefix front-end (one DF join + per-doc bounded sort), then a
+    TWO-LEVEL aggregation cascade — per-doc (entry count, capped count,
+    any-kept flag), then the single-row rollup — so the prefix subtree
+    is consumed exactly ONCE. The original shape aggregated ``prefix``
+    twice (entry stats + per-doc coverage as independent subtrees), and
+    Spark has no cross-branch common-subplan elimination: the whole
+    shingle → DF-join → per-doc-sort front-end executed twice, 36.6 s
+    at sf5z for a monitoring query (round 7; the per-doc groupBy rides
+    the front-end's existing doc_id partitioning, so the cascade adds
+    no exchange). No pairwise work; safe as a recurring monitoring
+    query at full scale."""
     _, prefix = _allpairs_prefix_rows(docs)
-    estats = prefix.agg(
-        F.count(F.lit(1)).alias("n_prefix_entries"),
-        F.sum(F.when(F.col("df") > max_df, 1).otherwise(0)).alias(
-            "n_capped_entries"
-        ),
-    )
+    kept = F.when(F.col("df") <= max_df, 1).otherwise(0)
     perdoc = prefix.groupBy("doc_id").agg(
-        F.max(F.when(F.col("df") <= max_df, 1).otherwise(0)).alias("any_kept")
+        F.count(F.lit(1)).alias("n_e"),
+        F.sum(1 - kept).alias("n_c"),
+        F.max(kept).alias("any_kept"),
     )
-    dstats = perdoc.agg(
+    return perdoc.agg(
+        F.sum("n_e").alias("n_prefix_entries"),
+        F.sum("n_c").alias("n_capped_entries"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("any_kept").alias("n_docs_covered"),
-    )
-    return estats.crossJoin(dstats).select(
+    ).select(
         "n_prefix_entries",
         "n_capped_entries",
         F.round(F.col("n_capped_entries") / F.col("n_prefix_entries"), 6).alias(

@@ -904,9 +904,8 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..operators import dedup as D
-    from ..plans.llm_pipeline import _ensure_minhash_index
+    from ..plans.llm_pipeline import _ensure_minhash_index, _mh_split
     from ..plans.relational import _scratch_dir
-    from ..plans.training_data import INCR_SPLIT
     from ..sources.parquet import load_table
 
     idx_path = _ensure_minhash_index(spark, sf_dir)
@@ -915,7 +914,7 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed, out, ckpt = (os.path.join(base, d) for d in ("feed", "out", "ckpt"))
     batch_docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") >= INCR_SPLIT)
+        .filter(F.col("doc_id") >= _mh_split(spark, sf_dir))
         .select("doc_id", "text")
     )
     batch_docs.repartition(3).write.mode("overwrite").parquet(feed)
@@ -956,20 +955,26 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_ingest_oracle() -> str:
     from ..operators import dedup
-    from ..plans.llm_pipeline import _BANDS_UNION, _SHINGLES, _SIG_AGREE, _SIG_EXPRS
-    from ..plans.training_data import INCR_SPLIT
+    from ..plans.llm_pipeline import (
+        _BANDS_UNION,
+        _MH_SPLIT_SQL,
+        _SHINGLES,
+        _SIG_AGREE,
+        _SIG_EXPRS,
+    )
 
     return f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    WITH sp AS ({_MH_SPLIT_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     sig AS (SELECT doc_id, {_SIG_EXPRS} FROM sh),
     bands AS ({_BANDS_UNION}),
     cbf AS (
       SELECT doc_id, band_id, band_key
       FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
-            FROM bands WHERE doc_id < {INCR_SPLIT})
+            FROM bands WHERE doc_id < (SELECT s FROM sp))
       WHERE bsz <= {dedup.MINHASH_MAX_BUCKET}),
     qb AS (SELECT doc_id, band_id, band_key FROM bands
-           WHERE doc_id >= {INCR_SPLIT}),
+           WHERE doc_id >= (SELECT s FROM sp)),
     cand AS (
       SELECT DISTINCT c.doc_id AS da, q.doc_id AS db
       FROM cbf c JOIN qb q
@@ -981,7 +986,7 @@ def _neardup_ingest_oracle() -> str:
     roll AS (SELECT db, count(*) AS n FROM cand GROUP BY 1)
     SELECT d.doc_id, CAST(coalesce(r.n, 0) AS BIGINT) AS n_corpus_candidates,
            coalesce(r.n, 0) > 0 AS neardup_of_corpus
-    FROM (SELECT doc_id FROM documents WHERE doc_id >= {INCR_SPLIT}) d
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= (SELECT s FROM sp)) d
     LEFT JOIN roll r ON r.db = d.doc_id
     """
 
