@@ -72,6 +72,12 @@ HEADLINE = [
     "ann_index_topk",
     "multimodal_dedup_phash",
     "adamic_adar_link_prediction",
+    # round 13 additions (driver round 7): the persisted near-dup index
+    # — build cost (always rebuilds) and the incremental batch probe
+    # (reuses the keyed index after pass 1, so its row measures the
+    # amortized daily-ingest cost, which is the story)
+    "minhash_index_build",
+    "neardup_incremental_index",
 ]
 
 

@@ -78,6 +78,12 @@ SOAK = [
     "allpairs_coverage_report",
     "multimodal_dedup_phash",
     "adamic_adar_link_prediction",
+    # round-7 additions: the persisted near-dup index family (build +
+    # incremental batch probe + streaming ingest probe) — the daily-
+    # ingest story needs scale evidence, not just sf0.01 parity
+    "minhash_index_build",
+    "neardup_incremental_index",
+    "streaming_neardup_ingest",
 ]
 
 
