@@ -78,6 +78,12 @@ HEADLINE = [
     # amortized daily-ingest cost, which is the story)
     "minhash_index_build",
     "neardup_incremental_index",
+    # round 14 additions (driver round 7, second half): the vector twin
+    # of the incremental near-dup story — corpus index + batch append +
+    # a fresh-vector probe (amortized after pass 1, like
+    # neardup_incremental_index) — and cluster-scoped semantic dedup
+    "ann_incremental_topk",
+    "semdedup_prune",
 ]
 
 

@@ -1227,6 +1227,219 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_index_topk(spark, path, query_vec_id=0, k=10, emb=emb)
 
 
+#: derived corpus/batch boundary for the incremental vector-index
+#: entries — the _MH_SPLIT_SQL idiom: batch = top quarter of vec_ids,
+#: so batch ≪ corpus at every scale factor
+_VEC_SPLIT_SQL = "SELECT 3 * max(vec_id) // 4 AS s FROM embeddings"
+
+
+def _vec_split(spark: SparkSession, sf_dir: str) -> int:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return 3 * emb.agg(F.max("vec_id")).collect()[0][0] // 4
+
+
+def _ann_incr_index_path(sf_dir: str) -> str:
+    """On-disk location of the CORPUS-side (vec_id < the derived 3/4
+    split) ANN index used by the incremental entries — keyed like
+    :func:`_ann_index_path` plus the split formula, so it can never
+    collide with the full-corpus index the retrieval entries share."""
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{similarity.NUM_HYPERPLANES}"
+        f":{similarity.LSH_BANDS}:{similarity.MAX_BUCKET}:q3_4split".encode()
+    ).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse", f"ann_incr_{tag}_{key}")
+
+
+def _build_ann_incr_index(spark: SparkSession, sf_dir: str, emb) -> tuple[str, int]:
+    """Corpus-index write + batch append, unconditionally (the build
+    operator's contract). The ``_APPEND_DONE`` sentinel written LAST
+    marks the two-phase build complete — ``_SUCCESS`` alone is
+    ambiguous here (it exists after phase one)."""
+    import os
+
+    path = _ann_incr_index_path(sf_dir)
+    s = _vec_split(spark, sf_dir)
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ann_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+    open(os.path.join(path, "_APPEND_DONE"), "w").close()
+    return path, s
+
+
+def _ensure_ann_incr_index(spark: SparkSession, sf_dir: str, emb) -> tuple[str, int]:
+    import os
+
+    path = _ann_incr_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_APPEND_DONE")):
+        return path, _vec_split(spark, sf_dir)
+    return _build_ann_incr_index(spark, sf_dir, emb)
+
+
+#: corpus-side sharded band rows (vec_id < the derived split) — the
+#: _VEC_CAPPED_SQL shard rule applied to the corpus alone, exactly what
+#: ann_index_write persists for the incremental entries
+_VEC_CORP_CAPPED_SQL = (
+    "SELECT vec_id, band_id, band_key, "
+    f"CAST(floor((rn - 1) / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard FROM ("
+    "SELECT vec_id, band_id, band_key, "
+    "row_number() OVER (PARTITION BY band_id, band_key "
+    "ORDER BY md5(CAST(band_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), vec_id"
+    ") AS rn FROM bands WHERE vec_id < (SELECT s FROM sp))"
+)
+
+#: appended batch rows: batch-internal salted-md5 rank continues each
+#: bucket's corpus occupancy — shard = (old_count + rank − 1) div cap,
+#: the similarity.ann_index_append two-phase rule
+_VEC_APPEND_SQL = f"""
+    oldc AS (SELECT band_id, band_key, count(*) AS oc
+             FROM corp GROUP BY 1, 2),
+    newb AS (SELECT vec_id, band_id, band_key,
+                    row_number() OVER (PARTITION BY band_id, band_key
+                        ORDER BY md5(CAST(band_id AS VARCHAR) || ':'
+                                     || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM bands WHERE vec_id >= (SELECT s FROM sp)),
+    app AS (SELECT n.vec_id, n.band_id, n.band_key,
+                   CAST(floor((COALESCE(o.oc, 0) + n.rn - 1)
+                              / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard
+            FROM newb n LEFT JOIN oldc o
+              ON n.band_id = o.band_id AND n.band_key = o.band_key),
+    uni AS (SELECT vec_id, band_id, band_key, shard FROM corp
+            UNION ALL
+            SELECT vec_id, band_id, band_key, shard FROM app)"""
+
+
+@register(
+    "ann_index_append",
+    # replays the two-phase shard rule: corpus rows ranked among
+    # themselves (what ann_index_write froze on disk), batch rows
+    # continuing each bucket's occupancy (what ann_index_append wrote)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    {_VEC_APPEND_SQL}
+    SELECT band_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN vec_id >= (SELECT s FROM sp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_rows,
+           max(shard) AS max_shard
+    FROM uni GROUP BY band_id
+    """,
+)
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL vector-index maintenance — the write half of the
+    daily-ingest story the persisted minhash index tells for text:
+    band + shard the EXISTING corpus once (vec_id below the derived
+    3/4 split), then APPEND the new batch without re-banding a single
+    corpus vector — batch rows extend each bucket's existing occupancy
+    (shard = (old_count + batch_rank − 1) div cap, salted-md5 rank),
+    so the ≤ cap-per-shard invariant holds and nothing is dropped.
+    Append cost ∝ batch + touched-bucket counts (partition- and
+    column-pruned), never ∝ corpus. Returns the per-band summary read
+    BACK from the written files (proving both phases): total rows, the
+    batch's rows, deepest shard. See
+    operators/similarity.py:ann_index_append."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _build_ann_incr_index(spark, sf_dir, emb)
+    idx = spark.read.parquet(path)
+    return idx.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("vec_id") >= s, 1).otherwise(0)).alias("n_new_rows"),
+        F.max("shard").alias("max_shard"),
+    )
+
+
+@register(
+    "ann_incremental_topk",
+    # the freshness proof: the query is the NEWEST vector (max vec_id,
+    # appended minutes ago in the story), answered entirely from the
+    # persisted index — candidates span frozen corpus shards AND the
+    # appended batch rows, under the two-phase shard rule
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    {_VEC_APPEND_SQL},
+    qv AS (SELECT max(vec_id) AS q FROM embeddings),
+    qb AS (SELECT band_id, band_key, shard FROM uni
+           WHERE vec_id = (SELECT q FROM qv)),
+    cand AS (
+      SELECT DISTINCT u.vec_id FROM uni u
+      JOIN qb ON u.band_id = qb.band_id AND u.band_key = qb.band_key
+             AND u.shard = qb.shard
+      WHERE u.vec_id <> (SELECT q FROM qv)),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT q FROM qv))
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k for a JUST-INGESTED vector against the incrementally
+    maintained index (build corpus index once, append the batch — both
+    amortized behind the ``_APPEND_DONE`` sentinel): the probe and
+    candidate scans are the partition-pruned ann_index_topk lookup,
+    and the candidate set spans both the frozen corpus shards and the
+    appended batch — yesterday's index answers about today's data
+    without a rebuild. Query = the newest vector (max vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, _s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    return similarity.ann_index_topk(spark, path, emb, query_vec_id=qid, k=10)
+
+
+@register(
+    "semdedup_prune",
+    # replays sampled quantizer training + exact assignment
+    # (_ivf_train_ctes), the cid-salted shard rule, and the
+    # within-shard epsilon-ball min-id keep rule
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True)},
+    m AS (SELECT l.vec_id, l.cid, e.v
+          FROM lists l JOIN e ON e.vec_id = l.vec_id),
+    capped AS (SELECT vec_id, cid, v,
+                      CAST(floor((row_number() OVER (PARTITION BY cid
+                          ORDER BY md5(CAST(cid AS VARCHAR) || ':'
+                                       || CAST(vec_id AS VARCHAR)), vec_id) - 1)
+                          / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard
+               FROM m),
+    dups AS (SELECT DISTINCT b.vec_id
+             FROM capped a JOIN capped b
+               ON a.cid = b.cid AND a.shard = b.shard AND a.vec_id < b.vec_id
+             WHERE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))
+                   >= {similarity.SEMDEDUP_EPS})
+    SELECT m.vec_id, m.cid,
+           (m.vec_id NOT IN (SELECT vec_id FROM dups)) AS keep
+    FROM m
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup — the SemDeDup shape (Abbas et al. 2023): cluster
+    the embedding corpus with the sampled-trained coarse quantizer,
+    prune within-cluster epsilon-ball near-duplicates to their min-id
+    member. The third member of the embedding-dedup ladder: exact
+    (byte hash) → LSH near-dup (embedding_neardup_apply_keep, recall
+    set by the band shape) → semantic (cluster-scoped, cluster count a
+    free dial). Scale shape: sampled training + one broadcast-argmin
+    assignment pass + Σ shard² blocked-numpy pairwise (hot clusters
+    sharded at the deterministic cap — nothing dropped, cost linear in
+    n worst-case). Columns: (vec_id, cid, keep). See
+    operators/similarity.py:semdedup_keep."""
+    return similarity.semdedup_keep(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
@@ -1727,6 +1940,25 @@ def _head_bytes(text: str, n: int) -> bytes:
     return head.encode("ascii").ljust(n, b"\x00")
 
 
+def _fan_python_stage(df: DataFrame) -> DataFrame:
+    """Right-size a CPU-bound Arrow map stage to the cluster: when the
+    upstream scan has fewer splits than cores (locally a small parquet
+    file is ONE split, so a per-row Python codec runs serial no matter
+    how many cores local[32] has), round-robin repartition to
+    defaultParallelism BEFORE the Python workers. CONDITIONAL, so at
+    100 TB — where the scan already has thousands of splits — this
+    plans no exchange at all; when it does fire, the shuffled payload
+    is the slim (doc_id, text-prefix) projection, negligible next to
+    the codec work it parallelizes. (Round 7: multimodal_dedup_phash
+    measured 10.3 s at sf0.1 with its whole encode→decode→hash pipeline
+    on one core — the codec itself is ~2.3 ms/image.)"""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 @register(
     "multimodal_jpeg_decode",
     # one uniform 8×8 block per text byte → DC-only blocks whose DC
@@ -1757,7 +1989,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_jpeg_gray, encode_jpeg_gray, image_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_jpeg(batches):
         for pdf in batches:
@@ -1820,7 +2054,9 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_hash(batches):
         for pdf in batches:
@@ -1905,7 +2141,9 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_jpeg_color, encode_jpeg_color
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_jpeg(batches):
         for pdf in batches:
@@ -1981,7 +2219,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import encode_png_gray, image_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_png(batches):
         for pdf in batches:
@@ -2030,7 +2270,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import audio_stats, encode_wav_pcm16
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_wav(batches):
         for pdf in batches:
@@ -2079,7 +2321,9 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import audio_frame_energy, encode_wav_pcm16
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_wav(batches):
         for pdf in batches:
@@ -2131,7 +2375,9 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import audio_resample_stats, encode_wav_pcm16
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_wav(batches):
         for pdf in batches:
@@ -2179,7 +2425,9 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import encode_png_gray, image_histogram
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_png(batches):
         for pdf in batches:
@@ -2237,7 +2485,9 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(base, ignore_errors=True)
     _os.makedirs(base, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def write_files(batches):
         for pdf in batches:
@@ -2312,7 +2562,9 @@ def multimodal_gif_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import encode_gif_gray, video_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def to_gif(batches):
         for pdf in batches:
@@ -3118,7 +3370,9 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_png_gray, encode_png_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_python_stage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def resize(batches):
         for pdf in batches:

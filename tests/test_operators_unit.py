@@ -1636,3 +1636,88 @@ def test_neardup_against_index_matches_in_dag_twin(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ann_index_append_extends_buckets_without_rebanding(spark, tmp_path):
+    """Incremental-index invariants: after append, (1) every vector of
+    corpus ∪ batch has exactly LSH_BANDS rows in the index, (2) no
+    (band, key, shard) group exceeds the cap, (3) shard continuation —
+    within a bucket every shard below the deepest is exactly full, i.e.
+    the batch topped up the corpus's last partial shard before opening
+    new ones (a restarted rank would leave two partial shards)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    s = 3 * (n - 1) // 4
+    path = str(tmp_path / "ann_incr")
+    cap = 20  # small cap so sf0.001 buckets genuinely shard
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < s), path, max_bucket=cap)
+    similarity.ann_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= s), max_bucket=cap
+    )
+    idx = spark.read.parquet(path)
+    assert idx.count() == n * similarity.LSH_BANDS
+    sizes = (
+        idx.groupBy("band_id", "band_key", "shard")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= cap for r in sizes)
+    by_bucket: dict[tuple, dict[int, int]] = {}
+    for r in sizes:
+        by_bucket.setdefault((r.band_id, r.band_key), {})[r.shard] = r["count"]
+    assert any(len(shards) > 1 for shards in by_bucket.values())  # non-vacuous
+    for (band_id, band_key), shards in by_bucket.items():
+        deepest = max(shards)
+        assert sorted(shards) == list(range(deepest + 1)), (band_id, band_key)
+        for sh, cnt in shards.items():
+            if sh < deepest:
+                assert cnt == cap, (band_id, band_key, sh, cnt)
+
+
+def test_ann_index_append_serves_fresh_queries(spark, tmp_path):
+    """A probe for a just-appended vector is answered from the index
+    and its candidates span the frozen corpus — yesterday's index
+    answers about today's data without a rebuild."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    s = 3 * (n - 1) // 4
+    path = str(tmp_path / "ann_fresh")
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ann_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+    qid = n - 1
+    rows = similarity.ann_index_topk(spark, path, emb, query_vec_id=qid, k=10).collect()
+    assert rows, "appended query vector found no candidates"
+    assert all(r.vec_id != qid for r in rows)
+    assert any(r.vec_id < s for r in rows), "no corpus-side neighbor surfaced"
+
+
+def test_semdedup_keep_rule_matches_independent_recompute(spark):
+    """semdedup_keep's verdicts recomputed independently with numpy:
+    a vector is dropped iff a lower-id member of its own cluster (and
+    shard — trivially shard 0 at this cap) sits within eps cosine."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = {r.vec_id: r for r in similarity.semdedup_keep(emb).collect()}
+    cents = similarity.ivf_centroids(
+        emb, similarity.IVF_NLIST, sample_mod=similarity.TRAIN_SAMPLE_MOD
+    )
+    assign = {r.vec_id: r.cid for r in similarity.ivf_assign(emb, cents).collect()}
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, row in got.items():
+        assert row.cid == assign[vid]
+        has_lower_neighbor = False
+        v = vecs[vid]
+        for other, cid in assign.items():
+            if cid != row.cid or other >= vid:
+                continue
+            u = vecs[other]
+            cos = float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+            if cos >= similarity.SEMDEDUP_EPS:
+                has_lower_neighbor = True
+                break
+        assert row.keep == (not has_lower_neighbor), vid

@@ -1129,3 +1129,52 @@ def test_minhash_index_probe_is_pruned_and_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_index_append_count_read_is_pruned(spark, tmp_path):
+    """The only index-side read in ann_index_append — the per-bucket
+    occupancy count — must be partition-pruned by the batch's pkey
+    IN-list AND column-pruned to the two grouping keys (never the
+    embeddings). Reconstructs the operator's oldc read the way
+    test_ann_index_probe_scan_is_partition_pruned reconstructs the
+    probe."""
+    from mapreduce_itwiki_spark.operators import similarity
+    from mapreduce_itwiki_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ann_append_prune")
+    similarity.ann_index_write(emb.filter("vec_id < 300"), path)
+    batch = emb.filter("vec_id >= 300 and vec_id < 310")
+    pkeys = sorted(
+        {
+            f"{b}_{k}"
+            for r in batch.select("embedding").collect()
+            for b, k in enumerate(similarity.band_keys_py(list(r.embedding)))
+        }
+    )
+    oldc = (
+        spark.read.parquet(path)
+        .filter(F.col("pkey").isin(pkeys))
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("oc"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        oldc.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "embedding" not in rs, rs  # column pruning: keys only
+
+
+def test_semdedup_pairwise_is_cluster_grouped_arrow_kernel(spark):
+    """semdedup_prune's pairwise stage must be the blocked numpy kernel
+    grouped by (cid, shard) — FlatMapGroupsInPandas, no cartesian
+    product, no corpus×corpus join; the quantizer's full-corpus scan is
+    cut by the localCheckpoint so training never re-executes per
+    consumer branch."""
+    plan = plan_of(spark, "semdedup_prune")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
