@@ -380,6 +380,58 @@ def ann_index_append(
     appended.write.mode("append").partitionBy("pkey").parquet(index_path)
 
 
+def ann_candidates_against_index(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    corpus_max_id: int | None = None,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(qid, cand_vec_id, cosine) — corpus candidates for a batch of
+    NEW vectors probing a persisted ANN index, the vector twin of
+    :func:`dedup.neardup_candidates_against_index`: batch-sized band
+    hashing, a driver-derived pkey IN-list (static partition pruning),
+    the hot-bucket ceiling as a per-bucket count predicate (a bucket
+    that sharded at build time is skipped, exactly like the minhash
+    probe's pushed ``bsz`` cap — the coverage report quantifies what
+    that excludes), and a BROADCAST of the batch band rows into the
+    pruned scan. Candidate embeddings come from the index rows
+    themselves, so the corpus table is never read. Verdicts restricted
+    to ``vec_id <= corpus_max_id`` stay batch-partitioning-invariant
+    even while the same stream appends to the index (appended rows all
+    carry higher ids)."""
+    qb = banded_rows(new_emb).select(
+        F.col("vec_id").alias("qid"),
+        vectors.as_double(F.col("embedding")).alias("qv"),
+        "band_id",
+        "band_key",
+    )
+    touched = qb.select("band_id", "band_key").distinct().collect()
+    pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
+    idx = spark.read.parquet(index_path).filter(F.col("pkey").isin(pkeys))
+    if corpus_max_id is not None:
+        idx = idx.filter(F.col("vec_id") <= corpus_max_id)
+    ok = (
+        idx.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("band_id", "band_key")
+    )
+    return (
+        idx.join(F.broadcast(ok), ["band_id", "band_key"])
+        .join(F.broadcast(qb), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand_vec_id"),
+            F.round(
+                vectors.cosine(vectors.as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+
+
 def ann_index_topk(
     spark,
     index_path: str,

@@ -994,3 +994,122 @@ def _neardup_ingest_oracle() -> str:
 register("streaming_neardup_ingest", oracle=_neardup_ingest_oracle())(
     neardup_ingest_stream
 )
+
+
+def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR ingest against the persisted ANN index — the
+    embedding twin of neardup_ingest_stream, and the shape that keeps a
+    100 TB vector index fresh: new embeddings arrive as a stream (the
+    top-quarter vec_ids split into 3 files, one micro-batch each), and
+    every micro-batch through foreachBatch (1) probes the index for its
+    corpus near-neighbors — batch-sized band hashing, driver-derived
+    pkey IN-list (static partition pruning), hot buckets skipped by the
+    per-bucket count ceiling, candidate embeddings read from the index
+    rows themselves (the corpus table is never touched) — and (2)
+    APPENDS its own band rows under the two-phase shard rule
+    (operators/similarity.py:ann_index_append), so the index the NEXT
+    day's batches probe already contains today's vectors. Verdicts are
+    restricted to corpus ids, so they depend only on the frozen corpus
+    index, never on co-batched or earlier-streamed vectors — the
+    drained result is batch-partitioning-invariant and equals the batch
+    answer, which is what the oracle checks; the appends' correctness
+    is pinned by the ann_index_append unit invariants instead. Columns:
+    (vec_id, n_corpus_candidates, nearest_corpus_cosine)."""
+    import shutil
+
+    from ..operators import similarity as S
+    from ..plans.llm_pipeline import _vec_split
+    from ..plans.relational import _scratch_dir
+    from ..sources.parquet import load_table
+
+    s = _vec_split(spark, sf_dir)
+    base = _scratch_dir("annin", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    feed, out, ckpt, idx = (
+        os.path.join(base, d) for d in ("feed", "out", "ckpt", "idx")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.ann_index_write(emb.filter(F.col("vec_id") < s), idx)
+    batch = emb.filter(F.col("vec_id") >= s).select("vec_id", "embedding")
+    batch.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+    def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
+        cands = S.ann_candidates_against_index(spark, idx, bdf, corpus_max_id=s - 1)
+        roll = cands.groupBy(F.col("qid").alias("vec_id")).agg(
+            F.count(F.lit(1)).alias("n_corpus_candidates"),
+            F.max("cosine").alias("nearest_corpus_cosine"),
+        )
+        (
+            bdf.select("vec_id")
+            .join(roll, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                    "n_corpus_candidates"
+                ),
+                "nearest_corpus_cosine",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+        S.ann_index_append(spark, idx, bdf)
+
+    q = (
+        stream.writeStream.foreachBatch(probe_and_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _ann_ingest_oracle() -> str:
+    from ..operators import similarity
+    from ..plans.llm_pipeline import (
+        _BITS_SQL,
+        _VEC_BANDS_SQL,
+        _VEC_CORP_CAPPED_SQL,
+        _VEC_SPLIT_SQL,
+    )
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    cold AS (SELECT band_id, band_key FROM corp
+             GROUP BY 1, 2 HAVING count(*) <= {similarity.MAX_BUCKET}),
+    qb AS (SELECT vec_id, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)),
+    cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+             FROM corp c
+             JOIN cold ON c.band_id = cold.band_id
+                      AND c.band_key = cold.band_key
+             JOIN qb q ON c.band_id = q.band_id
+                      AND c.band_key = q.band_key),
+    scored AS (SELECT cand.qid,
+                      round(list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+               FROM cand
+               JOIN e a ON a.vec_id = cand.qid
+               JOIN e b ON b.vec_id = cand.cid),
+    roll AS (SELECT qid, count(*) AS n_corpus_candidates,
+                    max(cos) AS nearest_corpus_cosine
+             FROM scored GROUP BY qid)
+    SELECT nb.vec_id,
+           COALESCE(r.n_corpus_candidates, 0) AS n_corpus_candidates,
+           r.nearest_corpus_cosine
+    FROM (SELECT DISTINCT vec_id FROM qb) nb
+    LEFT JOIN roll r ON r.qid = nb.vec_id
+    """
+
+
+register("streaming_ann_ingest", oracle=_ann_ingest_oracle())(ann_ingest_stream)

@@ -1721,3 +1721,33 @@ def test_semdedup_keep_rule_matches_independent_recompute(spark):
                 has_lower_neighbor = True
                 break
         assert row.keep == (not has_lower_neighbor), vid
+
+
+def test_ann_index_append_induction_over_sequential_batches(spark, tmp_path):
+    """The streaming-ingest shape: THREE sequential appends (each
+    micro-batch sees the counts left by the previous ones). The bucket
+    invariants must hold at every step — every shard below a bucket's
+    deepest is exactly full, so occupancy continuation composes."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "ann_seq")
+    cap = 20
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < 200), path, max_bucket=cap)
+    for lo, hi in ((200, 300), (300, 400), (400, n)):
+        similarity.ann_index_append(
+            spark,
+            path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            max_bucket=cap,
+        )
+    idx = spark.read.parquet(path)
+    assert idx.count() == n * similarity.LSH_BANDS
+    sizes = idx.groupBy("band_id", "band_key", "shard").count().collect()
+    assert all(r["count"] <= cap for r in sizes)
+    by_bucket: dict[tuple, dict[int, int]] = {}
+    for r in sizes:
+        by_bucket.setdefault((r.band_id, r.band_key), {})[r.shard] = r["count"]
+    for key, shards in by_bucket.items():
+        deepest = max(shards)
+        assert sorted(shards) == list(range(deepest + 1)), key
+        assert all(cnt == cap for sh, cnt in shards.items() if sh < deepest), key

@@ -157,6 +157,7 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "multimodal_binaryfile_ingest",  # writes the per-doc PNG files eagerly
         "streaming_foreach_batch_upsert",  # drains the stream on build
         "streaming_neardup_ingest",  # drains the stream on build
+        "streaming_ann_ingest",  # drains the stream on build
         "wiki_xml_roundtrip",
         "join_orders_lineitem_bucketed",
         "schema_evolution_merge",

@@ -84,6 +84,12 @@ SOAK = [
     "minhash_index_build",
     "neardup_incremental_index",
     "streaming_neardup_ingest",
+    # round-7 second half: the VECTOR ingest story (incremental index
+    # append + streaming probe) and cluster-scoped semantic dedup
+    "ann_index_append",
+    "ann_incremental_topk",
+    "streaming_ann_ingest",
+    "semdedup_prune",
 ]
 
 
