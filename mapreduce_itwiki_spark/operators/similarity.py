@@ -385,21 +385,33 @@ def ann_candidates_against_index(
     index_path: str,
     new_emb: DataFrame,
     corpus_max_id: int | None = None,
-    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """(qid, cand_vec_id, cosine) — corpus candidates for a batch of
     NEW vectors probing a persisted ANN index, the vector twin of
     :func:`dedup.neardup_candidates_against_index`: batch-sized band
     hashing, a driver-derived pkey IN-list (static partition pruning),
-    the hot-bucket ceiling as a per-bucket count predicate (a bucket
-    that sharded at build time is skipped, exactly like the minhash
-    probe's pushed ``bsz`` cap — the coverage report quantifies what
-    that excludes), and a BROADCAST of the batch band rows into the
-    pruned scan. Candidate embeddings come from the index rows
-    themselves, so the corpus table is never read. Verdicts restricted
-    to ``vec_id <= corpus_max_id`` stay batch-partitioning-invariant
-    even while the same stream appends to the index (appended rows all
-    carry higher ids)."""
+    and a BROADCAST of the batch band rows into the pruned scan.
+    Candidate embeddings come from the index rows themselves, so the
+    corpus table is never read.
+
+    Hot-bucket bound: a probing vector is NOT in the index, so the
+    shard-matching rule the in-index lookups use doesn't apply — and
+    matching a whole hot bucket costs corpus/2^BAND_BITS per query.
+    Instead candidates come from SHARD 0 only: by construction
+    (:func:`sharded_band_rows`) that is the bucket's first
+    ``max_bucket`` members under the per-band-salted md5 rank — an
+    unbiased fixed-size sample, pushed down as a ``shard = 0`` scan
+    predicate. Every query gets ≤ LSH_BANDS·max_bucket candidates at
+    ANY corpus size; what the cap excludes is exactly the spill
+    fraction :func:`band_coverage_report` monitors. (A bucket-count
+    skip rule — the minhash ``bsz`` cap — would be wrong here: sign-LSH
+    has only 2^BAND_BITS keys per band, so past ~2^BAND_BITS·max_bucket
+    vectors EVERY bucket runs hot and a skip rule silently returns
+    nothing, the r5 coverage-collapse failure mode.)
+
+    Verdicts restricted to ``vec_id <= corpus_max_id`` stay
+    batch-partitioning-invariant even while the same stream appends to
+    the index (appended rows all carry higher ids)."""
     qb = banded_rows(new_emb).select(
         F.col("vec_id").alias("qid"),
         vectors.as_double(F.col("embedding")).alias("qv"),
@@ -408,18 +420,15 @@ def ann_candidates_against_index(
     )
     touched = qb.select("band_id", "band_key").distinct().collect()
     pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
-    idx = spark.read.parquet(index_path).filter(F.col("pkey").isin(pkeys))
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("pkey").isin(pkeys))
+        .filter(F.col("shard") == 0)
+    )
     if corpus_max_id is not None:
         idx = idx.filter(F.col("vec_id") <= corpus_max_id)
-    ok = (
-        idx.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= max_bucket)
-        .select("band_id", "band_key")
-    )
     return (
-        idx.join(F.broadcast(ok), ["band_id", "band_key"])
-        .join(F.broadcast(qb), ["band_id", "band_key"])
+        idx.join(F.broadcast(qb), ["band_id", "band_key"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

@@ -1003,8 +1003,10 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-quarter vec_ids split into 3 files, one micro-batch each), and
     every micro-batch through foreachBatch (1) probes the index for its
     corpus near-neighbors — batch-sized band hashing, driver-derived
-    pkey IN-list (static partition pruning), hot buckets skipped by the
-    per-bucket count ceiling, candidate embeddings read from the index
+    pkey IN-list (static partition pruning), per-bucket work bounded by
+    shard-0 probing (an unbiased md5-ranked ≤ cap sample per bucket —
+    see ann_candidates_against_index for why a bucket-count skip rule
+    would collapse here), candidate embeddings read from the index
     rows themselves (the corpus table is never touched) — and (2)
     APPENDS its own band rows under the two-phase shard rule
     (operators/similarity.py:ann_index_append), so the index the NEXT
@@ -1070,7 +1072,6 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ingest_oracle() -> str:
-    from ..operators import similarity
     from ..plans.llm_pipeline import (
         _BITS_SQL,
         _VEC_BANDS_SQL,
@@ -1084,16 +1085,13 @@ def _ann_ingest_oracle() -> str:
     sp AS ({_VEC_SPLIT_SQL}),
     bands AS ({_VEC_BANDS_SQL}),
     corp AS ({_VEC_CORP_CAPPED_SQL}),
-    cold AS (SELECT band_id, band_key FROM corp
-             GROUP BY 1, 2 HAVING count(*) <= {similarity.MAX_BUCKET}),
     qb AS (SELECT vec_id, band_id, band_key FROM bands
            WHERE vec_id >= (SELECT s FROM sp)),
     cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
              FROM corp c
-             JOIN cold ON c.band_id = cold.band_id
-                      AND c.band_key = cold.band_key
              JOIN qb q ON c.band_id = q.band_id
-                      AND c.band_key = q.band_key),
+                      AND c.band_key = q.band_key
+             WHERE c.shard = 0),
     scored AS (SELECT cand.qid,
                       round(list_dot_product(a.v, b.v) /
                             (sqrt(list_dot_product(a.v, a.v)) *

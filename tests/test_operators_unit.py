@@ -1751,3 +1751,35 @@ def test_ann_index_append_induction_over_sequential_batches(spark, tmp_path):
         deepest = max(shards)
         assert sorted(shards) == list(range(deepest + 1)), key
         assert all(cnt == cap for sh, cnt in shards.items() if sh < deepest), key
+
+
+def test_ann_probe_survives_all_hot_buckets(spark, tmp_path):
+    """The scale regression the probe rule must not have: when EVERY
+    bucket exceeds the cap (here: cap=20 on ~31-member buckets — at
+    production constants, any corpus past ~2^BAND_BITS·cap vectors), a
+    bucket-count skip rule returns zero candidates for every query.
+    Shard-0 probing must keep giving each query a bounded, non-empty
+    candidate set: ≤ LSH_BANDS·cap candidates, all from shard 0."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    s = 3 * (n - 1) // 4
+    path = str(tmp_path / "ann_hot")
+    cap = 20
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < s), path, max_bucket=cap)
+    # the regime is genuinely hot: most buckets sharded (sign-bit keys
+    # are not perfectly uniform, so a rare key can stay under the cap)
+    depths = (
+        spark.read.parquet(path)
+        .groupBy("band_id", "band_key")
+        .agg(F.max("shard").alias("d"))
+        .collect()
+    )
+    assert sum(1 for r in depths if r.d > 0) > len(depths) / 2
+    batch = emb.filter(F.col("vec_id") >= s).limit(5)
+    cands = similarity.ann_candidates_against_index(
+        spark, path, batch, corpus_max_id=s - 1
+    )
+    per_q = {r["qid"]: r["cnt"] for r in
+             cands.groupBy("qid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert len(per_q) == 5, "a query lost ALL candidates under hot buckets"
+    assert all(0 < c <= similarity.LSH_BANDS * cap for c in per_q.values())
