@@ -1441,6 +1441,63 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_coverage_report",
+    # replays the sampled training + exact assignment, then pure
+    # per-cluster count algebra (shard math is derivable from counts —
+    # no window, no pairwise)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True)},
+    cc AS (SELECT cid, count(*) AS n_vectors FROM lists GROUP BY cid)
+    SELECT cid, n_vectors,
+           CAST(ceil(n_vectors / {similarity.MAX_BUCKET}.0) AS BIGINT)
+             AS n_shards,
+           CAST(greatest(n_vectors - {similarity.MAX_BUCKET}, 0) AS BIGINT)
+             AS spill_rows,
+           round(greatest(n_vectors - {similarity.MAX_BUCKET}, 0)
+                 / (n_vectors * 1.0), 6) AS spill_fraction
+    FROM cc
+    """,
+)
+def semdedup_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cap coverage for semdedup_prune — the same "no silent
+    caps" hygiene as ann_lsh_coverage_report, scoped to the quantizer's
+    clusters: per cid, how many vectors landed there, how many shards
+    the cluster splits into at the pairwise cap, and the spill (rows in
+    shard > 0 — members that keep participating in their own shard but
+    lose cross-shard pairs). A pipeline watches spill_fraction to
+    decide when to raise nlist — which, unlike the LSH band shape, is a
+    free dial. Shape: sampled quantizer training + one assignment pass
+    + a per-cid count rollup; shard math is pure count algebra (no
+    window, no pairwise work) — safe as a recurring 100 TB monitoring
+    query. Columns: (cid, n_vectors, n_shards, spill_rows,
+    spill_fraction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb, similarity.IVF_NLIST, sample_mod=similarity.TRAIN_SAMPLE_MOD
+    ).localCheckpoint(eager=False)
+    lists = similarity.ivf_assign(emb, cents)
+    m = F.lit(similarity.MAX_BUCKET)
+    return (
+        lists.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "cid",
+            "n_vectors",
+            F.ceil(F.col("n_vectors") / m).cast("long").alias("n_shards"),
+            F.greatest(F.col("n_vectors") - m, F.lit(0))
+            .cast("long")
+            .alias("spill_rows"),
+            F.round(
+                F.greatest(F.col("n_vectors") - m, F.lit(0))
+                / F.col("n_vectors"),
+                6,
+            ).alias("spill_fraction"),
+        )
+    )
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

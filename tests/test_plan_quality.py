@@ -1071,6 +1071,7 @@ def test_coverage_reports_never_do_pairwise_work(spark):
         "ann_lsh_coverage_report",
         "allpairs_coverage_report",
         "minhash_coverage_report",
+        "semdedup_coverage_report",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
