@@ -380,11 +380,23 @@ def ann_index_append(
     appended.write.mode("append").partitionBy("pkey").parquet(index_path)
 
 
+PROBE_CAP = 512  #: per-(band, bucket) candidate budget for one-sided
+#: index probes: candidates are the bucket's md5-first PROBE_CAP
+#: members (a prefix of shard 0). Probing whole buckets costs
+#: corpus/2^BAND_BITS per query; probing whole shards costs MAX_BUCKET
+#: per band per query (measured: a 100 k-corpus / 8 k-query micro-batch
+#: band-joins to ~136 M pairs — minutes of exact cosine per batch).
+#: The budget bounds ingest verdict work at LSH_BANDS·PROBE_CAP exact
+#: cosines per query at ANY corpus size; below ~PROBE_CAP-member
+#: buckets (every driver scale factor) it changes nothing.
+
+
 def ann_candidates_against_index(
     spark,
     index_path: str,
     new_emb: DataFrame,
     corpus_max_id: int | None = None,
+    probe_cap: int = PROBE_CAP,
 ) -> DataFrame:
     """(qid, cand_vec_id, cosine) — corpus candidates for a batch of
     NEW vectors probing a persisted ANN index, the vector twin of
@@ -397,26 +409,35 @@ def ann_candidates_against_index(
     Hot-bucket bound: a probing vector is NOT in the index, so the
     shard-matching rule the in-index lookups use doesn't apply — and
     matching a whole hot bucket costs corpus/2^BAND_BITS per query.
-    Instead candidates come from SHARD 0 only: by construction
-    (:func:`sharded_band_rows`) that is the bucket's first
-    ``max_bucket`` members under the per-band-salted md5 rank — an
-    unbiased fixed-size sample, pushed down as a ``shard = 0`` scan
-    predicate. Every query gets ≤ LSH_BANDS·max_bucket candidates at
-    ANY corpus size; what the cap excludes is exactly the spill
-    fraction :func:`band_coverage_report` monitors. (A bucket-count
-    skip rule — the minhash ``bsz`` cap — would be wrong here: sign-LSH
-    has only 2^BAND_BITS keys per band, so past ~2^BAND_BITS·max_bucket
-    vectors EVERY bucket runs hot and a skip rule silently returns
-    nothing, the r5 coverage-collapse failure mode.)
+    Instead candidates are each bucket's md5-FIRST ``probe_cap``
+    members (:data:`PROBE_CAP`): the ``shard = 0`` pushed predicate
+    bounds the scan to ≤ max_bucket rows per bucket, and a
+    window-ranked prefix of the same per-band-salted md5 order takes
+    the budget from there — an unbiased fixed-size sample, every query
+    gets ≤ LSH_BANDS·probe_cap candidates at ANY corpus size. What the
+    budget excludes is the same spill class
+    :func:`band_coverage_report` monitors. (A bucket-count skip rule —
+    the minhash ``bsz`` cap — would be wrong here: sign-LSH has only
+    2^BAND_BITS keys per band, so past ~2^BAND_BITS·max_bucket vectors
+    EVERY bucket runs hot and a skip rule silently returns nothing,
+    the r5 coverage-collapse failure mode.)
+
+    Score AFTER the pair dedup, never before: a (query, candidate)
+    pair that agrees on k bands comes out of the band join k times, so
+    scoring the join output directly evaluates every 64-dim cosine up
+    to LSH_BANDS times and drags two embedding arrays through the
+    distinct's exchange. Here the band join carries only the slim
+    (qid, vec_id) pair, the distinct collapses the band multiplicity
+    FIRST (partial-agg-friendly), and each surviving pair is scored
+    once — candidate embeddings joined back from a per-vec_id dedup of
+    the same pruned index scan, query embeddings riding a batch-sized
+    broadcast.
 
     Verdicts restricted to ``vec_id <= corpus_max_id`` stay
     batch-partitioning-invariant even while the same stream appends to
     the index (appended rows all carry higher ids)."""
     qb = banded_rows(new_emb).select(
-        F.col("vec_id").alias("qid"),
-        vectors.as_double(F.col("embedding")).alias("qv"),
-        "band_id",
-        "band_key",
+        F.col("vec_id").alias("qid"), "band_id", "band_key"
     )
     touched = qb.select("band_id", "band_key").distinct().collect()
     pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
@@ -427,17 +448,36 @@ def ann_candidates_against_index(
     )
     if corpus_max_id is not None:
         idx = idx.filter(F.col("vec_id") <= corpus_max_id)
-    return (
-        idx.join(F.broadcast(qb), ["band_id", "band_key"])
+    wp = Window.partitionBy("band_id", "band_key").orderBy(
+        shard_rank_col(), F.col("vec_id")
+    )
+    idx = (
+        idx.select("vec_id", "embedding", "band_id", "band_key")
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= probe_cap)
+    )
+    pairs = (
+        idx.select("vec_id", "band_id", "band_key")
+        .join(F.broadcast(qb), ["band_id", "band_key"])
         .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    cand_emb = idx.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("cv")
+    ).dropDuplicates(["vec_id"])
+    qv = new_emb.select(
+        F.col("vec_id").alias("qid"),
+        vectors.as_double(F.col("embedding")).alias("qv"),
+    )
+    return (
+        pairs.join(cand_emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             F.col("vec_id").alias("cand_vec_id"),
-            F.round(
-                vectors.cosine(vectors.as_double(F.col("embedding")), F.col("qv")), 6
-            ).alias("cosine"),
+            F.round(vectors.cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
         )
-        .distinct()
     )
 
 

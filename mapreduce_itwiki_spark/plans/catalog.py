@@ -132,12 +132,14 @@ _PRIORITY: tuple[str, ...] = (
     # partitioned_events_prune; countmin_heavy_hitters;
     # streaming_enrich_join, streaming_foreach_batch_upsert,
     # streaming_chained_windows.
-    # --- round-7 rotation: 34 fresh picks (none in r03…r06's 158
-    # driver-checked names) + 2 family re-checks (multimodal and graph
-    # have NO never-checked members left — every query in both families
-    # already carries driver evidence — so their slots re-verify the
-    # r03-era representatives instead), so r03 ∪ … ∪ r07 accumulates
-    # driver-grade sf0.01 evidence on 158 + 34 = 192 distinct queries.
+    # --- round-7 rotation: 36 fresh picks (none in r03…r06's 158
+    # driver-checked names), so r03 ∪ … ∪ r07 accumulates driver-grade
+    # sf0.01 evidence on 158 + 36 = 194 distinct queries. Two slots
+    # were originally family re-checks (multimodal_blob_stats,
+    # triangle_count — their families had no never-checked members
+    # left); the round-7 second half added genuinely new operators, so
+    # those slots now carry the incremental vector index and semantic
+    # dedup instead.
     # ⊕ this round's new persisted near-dup index first (2)
     "minhash_index_build",
     "neardup_incremental_index",
@@ -149,9 +151,10 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pca_project2d",
     "embedding_outlier_mahalanobis",
     "embedding_covariance",
-    # ⊕ multimodal + graph family re-checks (see note above)
-    "multimodal_blob_stats",
-    "triangle_count",
+    # ⊕ round-7 second half: incremental vector index + semantic dedup
+    # (took the two re-check slots — see note above)
+    "ann_index_append",
+    "semdedup_prune",
     # ⊕ text analysis (3)
     "sentences_tokenize",
     "fuzzy_name_match_dist1",

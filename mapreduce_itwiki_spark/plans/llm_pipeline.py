@@ -1285,7 +1285,7 @@ def _ensure_ann_incr_index(spark: SparkSession, sf_dir: str, emb) -> tuple[str, 
 #: _VEC_CAPPED_SQL shard rule applied to the corpus alone, exactly what
 #: ann_index_write persists for the incremental entries
 _VEC_CORP_CAPPED_SQL = (
-    "SELECT vec_id, band_id, band_key, "
+    "SELECT vec_id, band_id, band_key, rn, "
     f"CAST(floor((rn - 1) / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard FROM ("
     "SELECT vec_id, band_id, band_key, "
     "row_number() OVER (PARTITION BY band_id, band_key "

@@ -1004,9 +1004,9 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     every micro-batch through foreachBatch (1) probes the index for its
     corpus near-neighbors — batch-sized band hashing, driver-derived
     pkey IN-list (static partition pruning), per-bucket work bounded by
-    shard-0 probing (an unbiased md5-ranked ≤ cap sample per bucket —
-    see ann_candidates_against_index for why a bucket-count skip rule
-    would collapse here), candidate embeddings read from the index
+    the PROBE_CAP candidate budget (each bucket's md5-first ≤ cap
+    members — see ann_candidates_against_index for why a bucket-count
+    skip rule would collapse here), candidate embeddings read from the index
     rows themselves (the corpus table is never touched) — and (2)
     APPENDS its own band rows under the two-phase shard rule
     (operators/similarity.py:ann_index_append), so the index the NEXT
@@ -1072,6 +1072,7 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ingest_oracle() -> str:
+    from ..operators.similarity import PROBE_CAP
     from ..plans.llm_pipeline import (
         _BITS_SQL,
         _VEC_BANDS_SQL,
@@ -1091,7 +1092,7 @@ def _ann_ingest_oracle() -> str:
              FROM corp c
              JOIN qb q ON c.band_id = q.band_id
                       AND c.band_key = q.band_key
-             WHERE c.shard = 0),
+             WHERE c.rn <= {PROBE_CAP}),
     scored AS (SELECT cand.qid,
                       round(list_dot_product(a.v, b.v) /
                             (sqrt(list_dot_product(a.v, a.v)) *
