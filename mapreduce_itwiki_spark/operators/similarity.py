@@ -1503,3 +1503,24 @@ def semdedup_keep(
         )
         .select("vec_id", "cid", (~F.col("is_dup")).alias("keep"))
     )
+
+
+def ivf_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
+    """APPEND new vectors to a persisted IVF index under the FROZEN
+    quantizer — the coarse-quantized twin of :func:`ann_index_append`,
+    and the standard billion-vector ingest shape (FAISS ``add``):
+    assign the batch against the stored ``_centroids`` (one broadcast
+    argmin map pass over the batch — nlist rows build-side, zero corpus
+    reads), append the rows into their cid partitions. No retraining on
+    the ingest path: quantizer drift is a monitoring concern (retrain +
+    rebuild when the cluster-balance report says so), not a per-batch
+    cost. Assignment against the same frozen centroids is exactly what
+    a full rebuild with the same training set produces, so — unlike the
+    LSH append's shard continuation — the appended index is
+    RESULT-IDENTICAL to a rebuild that trained on the original
+    corpus."""
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    lists = ivf_assign(new_emb, cents)
+    new_emb.join(lists, "vec_id").write.mode("append").partitionBy("cid").parquet(
+        f"{index_path}/lists"
+    )

@@ -132,29 +132,29 @@ _PRIORITY: tuple[str, ...] = (
     # partitioned_events_prune; countmin_heavy_hitters;
     # streaming_enrich_join, streaming_foreach_batch_upsert,
     # streaming_chained_windows.
-    # --- round-7 rotation: 36 fresh picks (none in r03…r06's 158
-    # driver-checked names), so r03 ∪ … ∪ r07 accumulates driver-grade
-    # sf0.01 evidence on 158 + 36 = 194 distinct queries. Two slots
-    # were originally family re-checks (multimodal_blob_stats,
-    # triangle_count — their families had no never-checked members
-    # left); the round-7 second half added genuinely new operators, so
-    # those slots now carry the incremental vector index and semantic
-    # dedup instead.
+    # --- round-7 rotation: 34 fresh picks (none in r03…r06's 158
+    # driver-checked names) + 2 family re-checks (multimodal and graph
+    # keep a first-50 representative — the driver-contract family
+    # gate), so r03 ∪ … ∪ r07 accumulates driver-grade sf0.01 evidence
+    # on 158 + 34 = 192 distinct queries. Mid-round re-pick: the second
+    # half added genuinely NEW operators (the incremental vector index,
+    # semantic dedup), which took the two embedding-statistics slots
+    # (embedding_covariance, embedding_outlier_mahalanobis — both stay
+    # judge-swept at sf0.01/sf0.001).
     # ⊕ this round's new persisted near-dup index first (2)
     "minhash_index_build",
     "neardup_incremental_index",
     # ⊕ similarity / ANN / embedding analytics (6 — the two persisted-
-    # index entries r6 landed but never driver-checked, then the
-    # embedding-statistics tail)
+    # index entries r6 landed but never driver-checked, the pca tail,
+    # then the second half's incremental index + semantic dedup)
     "ann_index_batch_topk",
     "ann_ivf_index_topk",
     "embedding_pca_project2d",
-    "embedding_outlier_mahalanobis",
-    "embedding_covariance",
-    # ⊕ round-7 second half: incremental vector index + semantic dedup
-    # (took the two re-check slots — see note above)
     "ann_index_append",
     "semdedup_prune",
+    # ⊕ multimodal + graph family re-checks (first-50 family gate)
+    "multimodal_blob_stats",
+    "triangle_count",
     # ⊕ text analysis (3)
     "sentences_tokenize",
     "fuzzy_name_match_dist1",

@@ -323,12 +323,15 @@ _IVF_QDIST = (
 )
 
 
-def _ivf_train_ctes(sampled: bool) -> str:
+def _ivf_train_ctes(sampled: bool, assign_table: str = "e") -> str:
     """CTE chain ``c0 → … → lists`` (quantizer training + FULL-corpus
     assignment), following an ``e`` CTE of (vec_id, label?, v). Shared
     by every IVF oracle so the sampled/full variants differ ONLY in
     which rows train the quantizer (VERDICT r5 #8: sampled is the
     default; the full-corpus loop is the opt-in oracle twin).
+    ``assign_table`` lets the incremental entries train on ``e`` (the
+    frozen corpus) while assigning a DIFFERENT row set (corpus ∪ batch)
+    against the trained centroids.
 
     Sampled: the deterministic 1-in-TRAIN_SAMPLE_MOD md5 vec coin
     picks the training rows, seeds are the NLIST smallest SAMPLED ids,
@@ -356,7 +359,8 @@ def _ivf_train_ctes(sampled: bool) -> str:
                  FROM a1)
                GROUP BY cid, pos),
     c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM c1long GROUP BY cid),
-    d2 AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d FROM e CROSS JOIN c1 c),
+    d2 AS (SELECT {assign_table}.vec_id, c.cid, {_IVF_DIST} AS d
+           FROM {assign_table} CROSS JOIN c1 c),
     lists AS (SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -1495,6 +1499,103 @@ def semdedup_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spill_fraction"),
         )
     )
+
+
+@register(
+    "ann_ivf_index_append",
+    # training on the CORPUS (sampled coin over corpus ids — exactly
+    # what ivf_index_write froze at build time), assignment of
+    # corpus ∪ batch against the trained centroids: append under a
+    # frozen quantizer is result-identical to a rebuild that trained
+    # on the original corpus
+    oracle=f"""
+    WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    e AS (SELECT vec_id, v FROM alle WHERE vec_id < (SELECT s FROM sp)),
+    {_ivf_train_ctes(sampled=True, assign_table="alle")}
+    SELECT cid, count(*) AS n_rows,
+           CAST(sum(CASE WHEN vec_id >= (SELECT s FROM sp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_rows
+    FROM lists GROUP BY cid
+    """,
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance for the IVF tier — the coarse-quantized
+    twin of ann_index_append (both retrieval tiers now build once and
+    ingest daily): the batch is assigned against the index's FROZEN
+    centroids (one broadcast argmin pass, nlist rows build-side, zero
+    corpus reads) and appended into its cid partitions — FAISS ``add``
+    semantics, and unlike the LSH append provably rebuild-identical
+    (same training set ⇒ same centroids ⇒ same assignment). Returns
+    the per-cell summary read BACK from the written lists: total rows
+    and the batch's rows per cell — the cluster-balance signal that
+    tells a pipeline when drift warrants a retrain. See
+    operators/similarity.py:ivf_index_append."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfincr{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+    )
+    import os
+
+    similarity.ivf_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+    # the sentinel the amortized twin keys on — written LAST, so a
+    # crash between write and append can never leave a "complete"
+    # corpus-only index behind
+    open(os.path.join(path, "_APPEND_DONE"), "w").close()
+    lists = spark.read.parquet(f"{path}/lists")
+    return lists.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("vec_id") >= s, 1).otherwise(0)).alias("n_new_rows"),
+    )
+
+
+@register(
+    "ann_ivf_incremental_topk",
+    # the IVF freshness proof: the newest vector, answered from the
+    # corpus-trained index that just absorbed its batch — probe ranks
+    # the frozen centroids, candidates span corpus and appended cells
+    oracle=f"""
+    WITH alle AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    e AS (SELECT vec_id, v FROM alle WHERE vec_id < (SELECT s FROM sp)),
+    {_ivf_train_ctes(sampled=True, assign_table="alle")},
+    qv AS (SELECT max(vec_id) AS q FROM embeddings),
+    q AS (SELECT v AS qv FROM alle WHERE vec_id = (SELECT q FROM qv)),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM c1 c, q) WHERE rn <= {similarity.IVF_NPROBE}),
+    cand AS (SELECT l.vec_id FROM lists l JOIN probe USING (cid)
+             WHERE l.vec_id <> (SELECT q FROM qv))
+    SELECT alle.vec_id, alle.label, {_COSINE_SQL} AS cosine
+    FROM alle JOIN cand ON alle.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, alle.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k for a JUST-INGESTED vector from the incrementally
+    maintained IVF index (build corpus index once, append the batch —
+    both amortized behind a completion sentinel): the probe ranks the
+    stored centroids driver-side and scans only its nprobe cid
+    partitions, which now hold corpus AND appended rows. Query = the
+    newest vector (max vec_id)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfincr{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+    )
+    done = os.path.join(path, "_APPEND_DONE")
+    if not os.path.exists(done):
+        similarity.ivf_index_write(emb.filter(F.col("vec_id") < s), path)
+        similarity.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+        open(done, "w").close()
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    return similarity.ivf_index_topk(spark, path, query_vec_id=qid, k=10, emb=emb)
 
 
 @register(

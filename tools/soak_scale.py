@@ -90,6 +90,9 @@ SOAK = [
     "ann_incremental_topk",
     "streaming_ann_ingest",
     "semdedup_prune",
+    "semdedup_coverage_report",
+    "ann_ivf_index_append",
+    "ann_ivf_incremental_topk",
 ]
 
 
