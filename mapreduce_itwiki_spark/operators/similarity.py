@@ -1524,3 +1524,93 @@ def ivf_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     new_emb.join(lists, "vec_id").write.mode("append").partitionBy("cid").parquet(
         f"{index_path}/lists"
     )
+
+
+def incremental_parity_report(
+    emb: DataFrame, split: int, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """ONE-ROW report quantifying what the append path trades away —
+    the "measure, don't hand-wave" twin of dedup_recall_report for the
+    incremental LSH index: :func:`ann_index_append` is deliberately NOT
+    byte-identical to a rebuild (a rebuild interleaves corpus and batch
+    in one global md5 bucket order; the append freezes corpus shards
+    and continues occupancy), so the batch's candidate sets can differ
+    wherever a bucket is sharded. This computes the batch's full
+    same-(band, key, shard) candidate sets under BOTH layouts, in-DAG,
+    and reports their sizes, overlap, and Jaccard. Below the cap
+    (single-shard buckets) the two layouts agree by construction —
+    jaccard = 1.0 is the expected healthy reading until buckets run
+    hot, after which this report says exactly how much candidate
+    coverage drifts. Columns: (n_batch, n_pairs_rebuild,
+    n_pairs_append, n_common, jaccard)."""
+    reb = sharded_band_rows(emb, max_bucket).select(
+        "vec_id", "band_id", "band_key", "shard"
+    )
+    corp = sharded_band_rows(
+        emb.filter(F.col("vec_id") < split), max_bucket
+    ).select("vec_id", "band_id", "band_key", "shard")
+    newb = banded_rows(emb.filter(F.col("vec_id") >= split)).select(
+        "vec_id", "band_id", "band_key"
+    )
+    oldc = corp.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("oc"))
+    w = Window.partitionBy("band_id", "band_key").orderBy(
+        shard_rank_col(), F.col("vec_id")
+    )
+    app = (
+        newb.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(oldc), ["band_id", "band_key"], "left")
+        .select(
+            "vec_id",
+            "band_id",
+            "band_key",
+            F.floor(
+                (F.coalesce(F.col("oc"), F.lit(0)) + F.col("rn") - 1)
+                / F.lit(max_bucket)
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    uni = corp.unionByName(app)
+
+    # the candidate join has only bands·2^BAND_BITS·shards distinct
+    # keys and a huge fan-out (each joined row explodes into
+    # batch_members × shard_members pairs) — AQE sees tiny INPUT bytes
+    # and coalesces the exchange to a couple of tasks, serializing
+    # hundreds of millions of generated rows. An explicit fixed-width
+    # repartition on the join key pins the parallelism (AQE does not
+    # coalesce user repartitions with an explicit partition count).
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+
+    def pair_set(rows: DataFrame) -> DataFrame:
+        rows = rows.repartition(n_part, "band_id", "band_key", "shard")
+        qs = rows.filter(F.col("vec_id") >= split).select(
+            F.col("vec_id").alias("qid"), "band_id", "band_key", "shard"
+        )
+        return (
+            rows.join(qs, ["band_id", "band_key", "shard"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("cand"))
+            .distinct()
+        )
+
+    pr = pair_set(reb)
+    pa = pair_set(uni)
+    common = pr.join(pa, ["qid", "cand"], "left_semi")
+    n_batch = emb.filter(F.col("vec_id") >= split).count()
+    counts = (
+        pr.agg(F.count(F.lit(1)).alias("n_pairs_rebuild"))
+        .crossJoin(pa.agg(F.count(F.lit(1)).alias("n_pairs_append")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return counts.select(
+        F.lit(n_batch).cast("long").alias("n_batch"),
+        "n_pairs_rebuild",
+        "n_pairs_append",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_pairs_rebuild") + F.col("n_pairs_append") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1502,6 +1502,53 @@ def semdedup_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_incremental_parity_report",
+    # replays BOTH layouts (one-global-rank rebuild, two-phase append)
+    # and intersects the batch's candidate sets
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    {_VEC_APPEND_SQL},
+    pr AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand
+           FROM capped c JOIN capped q
+             ON c.band_id = q.band_id AND c.band_key = q.band_key
+            AND c.shard = q.shard
+           WHERE q.vec_id >= (SELECT s FROM sp) AND c.vec_id <> q.vec_id),
+    pa AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand
+           FROM uni c JOIN uni q
+             ON c.band_id = q.band_id AND c.band_key = q.band_key
+            AND c.shard = q.shard
+           WHERE q.vec_id >= (SELECT s FROM sp) AND c.vec_id <> q.vec_id),
+    t AS (SELECT
+            (SELECT count(*) FROM e WHERE vec_id >= (SELECT s FROM sp)) AS nb,
+            (SELECT count(*) FROM pr) AS r,
+            (SELECT count(*) FROM pa) AS a,
+            (SELECT count(*) FROM pr JOIN pa
+              ON pr.qid = pa.qid AND pr.cand = pa.cand) AS c)
+    SELECT nb AS n_batch, r AS n_pairs_rebuild, a AS n_pairs_append,
+           c AS n_common, round(c * 1.0 / (r + a - c), 6) AS jaccard
+    FROM t
+    """,
+)
+def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-vs-rebuild candidate parity for the incremental LSH index
+    — the "measure, don't hand-wave" report: ann_index_append is
+    deliberately not byte-identical to a rebuild (frozen corpus shards
+    + occupancy continuation vs one global md5 order), and this one-row
+    report says exactly how much batch candidate coverage that costs
+    (jaccard = 1.0 until buckets run hot — single-shard buckets agree
+    by construction). Run it alongside ann_lsh_coverage_report when
+    spill_fraction rises. See
+    operators/similarity.py:incremental_parity_report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.incremental_parity_report(emb, _vec_split(spark, sf_dir))
+
+
+@register(
     "ann_ivf_index_append",
     # training on the CORPUS (sampled coin over corpus ids — exactly
     # what ivf_index_write froze at build time), assignment of
