@@ -1548,6 +1548,71 @@ def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.incremental_parity_report(emb, _vec_split(spark, sf_dir))
 
 
+#: compaction-entry shard cap: small enough that sf0.001's ~30-member
+#: buckets genuinely shard (the default 4096 cap never runs hot below
+#: sf5, which would make the catalog entry exercise nothing); the
+#: oracle replays the same constant
+_COMPACT_CAP = 20
+
+
+@register(
+    "ann_index_compact",
+    # post-compaction the index IS the rebuild: the oracle is the
+    # one-global-rank capped banding over the full corpus, rolled up
+    # per band
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS (SELECT vec_id, band_id, band_key,
+                      CAST(floor((row_number() OVER (
+                          PARTITION BY band_id, band_key
+                          ORDER BY md5(CAST(band_id AS VARCHAR) || ':'
+                                       || CAST(vec_id AS VARCHAR)),
+                                   vec_id) - 1) / {_COMPACT_CAP}.0)
+                           AS BIGINT) AS shard
+               FROM bands)
+    SELECT band_id, count(*) AS n_rows, max(shard) AS max_shard,
+           CAST(count(DISTINCT CASE WHEN shard > 0 THEN band_key END)
+                AS BIGINT) AS n_hot_buckets
+    FROM capped GROUP BY band_id
+    """,
+)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle's third verb, end to end at driver scale:
+    build the corpus index → append the batch (two-phase shard rule) →
+    COMPACT — re-rank only the hot buckets into the one global md5
+    order a rebuild uses and rewrite only those pkey partitions
+    (dynamic partition overwrite; cost ∝ hot partitions). Afterwards
+    the on-disk rows equal a from-scratch rebuild — the drift
+    ann_incremental_parity_report measures goes to 1.0 — which is
+    exactly what the oracle checks by replaying the rebuild banding.
+    Uses a small demo cap so driver-scale buckets genuinely shard.
+    Returns the per-band summary read BACK from the compacted files.
+    See operators/similarity.py:ann_index_compact."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_incr_index_path(sf_dir) + f"_compact{_COMPACT_CAP}"
+    similarity.ann_index_write(
+        emb.filter(F.col("vec_id") < s), path, max_bucket=_COMPACT_CAP
+    )
+    similarity.ann_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= s), max_bucket=_COMPACT_CAP
+    )
+    similarity.ann_index_compact(spark, path, max_bucket=_COMPACT_CAP)
+    open(os.path.join(path, "_APPEND_DONE"), "w").close()
+    idx = spark.read.parquet(path)
+    return idx.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("shard").alias("max_shard"),
+        F.countDistinct(
+            F.when(F.col("shard") > 0, F.col("band_key"))
+        ).alias("n_hot_buckets"),
+    )
+
+
 @register(
     "ann_ivf_index_append",
     # training on the CORPUS (sampled coin over corpus ids — exactly

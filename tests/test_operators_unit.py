@@ -1783,3 +1783,39 @@ def test_ann_probe_survives_all_hot_buckets(spark, tmp_path):
              cands.groupBy("qid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert len(per_q) == 5, "a query lost ALL candidates under hot buckets"
     assert all(0 < c <= similarity.LSH_BANDS * cap for c in per_q.values())
+
+
+def test_ann_index_compact_restores_rebuild_order(spark, tmp_path):
+    """The index lifecycle closes: build corpus index -> append batch ->
+    compact. Afterwards the on-disk rows must EQUAL a from-scratch
+    rebuild over the full corpus (the drift the parity report measures
+    goes to zero), and only the hot partitions were rewritten."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    s = 3 * (n - 1) // 4
+    cap = 20
+    path = str(tmp_path / "ann_compact")
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < s), path, max_bucket=cap)
+    similarity.ann_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= s), max_bucket=cap
+    )
+    rewritten = similarity.ann_index_compact(spark, path, max_bucket=cap)
+    assert rewritten > 0  # sf0.001 at cap=20 genuinely has hot buckets
+    got = sorted(
+        (r.vec_id, r.band_id, r.band_key, r.shard)
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.band_id, r.band_key, r.shard)
+        for r in similarity.sharded_band_rows(emb, max_bucket=cap).collect()
+    )
+    assert got == want
+    # idempotent: nothing is hot by count anymore? hot buckets remain
+    # hot by SIZE (they are sharded), so a second compact rewrites them
+    # again — but to the identical row set
+    similarity.ann_index_compact(spark, path, max_bucket=cap)
+    again = sorted(
+        (r.vec_id, r.band_id, r.band_key, r.shard)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert again == want
