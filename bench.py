@@ -84,6 +84,9 @@ HEADLINE = [
     # neardup_incremental_index) — and cluster-scoped semantic dedup
     "ann_incremental_topk",
     "semdedup_prune",
+    # the lifecycle's third verb: build -> append -> compact at the
+    # demo cap (hot-bucket re-rank + dynamic partition overwrite)
+    "ann_index_compact",
 ]
 
 

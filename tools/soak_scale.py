@@ -93,6 +93,7 @@ SOAK = [
     "semdedup_coverage_report",
     "ann_ivf_index_append",
     "ann_ivf_incremental_topk",
+    "ann_index_compact",
 ]
 
 
