@@ -87,6 +87,8 @@ HEADLINE = [
     # the lifecycle's third verb: build -> append -> compact at the
     # demo cap (hot-bucket re-rank + dynamic partition overwrite)
     "ann_index_compact",
+    # the production composite: IVF pruning x PQ compression + rerank
+    "ann_ivfpq_topk",
 ]
 
 

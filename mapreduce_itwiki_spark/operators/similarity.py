@@ -1668,3 +1668,78 @@ def ann_index_compact(
         .parquet(index_path)
     )
     return len(hot)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production billion-vector index shape
+    (FAISS IVFPQ with ``by_residual=false``: PQ codes over the raw
+    vectors, the coarse quantizer used purely for candidate pruning):
+    the query ranks its ``nprobe`` nearest IVF cells, ONLY those cells'
+    members are PQ-encoded and ADC-scanned (at scale the codes live in
+    the cid-partitioned index, so this is partition pruning over
+    PQ_M-byte rows — memory compression AND scan pruning in one
+    structure), and the ``rerank`` shortlist is re-ranked by exact
+    cosine. Both quantizers train on the deterministic md5 coin sample;
+    everything is rounded/integerized on the repo-wide grid, so the
+    DuckDB oracle replays the identical composite index. Residual
+    encoding (``by_residual=true``) is the remaining refinement — it
+    changes code values, not the plan shape."""
+    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+        eager=False
+    )
+    lists = ivf_assign(emb, cents)
+    wq = Window.partitionBy(F.lit(1)).orderBy("d", "cid")
+    probe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(vectors.as_double(F.col("embedding")).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("cid", sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("cid")
+    )
+    cell_ids = lists.join(F.broadcast(probe), "cid").select("vec_id")
+    sub = _pq_sub_rows(emb)
+    books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
+    # encode ONLY the probed cells' members — the IVF pruning applied
+    # to the PQ encode/scan (at scale: read the probed cid partitions
+    # of the persisted code table instead)
+    subc = sub.join(cell_ids, "vec_id", "left_semi")
+    enc = (
+        subc.join(F.broadcast(books), "s")
+        .select("vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+    dt = (
+        sub.filter(F.col("vec_id") == query_vec_id)
+        .select("s", F.col("sv").alias("qsv"))
+        .join(F.broadcast(books), "s")
+        .select(
+            "s",
+            "cid",
+            F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+            .cast("long")
+            .alias("dti"),
+        )
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dti").alias("adc"))
+    )
+    cand_ids = adc.orderBy("adc", "vec_id").limit(rerank).select("vec_id")
+    query = emb.filter(F.col("vec_id") == query_vec_id)
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    scored = with_cosine_to_query(cands, query)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

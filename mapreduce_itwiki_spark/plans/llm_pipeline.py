@@ -323,7 +323,9 @@ _IVF_QDIST = (
 )
 
 
-def _ivf_train_ctes(sampled: bool, assign_table: str = "e") -> str:
+def _ivf_train_ctes(
+    sampled: bool, assign_table: str = "e", prefix: str = ""
+) -> str:
     """CTE chain ``c0 → … → lists`` (quantizer training + FULL-corpus
     assignment), following an ``e`` CTE of (vec_id, label?, v). Shared
     by every IVF oracle so the sampled/full variants differ ONLY in
@@ -349,7 +351,7 @@ def _ivf_train_ctes(sampled: bool, assign_table: str = "e") -> str:
         head = f"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e
            WHERE vec_id < {similarity.IVF_NLIST}),
     d1 AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d, e.v FROM e CROSS JOIN c0 c)"""
-    return head + f""",
+    head = head + f""",
     a1 AS (SELECT vec_id, cid, v FROM (
              SELECT vec_id, cid, v,
                     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -365,6 +367,18 @@ def _ivf_train_ctes(sampled: bool, assign_table: str = "e") -> str:
                 SELECT vec_id, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
                 FROM d2) WHERE rn = 1)"""
+    if prefix:
+        # composite oracles (IVF-PQ) splice these CTEs next to the PQ
+        # chain, whose names overlap (c0/c1/d1/d2/a1) — rename every
+        # internal CTE with the prefix, word-bounded so column names
+        # and the e/assign tables are untouched
+        import re
+
+        out = head
+        for name in ("c1long", "samp", "c0", "c1", "d1", "d2", "a1", "lists"):
+            out = re.sub(rf"\b{name}\b", f"{prefix}{name}", out)
+        return out
+    return head
 
 
 #: single-query probe + scan + top-k tail shared by both IVF variants
@@ -1546,6 +1560,55 @@ def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     operators/similarity.py:incremental_parity_report."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.incremental_parity_report(emb, _vec_split(spark, sf_dir))
+
+
+@register(
+    "ann_ivfpq_topk",
+    # the two quantizer chains compose in one WITH: the IVF CTEs carry
+    # an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
+    # are ann_pq_topk's verbatim; the tail restricts the ADC scan to
+    # the probed cells' members before the exact re-rank
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    {_pq_train_ctes(sampled=True)},
+    ivq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM ivc1 c, ivq) WHERE rn <= {similarity.IVF_NPROBE}),
+    cellcand AS (SELECT l.vec_id FROM ivlists l JOIN probe USING (cid)
+                 WHERE l.vec_id <> 0),
+    qs AS (SELECT s, sv FROM sub WHERE vec_id = 0),
+    dt AS (SELECT c.s, c.cid,
+                  CAST(round({_pq_subdist('qs')} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT enc.vec_id, sum(dti) AS adc
+            FROM enc JOIN cellcand ON enc.vec_id = cellcand.vec_id
+            JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+            GROUP BY enc.vec_id),
+    cand AS (SELECT vec_id FROM adc
+             ORDER BY adc, vec_id LIMIT {similarity.PQ_RERANK}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the production billion-vector shape
+    (FAISS IVFPQ, by_residual=false) assembled from the repo's two
+    exactly-replayable quantizers: IVF prunes the scan to the query's
+    nprobe cells, PQ compresses what's scanned to PQ_M-byte codes
+    (ADC table lookup), exact cosine re-ranks the shortlist. At scale
+    the codes live in the cid-partitioned index, so the ADC scan is
+    static partition pruning over byte codes — pruning AND compression
+    in one structure, which neither ann_ivf_topk (prunes, full floats)
+    nor ann_pq_topk (compresses, full scan) gives alone. See
+    operators/similarity.py:ivfpq_topk."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10
+    )
 
 
 #: compaction-entry shard cap: small enough that sf0.001's ~30-member

@@ -1180,3 +1180,17 @@ def test_semdedup_pairwise_is_cluster_grouped_arrow_kernel(spark):
     plan = plan_of(spark, "semdedup_prune")
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_scan_is_pruned_and_rerank_is_takeordered(spark):
+    """The IVF-PQ composite must show both halves of its story in the
+    plan: the PQ encode/ADC work sits behind the probed-cells semi-join
+    (LeftSemi — at scale: cid partition pruning over the code table),
+    the ADC table and codebooks ride broadcasts, and both the shortlist
+    and the final top-k are TakeOrderedAndProject — never a full
+    sort."""
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
