@@ -94,6 +94,7 @@ SOAK = [
     "ann_ivf_index_append",
     "ann_ivf_incremental_topk",
     "ann_index_compact",
+    "ann_ivfpq_topk",
 ]
 
 
