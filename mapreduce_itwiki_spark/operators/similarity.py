@@ -1678,20 +1678,26 @@ def ivfpq_topk(
     nprobe: int = IVF_NPROBE,
     rerank: int = PQ_RERANK,
     sample_mod: int | None = TRAIN_SAMPLE_MOD,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the production billion-vector index shape
-    (FAISS IVFPQ with ``by_residual=false``: PQ codes over the raw
-    vectors, the coarse quantizer used purely for candidate pruning):
-    the query ranks its ``nprobe`` nearest IVF cells, ONLY those cells'
-    members are PQ-encoded and ADC-scanned (at scale the codes live in
-    the cid-partitioned index, so this is partition pruning over
-    PQ_M-byte rows — memory compression AND scan pruning in one
-    structure), and the ``rerank`` shortlist is re-ranked by exact
-    cosine. Both quantizers train on the deterministic md5 coin sample;
-    everything is rounded/integerized on the repo-wide grid, so the
-    DuckDB oracle replays the identical composite index. Residual
-    encoding (``by_residual=true``) is the remaining refinement — it
-    changes code values, not the plan shape."""
+    (FAISS IVFPQ): the query ranks its ``nprobe`` nearest IVF cells,
+    ONLY those cells' members are PQ-encoded and ADC-scanned (at scale
+    the codes live in the cid-partitioned index, so this is partition
+    pruning over PQ_M-byte rows — memory compression AND scan pruning
+    in one structure), and the ``rerank`` shortlist is re-ranked by
+    exact cosine. Both quantizers train on the deterministic md5 coin
+    sample; everything is rounded/integerized on the repo-wide grid, so
+    the DuckDB oracle replays the identical composite index.
+
+    ``by_residual=False`` codes the RAW vectors (FAISS's
+    ``by_residual=false``): one shared codebook/ADC table for the whole
+    batch of cells. ``by_residual=True`` is full FAISS IVFPQ: codes
+    over (v − centroid(cell)), which centers every cell's residuals
+    near the origin so the same PQ_CODES codebook entries resolve finer
+    structure — the query then carries a DIFFERENT residual (and ADC
+    table) per probed cell, so the ADC join keys on (cell, s, code)
+    instead of (s, code). Same plan shape, different code values."""
     cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
         eager=False
     )
@@ -1706,13 +1712,34 @@ def ivfpq_topk(
         .filter(F.col("rn") <= nprobe)
         .select("cid")
     )
-    cell_ids = lists.join(F.broadcast(probe), "cid").select("vec_id")
-    sub = _pq_sub_rows(emb)
+    # (vec_id, pcell): the probed cells' members, carrying their cell
+    cellcand = lists.join(F.broadcast(probe), "cid").select(
+        "vec_id", F.col("cid").alias("pcell")
+    )
+    if by_residual:
+        # residual vectors: v − centroid(assigned cell), full corpus —
+        # the codebooks train on residuals (sampled), like FAISS
+        base = (
+            emb.select(
+                "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+            )
+            .join(lists, "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, c: x - c).alias(
+                    "embedding"
+                ),
+            )
+        )
+    else:
+        base = emb.select("vec_id", "embedding")
+    sub = _pq_sub_rows(base)
     books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
     # encode ONLY the probed cells' members — the IVF pruning applied
     # to the PQ encode/scan (at scale: read the probed cid partitions
     # of the persisted code table instead)
-    subc = sub.join(cell_ids, "vec_id", "left_semi")
+    subc = sub.join(cellcand.select("vec_id"), "vec_id", "left_semi")
     enc = (
         subc.join(F.broadcast(books), "s")
         .select("vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d"))
@@ -1720,24 +1747,65 @@ def ivfpq_topk(
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vec_id", "s", F.col("m.cid").alias("cid"))
     )
-    dt = (
-        sub.filter(F.col("vec_id") == query_vec_id)
-        .select("s", F.col("sv").alias("qsv"))
-        .join(F.broadcast(books), "s")
-        .select(
+    if by_residual:
+        # one query residual (and ADC table) PER probed cell
+        qres = (
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select(vectors.as_double(F.col("embedding")).alias("qv"))
+            .crossJoin(F.broadcast(probe.join(cents, "cid")))
+            .select(
+                F.col("cid").alias("pcell"),
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: x - c).alias(
+                    "qrv"
+                ),
+            )
+        )
+        qsubs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(F.col("qrv"), s * PQ_SUB + 1, PQ_SUB).alias("qsv"),
+                )
+                for s in range(PQ_M)
+            ]
+        )
+        qs = qres.select("pcell", F.explode(qsubs).alias("q")).select(
+            "pcell", "q.s", "q.qsv"
+        )
+        dt = qs.join(F.broadcast(books), "s").select(
+            "pcell",
             "s",
             "cid",
             F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
             .cast("long")
             .alias("dti"),
         )
-    )
-    adc = (
-        enc.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(dt), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("dti").alias("adc"))
-    )
+        adc = (
+            enc.filter(F.col("vec_id") != query_vec_id)
+            .join(cellcand, "vec_id")
+            .join(F.broadcast(dt), ["pcell", "s", "cid"])
+            .groupBy("vec_id")
+            .agg(F.sum("dti").alias("adc"))
+        )
+    else:
+        dt = (
+            sub.filter(F.col("vec_id") == query_vec_id)
+            .select("s", F.col("sv").alias("qsv"))
+            .join(F.broadcast(books), "s")
+            .select(
+                "s",
+                "cid",
+                F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+                .cast("long")
+                .alias("dti"),
+            )
+        )
+        adc = (
+            enc.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(dt), ["s", "cid"])
+            .groupBy("vec_id")
+            .agg(F.sum("dti").alias("adc"))
+        )
     cand_ids = adc.orderBy("adc", "vec_id").limit(rerank).select("vec_id")
     query = emb.filter(F.col("vec_id") == query_vec_id)
     cands = emb.join(cand_ids, "vec_id", "left_semi")

@@ -456,17 +456,18 @@ def _pq_subdist(alias: str) -> str:
     )
 
 
-def _pq_train_ctes(sampled: bool) -> str:
+def _pq_train_ctes(sampled: bool, table: str = "e") -> str:
     """CTE chain ``ss → sub → … → enc`` (subvector split, codebook
     training, FULL-corpus encode), following an ``e`` CTE. Shared by
     every PQ oracle; sampled/full differ only in the training rows
     (VERDICT r5 #8 — sampled is the default, full is the opt-in
-    twin)."""
+    twin). ``table`` lets the residual IVF-PQ oracle feed the chain a
+    residual-vector CTE instead of the raw ``e``."""
     head = f"""ss AS (SELECT unnest(range(0, {similarity.PQ_M})) AS s),
     sub AS (SELECT vec_id, s,
                    list_slice(v, s * {similarity.PQ_SUB} + 1,
                               s * {similarity.PQ_SUB} + {similarity.PQ_SUB}) AS sv
-            FROM e CROSS JOIN ss)"""
+            FROM {table} CROSS JOIN ss)"""
     if sampled:
         train = f""",
     tsub AS (SELECT * FROM sub
@@ -1608,6 +1609,70 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:ivfpq_topk."""
     return similarity.ivfpq_topk(
         load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    # full FAISS IVFPQ: the PQ chain trains/encodes RESIDUALS
+    # (v − centroid(assigned cell)); the query carries a different
+    # residual — and ADC table — per probed cell, so the ADC join keys
+    # on (cell, s, code)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    rese AS (SELECT l.vec_id,
+                    list_transform(range(1, 65), i -> ev.v[i] - c.cv[i]) AS v
+             FROM ivlists l JOIN e ev ON ev.vec_id = l.vec_id
+                  JOIN ivc1 c ON c.cid = l.cid),
+    {_pq_train_ctes(sampled=True, table="rese")},
+    ivq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM ivc1 c, ivq) WHERE rn <= {similarity.IVF_NPROBE}),
+    cellcand AS (SELECT l.vec_id, l.cid AS pcell
+                 FROM ivlists l JOIN probe ON l.cid = probe.cid
+                 WHERE l.vec_id <> 0),
+    qres AS (SELECT probe.cid AS pcell,
+                    list_transform(range(1, 65), i -> ivq.qv[i] - c.cv[i]) AS v
+             FROM probe JOIN ivc1 c ON c.cid = probe.cid, ivq),
+    qs AS (SELECT pcell, s,
+                  list_slice(v, s * {similarity.PQ_SUB} + 1,
+                             s * {similarity.PQ_SUB} + {similarity.PQ_SUB}) AS sv
+           FROM qres CROSS JOIN ss),
+    dt AS (SELECT qs.pcell, c.s, c.cid,
+                  CAST(round({_pq_subdist('qs')} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT enc.vec_id, sum(dti) AS adc
+            FROM enc JOIN cellcand ON enc.vec_id = cellcand.vec_id
+            JOIN dt ON dt.pcell = cellcand.pcell
+                   AND enc.s = dt.s AND enc.cid = dt.cid
+            GROUP BY enc.vec_id),
+    cand AS (SELECT vec_id FROM adc
+             ORDER BY adc, vec_id LIMIT {similarity.PQ_RERANK}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL FAISS IVFPQ (by_residual=true), completing the composite:
+    PQ codebooks train on and encode RESIDUALS (v − centroid of the
+    assigned cell), which centers every cell's vectors near the origin
+    so the same PQ_CODES codebook entries resolve finer structure than
+    raw-vector codes. The query carries a different residual — hence a
+    different broadcast ADC table — per probed cell, and the ADC join
+    keys on (cell, subspace, code) instead of (subspace, code); the
+    plan shape is otherwise ann_ivfpq_topk's (probed-cells semi-join,
+    broadcast codebooks/tables, TakeOrdered shortlist + exact rerank).
+    See operators/similarity.py:ivfpq_topk (by_residual=True)."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        by_residual=True,
     )
 
 

@@ -95,6 +95,7 @@ SOAK = [
     "ann_ivf_incremental_topk",
     "ann_index_compact",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
 ]
 
 
