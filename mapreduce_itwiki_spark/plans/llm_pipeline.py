@@ -340,45 +340,46 @@ def _ivf_train_ctes(
     one Lloyd round on the sample. Full: seeds = vec_id < NLIST, one
     Lloyd round on everything. Assignment (``lists``) is always exact
     and full-corpus."""
+    # composite oracles (IVF-PQ) splice these CTEs next to the PQ
+    # chain, whose names overlap (c0/c1/d1/d2/a1) — the prefix is baked
+    # into the CTE names AT TEMPLATE TIME, never rewritten post-hoc (a
+    # former \b-regex rename also matched those tokens inside spliced
+    # fragments, so a future column or alias spelled `samp`/`d1`/…
+    # would have been silently rewritten into an invalid oracle —
+    # ADVICE r7)
+    samp, c0, c1, c1long = (
+        f"{prefix}samp", f"{prefix}c0", f"{prefix}c1", f"{prefix}c1long"
+    )
+    d1, d2, a1, lists = (
+        f"{prefix}d1", f"{prefix}d2", f"{prefix}a1", f"{prefix}lists"
+    )
     if sampled:
-        head = f"""samp AS (SELECT vec_id, v FROM e
+        head = f"""{samp} AS (SELECT vec_id, v FROM e
              WHERE {similarity.sample_coin_sql('vec_id', similarity.TRAIN_SAMPLE_MOD)}),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM samp
+    {c0} AS (SELECT vec_id AS cid, v AS cv FROM {samp}
            ORDER BY vec_id LIMIT {similarity.IVF_NLIST}),
-    d1 AS (SELECT samp.vec_id, c.cid, {_IVF_DIST} AS d, samp.v
-           FROM samp CROSS JOIN c0 c)"""
+    {d1} AS (SELECT {samp}.vec_id, c.cid, {_IVF_DIST} AS d, {samp}.v
+           FROM {samp} CROSS JOIN {c0} c)"""
     else:
-        head = f"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        head = f"""{c0} AS (SELECT vec_id AS cid, v AS cv FROM e
            WHERE vec_id < {similarity.IVF_NLIST}),
-    d1 AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d, e.v FROM e CROSS JOIN c0 c)"""
-    head = head + f""",
-    a1 AS (SELECT vec_id, cid, v FROM (
+    {d1} AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d, e.v FROM e CROSS JOIN {c0} c)"""
+    return head + f""",
+    {a1} AS (SELECT vec_id, cid, v FROM (
              SELECT vec_id, cid, v,
                     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM d1) WHERE rn = 1),
-    c1long AS (SELECT cid, pos, round(avg(val), 6) AS val FROM (
+             FROM {d1}) WHERE rn = 1),
+    {c1long} AS (SELECT cid, pos, round(avg(val), 6) AS val FROM (
                  SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos
-                 FROM a1)
+                 FROM {a1})
                GROUP BY cid, pos),
-    c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM c1long GROUP BY cid),
-    d2 AS (SELECT {assign_table}.vec_id, c.cid, {_IVF_DIST} AS d
-           FROM {assign_table} CROSS JOIN c1 c),
-    lists AS (SELECT vec_id, cid FROM (
+    {c1} AS (SELECT cid, list(val ORDER BY pos) AS cv FROM {c1long} GROUP BY cid),
+    {d2} AS (SELECT {assign_table}.vec_id, c.cid, {_IVF_DIST} AS d
+           FROM {assign_table} CROSS JOIN {c1} c),
+    {lists} AS (SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                FROM d2) WHERE rn = 1)"""
-    if prefix:
-        # composite oracles (IVF-PQ) splice these CTEs next to the PQ
-        # chain, whose names overlap (c0/c1/d1/d2/a1) — rename every
-        # internal CTE with the prefix, word-bounded so column names
-        # and the e/assign tables are untouched
-        import re
-
-        out = head
-        for name in ("c1long", "samp", "c0", "c1", "d1", "d2", "a1", "lists"):
-            out = re.sub(rf"\b{name}\b", f"{prefix}{name}", out)
-        return out
-    return head
+                FROM {d2}) WHERE rn = 1)"""
 
 
 #: single-query probe + scan + top-k tail shared by both IVF variants
@@ -1776,8 +1777,17 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ann_index_path(sf_dir) + (
         f"_ivfincr{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
     )
+    import contextlib
     import os
 
+    # clear a PRIOR run's completion sentinel before rebuilding:
+    # ivf_index_write only overwrites {path}/lists and {path}/_centroids,
+    # so a crash between write and append would otherwise leave a stale
+    # top-level _APPEND_DONE claiming a corpus-only index is complete
+    # (ADVICE r7 — the LSH twin is safe only because ann_index_write
+    # overwrites the whole directory)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "_APPEND_DONE"))
     similarity.ivf_index_write(emb.filter(F.col("vec_id") < s), path)
     similarity.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
     # the sentinel the amortized twin keys on — written LAST, so a
@@ -1831,6 +1841,10 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = os.path.join(path, "_APPEND_DONE")
     if not os.path.exists(done):
+        # safe to rebuild in place: this branch only runs when the
+        # sentinel is absent, and it is re-created LAST (below) — the
+        # stale-sentinel hazard lives in ann_ivf_index_append's
+        # unconditional rebuild, which clears it first (ADVICE r7)
         similarity.ivf_index_write(emb.filter(F.col("vec_id") < s), path)
         similarity.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
         open(done, "w").close()

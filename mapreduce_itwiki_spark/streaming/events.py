@@ -1040,7 +1040,21 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed)
     )
 
+    done_dir = os.path.join(base, "done")
+    os.makedirs(done_dir, exist_ok=True)
+
     def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
+        # idempotence marker (ADVICE r7): foreachBatch is at-least-once,
+        # and both writes below are blind parquet appends — a re-fired
+        # batch would double its band rows (breaking the ≤ cap-per-shard
+        # invariant and inflating future oldc occupancy counts). The
+        # marker, written LAST, makes the completed-batch retry a no-op;
+        # a crash MID-batch still needs the stage-to-batch_id-prefix +
+        # atomic-commit pattern a production object-store deployment
+        # would use.
+        marker = os.path.join(done_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
         cands = S.ann_candidates_against_index(spark, idx, bdf, corpus_max_id=s - 1)
         roll = cands.groupBy(F.col("qid").alias("vec_id")).agg(
             F.count(F.lit(1)).alias("n_corpus_candidates"),
@@ -1060,6 +1074,7 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
         S.ann_index_append(spark, idx, bdf)
+        open(marker, "w").close()
 
     q = (
         stream.writeStream.foreachBatch(probe_and_append)
