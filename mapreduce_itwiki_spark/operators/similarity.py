@@ -1811,3 +1811,211 @@ def ivfpq_topk(
     cands = emb.join(cand_ids, "vec_id", "left_semi")
     scored = with_cosine_to_query(cands, query)
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def ivfpq_index_write(
+    emb: DataFrame,
+    path: str,
+    nlist: int = IVF_NLIST,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
+    by_residual: bool = False,
+) -> None:
+    """Persist the IVF-PQ composite index — the half of the 100 TB
+    story :func:`ivfpq_topk`'s docstring promises ("at scale the codes
+    live in the cid-partitioned index") made real, completing the
+    persisted family (LSH pkey index, IVF lists, now IVFPQ codes):
+
+    * ``{path}/_centroids`` — the nlist coarse-quantizer rows.
+    * ``{path}/_codebooks`` — the PQ_M × PQ_CODES codebook rows, each
+      carrying a DENSE per-subspace ``code`` (row_number over cid) so
+      the stored code values are 0..PQ_CODES−1 — one byte per subspace
+      at production PQ_CODES = 256 (here TINYINT; a 256-code deployment
+      stores code−128 or packs raw bytes).
+    * ``{path}/codes`` — ONE row per vector, (vec_id, codes) with
+      ``codes`` a PQ_M-entry TINYINT array ordered by subspace,
+      PARTITIONED BY cid (the vector's IVF cell). This is the
+      compression claim in storage: PQ_M bytes of payload per vector
+      vs 4·dim for the float rows — a 100 TB float corpus becomes a
+      ~3 TB code table — AND the pruning claim: a query's ADC scan
+      reads only its nprobe cid partitions.
+
+    Both quantizers train on the deterministic md5 coin sample
+    (:func:`sample_coin`) by default; everything downstream of training
+    is exact and full-corpus. ``by_residual=True`` trains/encodes
+    (v − centroid(assigned cell)) — full FAISS IVFPQ — recorded in the
+    ``{path}/_meta`` sidecar so the query path picks the matching ADC
+    shape. Per-vector encode is deterministic (argmin over the same
+    codebooks), so the stored codes are bit-identical to what the
+    in-DAG :func:`ivfpq_topk` computes for any probed cell — the
+    persisted query path is result-identical to the in-DAG one and
+    shares its DuckDB oracle."""
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+        eager=False
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    lists = ivf_assign(emb, cents)
+    if by_residual:
+        base = (
+            emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+            .join(lists, "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, c: x - c).alias(
+                    "embedding"
+                ),
+            )
+        )
+    else:
+        base = emb.select("vec_id", "embedding")
+    sub = _pq_sub_rows(base)
+    books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
+    # dense per-subspace code ids: the oracle-visible codebook keys stay
+    # the raw seed cids; the STORED code is their per-s rank, a
+    # bijection — what makes the byte-width claim true without leaking
+    # seed vec_ids into the storage format
+    wb = Window.partitionBy("s").orderBy("cid")
+    books_disk = books.withColumn(
+        "code", (F.row_number().over(wb) - 1).cast("tinyint")
+    )
+    books_disk.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    enc = (
+        sub.join(F.broadcast(books_disk), "s")
+        .select(
+            "vec_id",
+            "s",
+            "code",
+            "cid",
+            sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+    codes = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda st: st.getField("code"),
+        ).alias("codes")
+    )
+    codes.join(lists, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/codes"
+    )
+    meta = spark.createDataFrame(
+        [(nlist, sample_mod, by_residual, PQ_M, PQ_SUB, PQ_CODES)],
+        "nlist int, sample_mod int, by_residual boolean, pq_m int,"
+        " pq_sub int, pq_codes int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ ANN top-k from the PERSISTED code index — quantizer
+    training, assignment, and the full-corpus encode all ran ONCE at
+    :func:`ivfpq_index_write` time; the query path touches only:
+
+    1. one pushed-filter read of the corpus table for the query
+       embedding (a caller holding the vector skips even that),
+    2. the nlist-row ``_centroids`` file, ranked driver-side with the
+       query spliced as a literal double array (the
+       :func:`ivf_index_topk` probe rule — zero unpruned index reads),
+    3. the probed cid partitions of the CODE table — a literal
+       ``cid IN (...)`` predicate the reader turns into static
+       partition pruning over PQ_M-byte rows; the float embedding
+       column is never in this scan's schema because the code table
+       doesn't carry one,
+    4. the broadcast ADC table (PQ_M × PQ_CODES cells, integerized),
+    5. a ``rerank``-row pushed semi-join read of the corpus floats for
+       the exact re-rank.
+
+    Result-identical to :func:`ivfpq_topk` with the same parameters
+    (the per-vector encode is deterministic, and ADC joins on the
+    stored dense code are a bijective rename of joins on the codebook
+    cid), so the two share one DuckDB oracle. The ``by_residual`` mode
+    is read from the index's ``_meta`` sidecar — a query can't
+    accidentally ADC-scan residual codes with a raw-vector table."""
+    meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    by_residual = bool(meta.by_residual)
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    books = spark.read.parquet(f"{index_path}/_codebooks")
+    qrows = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(vectors.as_double(F.col("embedding")).alias("qv"))
+        .take(1)
+    )
+    query = emb.filter(F.col("vec_id") == query_vec_id)
+    if not qrows:  # query vector absent from the corpus → empty result
+        return with_cosine_to_query(emb.filter(F.lit(False)), query).limit(k)
+    qv = list(qrows[0].qv)
+    qlit = "array(" + ", ".join(f"{x!r}D" for x in qv) + ")"
+    probe = (
+        cents.select("cid", sq_dist(F.expr(qlit), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(nprobe)
+        .collect()
+    )
+    cids = sorted(r.cid for r in probe) or [-1]
+    code_rows = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cid").isin(cids)  # static partition pruning over byte codes
+    )
+    enc = code_rows.select(
+        "vec_id",
+        F.col("cid").alias("pcell"),
+        F.posexplode("codes").alias("s", "code"),
+    ).filter(F.col("vec_id") != query_vec_id)
+    if by_residual:
+        # one query residual — hence one ADC table — per probed cell,
+        # computed driver-side from the collected centroid rows (the
+        # subtraction is the same IEEE double op either engine runs)
+        crows = {r.cid: list(r.cv) for r in cents.filter(F.col("cid").isin(cids)).collect()}
+        qsub_rows = [
+            (cid, s, [qv[i] - crows[cid][i] for i in range(s * PQ_SUB, (s + 1) * PQ_SUB)])
+            for cid in cids
+            for s in range(PQ_M)
+        ]
+        qsub = spark.createDataFrame(
+            qsub_rows, "pcell bigint, s int, qsv array<double>"
+        )
+        dt = qsub.join(books, "s").select(
+            "pcell",
+            "s",
+            "code",
+            F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+            .cast("long")
+            .alias("dti"),
+        )
+        adc = (
+            enc.join(F.broadcast(dt), ["pcell", "s", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("dti").alias("adc"))
+        )
+    else:
+        qsub_rows = [
+            (s, qv[s * PQ_SUB : (s + 1) * PQ_SUB]) for s in range(PQ_M)
+        ]
+        qsub = spark.createDataFrame(qsub_rows, "s int, qsv array<double>")
+        dt = qsub.join(books, "s").select(
+            "s",
+            "code",
+            F.round(sq_dist(F.col("qsv"), F.col("cv")) * 1000000.0, 0)
+            .cast("long")
+            .alias("dti"),
+        )
+        adc = (
+            enc.join(F.broadcast(dt), ["s", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("dti").alias("adc"))
+        )
+    cand_ids = adc.orderBy("adc", "vec_id").limit(rerank).select("vec_id")
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    scored = with_cosine_to_query(cands, query)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -1564,13 +1564,13 @@ def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.incremental_parity_report(emb, _vec_split(spark, sf_dir))
 
 
-@register(
-    "ann_ivfpq_topk",
-    # the two quantizer chains compose in one WITH: the IVF CTEs carry
-    # an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
-    # are ann_pq_topk's verbatim; the tail restricts the ADC scan to
-    # the probed cells' members before the exact re-rank
-    oracle=f"""
+# the two quantizer chains compose in one WITH: the IVF CTEs carry
+# an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
+# are ann_pq_topk's verbatim; the tail restricts the ADC scan to
+# the probed cells' members before the exact re-rank. Shared by the
+# in-DAG entry AND the persisted-index entry: the index persists the
+# same deterministic quantizers/codes, so one oracle covers both.
+_IVFPQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     {_ivf_train_ctes(sampled=True, prefix="iv")},
     {_pq_train_ctes(sampled=True)},
@@ -1595,8 +1595,10 @@ def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
     FROM e JOIN cand ON e.vec_id = cand.vec_id, q
     ORDER BY cosine DESC, e.vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN — the production billion-vector shape
     (FAISS IVFPQ, by_residual=false) assembled from the repo's two
@@ -1613,13 +1615,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_residual_topk",
-    # full FAISS IVFPQ: the PQ chain trains/encodes RESIDUALS
-    # (v − centroid(assigned cell)); the query carries a different
-    # residual — and ADC table — per probed cell, so the ADC join keys
-    # on (cell, s, code)
-    oracle=f"""
+# full FAISS IVFPQ: the PQ chain trains/encodes RESIDUALS
+# (v − centroid(assigned cell)); the query carries a different
+# residual — and ADC table — per probed cell, so the ADC join keys
+# on (cell, s, code). Shared by the in-DAG and persisted entries.
+_IVFPQ_RES_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     {_ivf_train_ctes(sampled=True, prefix="iv")},
     rese AS (SELECT l.vec_id,
@@ -1656,8 +1656,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
     FROM e JOIN cand ON e.vec_id = cand.vec_id, q
     ORDER BY cosine DESC, e.vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@register("ann_ivfpq_residual_topk", oracle=_IVFPQ_RES_ORACLE)
 def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL FAISS IVFPQ (by_residual=true), completing the composite:
     PQ codebooks train on and encode RESIDUALS (v − centroid of the
@@ -1675,6 +1677,104 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         by_residual=True,
     )
+
+
+def _ivfpq_index_path(sf_dir: str, by_residual: bool) -> str:
+    """On-disk location of the persisted IVF-PQ index — the
+    :func:`_ann_index_path` key extended by every constant the stored
+    artifacts depend on (both quantizer geometries, the sample coin,
+    the residual flag): retuning any of them yields a DIFFERENT path,
+    never a silently stale index."""
+    return _ann_index_path(sf_dir) + (
+        f"_ivfpq{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+        f"m{similarity.PQ_M}c{similarity.PQ_CODES}{'r' if by_residual else ''}"
+    )
+
+
+def _ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str, emb, by_residual: bool
+) -> str:
+    """Build the persisted IVF-PQ index only if absent — completion is
+    the ``_meta`` sidecar's ``_SUCCESS``, written LAST by
+    ivfpq_index_write, so a crash mid-build can never leave a
+    'complete' index behind (the _APPEND_DONE lesson, ADVICE r7)."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir, by_residual)
+    if not os.path.exists(os.path.join(path, "_meta", "_SUCCESS")):
+        similarity.ivfpq_index_write(emb, path, by_residual=by_residual)
+    return path
+
+
+@register(
+    "ann_ivfpq_index_build",
+    # the summary is read BACK from the written code table (proving the
+    # write): per IVF cell, how many vectors and how many DISTINCT
+    # PQ-code words. The oracle replays both quantizer chains; distinct
+    # counts are invariant under the per-subspace dense-code bijection
+    # the storage format applies (stored code = rank of codebook cid)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    {_pq_train_ctes(sampled=True)},
+    vcodes AS (SELECT vec_id, list(cid ORDER BY s)::VARCHAR AS word
+               FROM enc GROUP BY vec_id)
+    SELECT l.cid, count(*) AS n_vectors,
+           CAST(count(DISTINCT v.word) AS BIGINT) AS n_distinct_codes
+    FROM ivlists l JOIN vcodes v ON v.vec_id = l.vec_id
+    GROUP BY l.cid
+    """,
+)
+def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ index build — the compression half of the
+    composite made durable (VERDICT r7 #1: ivfpq_topk's docstring sold
+    "at scale the codes live in the cid-partitioned index" with no
+    index to live in): one job trains both quantizers (sampled md5
+    coin), assigns every vector to its IVF cell, encodes it to PQ_M
+    dense TINYINT codes, and writes the code table partitioned by cid
+    with the quantizers as sidecars. At 100 TB the stored payload is
+    PQ_M bytes/vector vs 4·dim floats (~32× here) AND every query scans
+    only its nprobe cid partitions — compression × pruning in one
+    structure. Returns the per-cell summary read back from the written
+    files: occupancy and distinct code words (the codebook-utilization
+    signal). See operators/similarity.py:ivfpq_index_write."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(sf_dir, by_residual=False)
+    similarity.ivfpq_index_write(emb, path, by_residual=False)
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct(F.col("codes").cast("string")).alias("n_distinct_codes"),
+    )
+
+
+@register("ann_ivfpq_index_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN from the PERSISTED code index — result-identical to
+    ann_ivfpq_topk (same sampled quantizers, same codes, same ADC +
+    exact rerank; one shared oracle), but training/assignment/encode
+    ran once at build: the query reads the nlist-row centroids, the
+    probed cid partitions of the PQ_M-byte code table (static partition
+    pruning, plan-gated — the scan schema has no embedding column to
+    read), and a rerank-row pushed semi-join of the corpus floats.
+    Completes the persisted family: LSH pkey index, IVF lists, IVFPQ
+    codes. See operators/similarity.py:ivfpq_index_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_index(spark, sf_dir, emb, by_residual=False)
+    return similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=0, k=10)
+
+
+@register("ann_ivfpq_residual_index_topk", oracle=_IVFPQ_RES_ORACLE)
+def ann_ivfpq_residual_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-FAISS persisted IVFPQ (by_residual=true): the stored codes
+    quantize (v − centroid(assigned cell)); the ``_meta`` sidecar
+    records the mode, so the query path builds one residual ADC table
+    per probed cell and joins on (cell, subspace, code). Same shared
+    oracle as the in-DAG residual entry. See
+    operators/similarity.py:ivfpq_index_write/ivfpq_index_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_index(spark, sf_dir, emb, by_residual=True)
+    return similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=0, k=10)
 
 
 #: compaction-entry shard cap: small enough that sf0.001's ~30-member

@@ -1819,3 +1819,50 @@ def test_ann_index_compact_restores_rebuild_order(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert again == want
+
+
+def test_ivfpq_index_matches_in_dag_both_modes(spark, tmp_path):
+    """The persisted IVF-PQ index must be result-identical to the
+    in-DAG ivfpq_topk in BOTH coding modes (raw and residual): the
+    per-vector encode is deterministic, and the stored dense code is a
+    per-subspace bijection of the codebook cid, so ADC sums — and hence
+    the shortlist and the exact rerank — agree row for row. Also pins
+    the storage contract: one row per vector, PQ_M TINYINT codes, no
+    embedding column in the code table, and the _meta mode round-trip."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for res in (False, True):
+        path = str(tmp_path / f"ivfpq_{int(res)}")
+        similarity.ivfpq_index_write(emb, path, by_residual=res)
+        got = [
+            (r.vec_id, r.cosine)
+            for r in similarity.ivfpq_index_topk(
+                spark, path, emb, query_vec_id=0, k=10
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in similarity.ivfpq_topk(
+                emb, query_vec_id=0, k=10, by_residual=res
+            ).collect()
+        ]
+        assert got == want and len(got) == 10, (res, got, want)
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.count() == emb.count()
+        ctype = dict(codes.dtypes)["codes"]
+        assert ctype == "array<tinyint>", ctype
+        assert "embedding" not in codes.columns
+        sizes = codes.select(F.size("codes").alias("n")).distinct().collect()
+        assert [r.n for r in sizes] == [similarity.PQ_M]
+        meta = spark.read.parquet(f"{path}/_meta").take(1)[0]
+        assert bool(meta.by_residual) is res
+
+
+def test_ivfpq_index_topk_absent_query_is_empty(spark, tmp_path):
+    """A query vec_id not in the corpus yields an empty (not erroring)
+    result — the same contract as ann_index_topk's absent-query
+    branch."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfpq_absent")
+    similarity.ivfpq_index_write(emb, path)
+    out = similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=10**9, k=10)
+    assert out.count() == 0

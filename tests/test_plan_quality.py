@@ -1194,3 +1194,25 @@ def test_ivfpq_scan_is_pruned_and_rerank_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_index_code_scan_is_pruned_and_embedding_free(spark):
+    """The persisted IVF-PQ query (VERDICT r7 #1) must prove both
+    claims in the plan: (a) the code-table scan carries the probed-cell
+    literal cid IN-list under PartitionFilters (static partition
+    pruning over PQ_M-byte rows), and (b) that scan's ReadSchema holds
+    only (vec_id, codes) — the float embedding column is structurally
+    absent from the compressed table, so the ADC stage can never read
+    it. Embeddings appear only in the corpus scans (query fetch +
+    rerank semi-join). Shortlist and final top-k stay TakeOrdered."""
+    plan = plan_of(spark, "ann_ivfpq_index_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cid" in pf and "IN" in pf, pf
+    # the scan section that reads `codes` must not read embeddings
+    for section in plan.split("Scan parquet")[1:]:
+        schema = section.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in section else ""
+        if "codes" in schema:
+            assert "embedding" not in schema, schema
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
