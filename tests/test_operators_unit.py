@@ -1866,3 +1866,74 @@ def test_ivfpq_index_topk_absent_query_is_empty(spark, tmp_path):
     similarity.ivfpq_index_write(emb, path)
     out = similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=10**9, k=10)
     assert out.count() == 0
+
+
+def test_auto_band_bits_scales_with_corpus(spark):
+    """The corpus-derived geometry formula: default below the
+    ~2^BAND_BITS·cap regime, then ceil(log2(n/cap)) — monotone,
+    and sized so a uniform corpus's expected bucket fits the cap."""
+    cap = similarity.MAX_BUCKET
+    assert similarity.auto_band_bits(100) == similarity.BAND_BITS
+    assert similarity.auto_band_bits(cap * 16) == similarity.BAND_BITS
+    assert similarity.auto_band_bits(cap * 17) == 5
+    assert similarity.auto_band_bits(10**6) == 8
+    assert similarity.auto_band_bits(10**9) == 18
+    for n in (10**5, 10**7, 10**9):
+        bits = similarity.auto_band_bits(n)
+        assert n / 2**bits <= similarity.MAX_BUCKET
+
+
+def test_tuned_index_probes_with_stored_geometry(spark, tmp_path):
+    """An index written at band_bits=6 must be probed at 6 bits even
+    though the module default is 4 (the _geometry sidecar, VERDICT r7
+    #2): the result equals the in-DAG twin recomputed at the tuned
+    width, and a mis-probed index would return nothing at all."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "tuned6")
+    similarity.ann_index_write(emb, path, band_bits=6)
+    assert similarity.index_geometry(spark, path) == (6, similarity.MAX_BUCKET)
+    got = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ann_index_topk(
+            spark, path, emb, query_vec_id=0, k=10
+        ).collect()
+    ]
+    assert len(got) > 0
+    # in-DAG twin: candidates from the tuned sharded banding
+    capped = similarity.sharded_band_rows(emb, band_bits=6)
+    qb = capped.filter(F.col("vec_id") == 0).select(
+        "band_id", "band_key", "shard"
+    )
+    cand = (
+        capped.join(qb, ["band_id", "band_key", "shard"])
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    scored = similarity.with_cosine_to_query(
+        emb.join(cand, "vec_id", "left_semi"), emb.filter(F.col("vec_id") == 0)
+    )
+    want = [
+        (r.vec_id, r.cosine)
+        for r in scored.orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        ).limit(10).collect()
+    ]
+    assert got == want
+
+
+def test_append_respects_stored_geometry(spark, tmp_path):
+    """ann_index_append must band the batch with the INDEX's stored
+    bits: appending to a 6-bit index produces only 6-char band keys and
+    preserves the per-shard cap invariant."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "tuned_app")
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < 400), path, band_bits=6)
+    similarity.ann_index_append(spark, path, emb.filter(F.col("vec_id") >= 400))
+    idx = spark.read.parquet(path)
+    lens = [r.l for r in idx.select(F.length("band_key").alias("l")).distinct().collect()]
+    assert lens == [6], lens
+    per_shard = (
+        idx.groupBy("band_id", "band_key", "shard").count().agg(F.max("count"))
+    ).collect()[0][0]
+    assert per_shard <= similarity.MAX_BUCKET

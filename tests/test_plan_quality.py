@@ -1216,3 +1216,17 @@ def test_ivfpq_index_code_scan_is_pruned_and_embedding_free(spark):
             assert "embedding" not in schema, schema
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tuned_index_scan_is_partition_pruned(spark):
+    """The non-default-geometry index lookup (VERDICT r7 #2) keeps the
+    probe-then-prune shape: the 6-bit pkey IN-list lands under
+    PartitionFilters and the top-k stays a per-partition heap —
+    retuning the band width changes WHICH partitions prune, never
+    WHETHER they do."""
+    plan = plan_of(spark, "ann_index_tuned_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
