@@ -2102,6 +2102,88 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_balance_report",
+    # replays the sampled training + exact assignment, then per-cell
+    # count algebra with EVERY centroid present (a dead cell —
+    # occupancy 0 — is the strongest retrain signal and must not
+    # vanish from the report via an inner join)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True)},
+    cc AS (SELECT cid, count(*) AS n FROM lists GROUP BY cid),
+    t AS (SELECT count(*) AS total FROM e),
+    nl AS (SELECT count(*) AS nlist FROM c1)
+    SELECT c1.cid, CAST(coalesce(cc.n, 0) AS BIGINT) AS n_vectors,
+           round(coalesce(cc.n, 0) * 1.0 / (SELECT total FROM t), 6)
+               AS occupancy_fraction,
+           round(coalesce(cc.n, 0) * 1.0 * (SELECT nlist FROM nl)
+                 / (SELECT total FROM t), 6) AS skew
+    FROM c1 LEFT JOIN cc ON cc.cid = c1.cid
+    """,
+)
+def ann_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance monitoring for the persisted IVF index (VERDICT
+    r7 #3 — the retrain trigger ivf_index_append names, now measured):
+    per centroid, list occupancy and skew vs the uniform ideal (1.0 =
+    balanced; » 1 = a hot cell whose nprobe scans balloon; 0 = a dead
+    cell the quantizer wasted). A pipeline watches max(skew) — and dead
+    cells — to decide when ann_ivf_index_retrain is worth its rebuild
+    pass. Shape: one column-pruned scan of the lists + an nlist-row
+    broadcast; full-corpus safe as a recurring monitor. See
+    operators/similarity.py:ivf_balance_report."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir) + (
+        f"_ivf{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+    )
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        similarity.ivf_index_write(emb, path)
+    return similarity.ivf_balance_report(spark, path)
+
+
+@register(
+    "ann_ivf_index_retrain",
+    # post-retrain the index IS the full rebuild (deterministic
+    # training on the current rows = corpus ∪ batch), so the oracle is
+    # the full-corpus sampled-training chain rolled up per cell
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    {_ivf_train_ctes(sampled=True)}
+    SELECT cid, count(*) AS n_rows,
+           CAST(sum(CASE WHEN vec_id >= (SELECT s FROM sp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_rows
+    FROM lists GROUP BY cid
+    """,
+)
+def ann_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF lifecycle end to end (VERDICT r7 #3 — build → append →
+    RETRAIN, completing parity with the LSH build → append → compact):
+    build the corpus-split index, absorb the batch under the frozen
+    quantizer (the drift ann_ivf_balance_report would flag: the
+    quantizer never saw the batch), then retrain on the index's CURRENT
+    contents — after which the index equals a from-scratch rebuild on
+    corpus ∪ batch (deterministic training; rebuild-equality
+    unit-pinned), and the oracle replays exactly that rebuild. Returns
+    the per-cell summary read BACK from the retrained lists. See
+    operators/similarity.py:ivf_index_retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfrt{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+    )
+    similarity.ivf_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+    similarity.ivf_index_retrain(spark, path)
+    lists = spark.read.parquet(f"{path}/lists")
+    return lists.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("vec_id") >= s, 1).otherwise(0)).alias("n_new_rows"),
+    )
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

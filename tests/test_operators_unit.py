@@ -1937,3 +1937,49 @@ def test_append_respects_stored_geometry(spark, tmp_path):
         idx.groupBy("band_id", "band_key", "shard").count().agg(F.max("count"))
     ).collect()[0][0]
     assert per_shard <= similarity.MAX_BUCKET
+
+
+def test_ivf_retrain_equals_rebuild(spark, tmp_path):
+    """ivf_index_retrain must be REBUILD-EQUAL: after build(corpus) +
+    append(batch) + retrain, the on-disk centroids and lists equal a
+    from-scratch ivf_index_write over corpus ∪ batch (deterministic
+    sampled training ⇒ same centroids ⇒ same assignment)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    p1 = str(tmp_path / "ivf_lifecycle")
+    similarity.ivf_index_write(emb.filter(F.col("vec_id") < 400), p1)
+    similarity.ivf_index_append(spark, p1, emb.filter(F.col("vec_id") >= 400))
+    similarity.ivf_index_retrain(spark, p1)
+    p2 = str(tmp_path / "ivf_rebuild")
+    similarity.ivf_index_write(emb, p2)
+    got_c = sorted(
+        (r.cid, tuple(r.cv))
+        for r in spark.read.parquet(f"{p1}/_centroids").collect()
+    )
+    want_c = sorted(
+        (r.cid, tuple(r.cv))
+        for r in spark.read.parquet(f"{p2}/_centroids").collect()
+    )
+    assert got_c == want_c
+    got_l = sorted(
+        (r.vec_id, r.cid) for r in spark.read.parquet(f"{p1}/lists").collect()
+    )
+    want_l = sorted(
+        (r.vec_id, r.cid) for r in spark.read.parquet(f"{p2}/lists").collect()
+    )
+    assert got_l == want_l and len(got_l) == emb.count()
+
+
+def test_ivf_balance_report_covers_dead_cells(spark, tmp_path):
+    """The balance report keys on the CENTROID table, so a cell no
+    vector maps to still appears with occupancy 0 — the retrain
+    trigger an inner join would hide. Also pins Σ occupancy = 1 and
+    mean skew = 1 (the uniform-ideal normalization)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf_bal")
+    similarity.ivf_index_write(emb, path)
+    rep = similarity.ivf_balance_report(spark, path).collect()
+    nlist = spark.read.parquet(f"{path}/_centroids").count()
+    assert len(rep) == nlist
+    assert abs(sum(r.occupancy_fraction for r in rep) - 1.0) < 1e-4
+    assert abs(sum(r.skew for r in rep) / nlist - 1.0) < 1e-4
+    assert all(r.n_vectors >= 0 for r in rep)
