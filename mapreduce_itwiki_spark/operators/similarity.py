@@ -568,6 +568,87 @@ def ann_candidates_against_index(
     )
 
 
+def probe_coverage_report(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    probe_cap: int = PROBE_CAP,
+    corpus_max_id: int | None = None,
+) -> DataFrame:
+    """Per-query budget-exclusion report for the one-sided index probe
+    (VERDICT r7 #4 — the monitoring twin of band_coverage_report for
+    the PROBE_CAP path): for each probing vector, how many distinct
+    shard-0 candidates its buckets hold, how many survive the
+    md5-first ``probe_cap`` budget, and the capped fraction — so the
+    512 budget's exclusions are MEASURED per batch, not modeled. A
+    candidate is "capped out" only when EVERY band occurrence ranks
+    past the budget (min-over-bands rank — banding's multi-probe
+    recovery applies to the cap exactly as it does to shards).
+    Queries with zero candidates still appear (fraction 0.0) — a
+    silent empty probe is itself a signal.
+
+    Cost model: identical to the probe it monitors —
+    batch-sized band hashing, a driver-derived pkey IN-list (static
+    partition pruning), the pushed ``shard = 0`` predicate bounding
+    every bucket at ≤ max_bucket rows, one rank window, one
+    partial+final count agg. Safe to run on every ingest batch at ANY
+    corpus size. Columns: (qid, n_candidates_uncapped, n_candidates,
+    n_capped_out, capped_fraction)."""
+    geo_bits, _geo_cap = index_geometry(spark, index_path)
+    qb = banded_rows(new_emb, band_bits=geo_bits).select(
+        F.col("vec_id").alias("qid"), "band_id", "band_key"
+    )
+    touched = qb.select("band_id", "band_key").distinct().collect()
+    pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("pkey").isin(pkeys))  # static partition pruning
+        .filter(F.col("shard") == 0)
+    )
+    if corpus_max_id is not None:
+        # same batch-invariance rule as ann_candidates_against_index:
+        # report on the frozen corpus even while the stream appends
+        idx = idx.filter(F.col("vec_id") <= corpus_max_id)
+    idx = idx.select("vec_id", "band_id", "band_key")
+    wp = Window.partitionBy("band_id", "band_key").orderBy(
+        shard_rank_col(), F.col("vec_id")
+    )
+    idxr = idx.withColumn("prn", F.row_number().over(wp))
+    best = (
+        idxr.join(F.broadcast(qb), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.min("prn").alias("best"))
+    )
+    roll = best.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_candidates_uncapped"),
+        F.sum(F.when(F.col("best") <= probe_cap, 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+        F.sum(F.when(F.col("best") > probe_cap, 1).otherwise(0)).alias(
+            "n_capped_out"
+        ),
+    )
+    base = new_emb.select(F.col("vec_id").alias("qid")).distinct()
+    return base.join(roll, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_candidates_uncapped"), F.lit(0)).alias(
+            "n_candidates_uncapped"
+        ),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.col("n_capped_out"), F.lit(0)).alias("n_capped_out"),
+        F.when(
+            F.coalesce(F.col("n_candidates_uncapped"), F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("n_capped_out") / F.col("n_candidates_uncapped"), 6
+            )
+        )
+        .alias("capped_fraction"),
+    )
+
+
 def ann_index_topk(
     spark,
     index_path: str,

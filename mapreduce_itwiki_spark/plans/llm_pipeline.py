@@ -1576,6 +1576,71 @@ def ann_incremental_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.incremental_parity_report(emb, _vec_split(spark, sf_dir))
 
 
+#: probe-coverage demo cap (the _COMPACT_CAP idiom): small enough that
+#: driver-scale buckets genuinely exceed it, so the entry measures a
+#: NONZERO capped fraction instead of a vacuous all-zeros report; the
+#: operator default stays PROBE_CAP (512), recorded at sf5z/sf20z in
+#: TUNING.md
+_PROBE_DEMO_CAP = 8
+
+
+@register(
+    "ann_probe_coverage_report",
+    # replays the probed shard-0 buckets (corp rn ≤ MAX_BUCKET), the
+    # min-over-bands candidate rank, and the ≤ cap screen; queries with
+    # no candidates ride the left join with fraction 0.0
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    qb AS (SELECT vec_id AS qid, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)),
+    pr AS (SELECT q.qid, c.vec_id, min(c.rn) AS best
+           FROM corp c JOIN qb q
+             ON c.band_id = q.band_id AND c.band_key = q.band_key
+           WHERE c.vec_id <> q.qid AND c.rn <= {similarity.MAX_BUCKET}
+           GROUP BY q.qid, c.vec_id),
+    roll AS (SELECT qid, count(*) AS nu,
+                    CAST(sum(CASE WHEN best <= {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                    CAST(sum(CASE WHEN best > {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nx
+             FROM pr GROUP BY qid)
+    SELECT b.qid,
+           coalesce(r.nu, 0) AS n_candidates_uncapped,
+           coalesce(r.nc, 0) AS n_candidates,
+           coalesce(r.nx, 0) AS n_capped_out,
+           CASE WHEN coalesce(r.nu, 0) = 0 THEN 0.0
+                ELSE round(r.nx * 1.0 / r.nu, 6) END AS capped_fraction
+    FROM (SELECT DISTINCT qid FROM qb) b
+    LEFT JOIN roll r ON r.qid = b.qid
+    """,
+)
+def ann_probe_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE_CAP exclusion monitoring for the streaming-ingest probe
+    path (VERDICT r7 #4 — the budget's exclusions measured per query,
+    the monitoring twin of ann_lsh_coverage_report's spill): for each
+    batch vector probing the corpus index, the distinct shard-0
+    candidates its buckets hold, how many survive the md5-first cap,
+    and the capped fraction (a candidate is excluded only when EVERY
+    band ranks it past the budget). Uses the demo cap so driver-scale
+    buckets genuinely cap; production numbers at PROBE_CAP = 512 are
+    recorded at sf5z/sf20z in TUNING.md. Cost ∝ batch — identical
+    partition-pruned shape to the probe it monitors. See
+    operators/similarity.py:probe_coverage_report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    return similarity.probe_coverage_report(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") >= s),
+        probe_cap=_PROBE_DEMO_CAP,
+        corpus_max_id=s - 1,
+    )
+
+
 # the two quantizer chains compose in one WITH: the IVF CTEs carry
 # an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
 # are ann_pq_topk's verbatim; the tail restricts the ADC scan to

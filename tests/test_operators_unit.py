@@ -1983,3 +1983,35 @@ def test_ivf_balance_report_covers_dead_cells(spark, tmp_path):
     assert abs(sum(r.occupancy_fraction for r in rep) - 1.0) < 1e-4
     assert abs(sum(r.skew for r in rep) / nlist - 1.0) < 1e-4
     assert all(r.n_vectors >= 0 for r in rep)
+
+
+def test_probe_coverage_counts_match_probe_path(spark, tmp_path):
+    """The report must measure EXACTLY what the probe excludes: at the
+    same cap, each query's n_candidates equals the candidate count
+    ann_candidates_against_index actually produces, and uncapped ≥
+    capped with the fraction consistent."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "probecov")
+    similarity.ann_index_write(emb.filter(F.col("vec_id") < 400), path)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    cap = 8
+    rep = {
+        r.qid: r
+        for r in similarity.probe_coverage_report(
+            spark, path, batch, probe_cap=cap
+        ).collect()
+    }
+    got = {
+        r.qid: r.n
+        for r in similarity.ann_candidates_against_index(
+            spark, path, batch, probe_cap=cap
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) <= set(rep)
+    for qid, r in rep.items():
+        assert r.n_candidates == got.get(qid, 0), (qid, r)
+        assert r.n_candidates_uncapped == r.n_candidates + r.n_capped_out
+    assert any(r.n_capped_out > 0 for r in rep.values())  # non-vacuous

@@ -1230,3 +1230,17 @@ def test_tuned_index_scan_is_partition_pruned(spark):
     assert "pkey" in pf and "IN" in pf, pf
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_probe_coverage_report_is_pruned_and_pairwise_free(spark):
+    """The PROBE_CAP monitor must cost what the probe it monitors
+    costs: the index read carries the batch-derived pkey IN-list under
+    PartitionFilters (plus the pushed shard = 0 screen), the batch band
+    rows ride a broadcast, and no cosine/pairwise math appears — counts
+    only."""
+    plan = plan_of(spark, "ann_probe_coverage_report")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
