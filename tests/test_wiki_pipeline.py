@@ -247,3 +247,65 @@ def test_malformed_page_blocks_are_dropped(spark, tmp_path):
     pages = xml_pages.read_pages(spark, str(p))
     rows = pages.collect()
     assert [r.title for r in rows] == ["Good"]
+
+
+def test_xml_start_tag_straddling_split_boundary_not_dropped(spark, tmp_path):
+    """The inherited Mahout XmlInputFormat edge (SURVEY §4, VERDICT r7
+    #8): a reader that searches forward for '<page>' from its split
+    start can DROP a page whose start tag itself straddles the split
+    boundary. The Spark path keys records on the '</page>' END
+    delimiter with carryover, so where the START tag falls is
+    irrelevant — proven here by sweeping the split boundary through
+    every byte of one '<page>' literal (…before, inside all 6 bytes,
+    after…) and pinning both page count AND per-title link counts to
+    the 1-split read each time. The RDD reference-analog path is swept
+    at the tightest boundaries too."""
+    from mapreduce_itwiki_spark.operators import linkgraph
+    from mapreduce_itwiki_spark.sources import xml_pages
+
+    blocks = []
+    for rep in range(6):
+        for i, (title, text) in enumerate(wiki_fixture.PAGES):
+            blocks.append(
+                f"  <page>\n    <title>{title} v{rep}</title>\n    <ns>0</ns>\n"
+                f"    <id>{rep * 10 + i}</id>\n    <revision>\n"
+                f"      <text>{text.replace('&', '&amp;')}</text>\n"
+                "    </revision>\n  </page>"
+            )
+    doc = "<mediawiki>\n" + "\n".join(blocks) + "\n</mediawiki>\n"
+    p = tmp_path / "straddle.xml"
+    p.write_text(doc, encoding="utf-8")
+    n_pages = 6 * len(wiki_fixture.PAGES)
+
+    # single-split golden
+    pages = xml_pages.read_pages(spark, str(p))
+    assert pages.count() == n_pages
+    want = {
+        r.page_title: r["count"]
+        for r in linkgraph.incoming_reference_counts(pages).collect()
+    }
+
+    # a '<page>' start tag in the middle of the file
+    raw = doc.encode("utf-8")
+    off = raw.index(b"<page>", len(raw) // 2)
+    assert 0 < off < len(raw)
+    # boundary at off+d: d=0 puts the whole tag after the cut; d=1..5
+    # cut INSIDE the literal; d=6 puts it wholly before
+    for d in range(0, 7):
+        split = off + d
+        with xml_pages.scoped_max_split_bytes(spark, split):
+            got_pages = xml_pages.read_pages(spark, str(p))
+            assert got_pages.count() == n_pages, (d, split)
+            got = {
+                r.page_title: r["count"]
+                for r in linkgraph.incoming_reference_counts(
+                    got_pages
+                ).collect()
+            }
+            assert got == want, (d, split)
+    # RDD reference-analog wiring at the in-tag boundaries
+    for d in (1, 3, 5):
+        got_rdd = xml_pages.read_pages(
+            spark, str(p), max_split_bytes=off + d, use_rdd=True
+        )
+        assert got_rdd.count() == n_pages, d
