@@ -89,6 +89,17 @@ HEADLINE = [
     "ann_index_compact",
     # the production composite: IVF pruning x PQ compression + rerank
     "ann_ivfpq_topk",
+    # round 15 additions (driver round 8): the persisted IVFPQ code
+    # table — build cost (always rebuilds: both quantizer trainings +
+    # the full-corpus encode) and the pruned byte-code ADC query
+    # (amortized after pass 1 behind the _meta sentinel); the
+    # non-default-geometry index lookup; the IVF lifecycle
+    # (build→append→retrain); and the per-batch probe-budget monitor
+    "ann_ivfpq_index_build",
+    "ann_ivfpq_index_topk",
+    "ann_index_tuned_topk",
+    "ann_ivf_index_retrain",
+    "ann_probe_coverage_report",
 ]
 
 

@@ -141,56 +141,70 @@ _PRIORITY: tuple[str, ...] = (
     # semantic dedup), which took the two embedding-statistics slots
     # (embedding_covariance, embedding_outlier_mahalanobis — both stay
     # judge-swept at sf0.01/sf0.001).
-    # ⊕ this round's new persisted near-dup index first (2)
-    "minhash_index_build",
-    "neardup_incremental_index",
-    # ⊕ similarity / ANN / embedding analytics (6 — the two persisted-
-    # index entries r6 landed but never driver-checked, the pca tail,
-    # then the second half's incremental index + semantic dedup)
-    "ann_index_batch_topk",
-    "ann_ivf_index_topk",
-    "embedding_pca_project2d",
-    "ann_index_append",
-    "semdedup_prune",
-    # ⊕ multimodal + graph family re-checks (first-50 family gate)
-    "multimodal_blob_stats",
-    "triangle_count",
-    # ⊕ text analysis (3)
-    "sentences_tokenize",
-    "fuzzy_name_match_dist1",
-    "corpus_drift_kl",
-    # ⊕ training-data curation (4)
-    "balanced_sample_per_lang",
-    "length_bucket_padding",
-    "split_leakage_safe",
-    "contrastive_negatives",
-    # ⊕ quality / data-profiling (2)
-    "dq_expectations_report",
-    "robust_value_outliers_mad",
-    # relational — TPC-H tail (6)
-    "q8_market_share",
-    "q11_important_part_value",
-    "q12_shipmode_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    # advanced SQL surface (4)
-    "grouping_sets_agg",
-    "pivot_linestatus",
-    "scalar_subquery_filter",
-    "unpivot_measures",
-    # windows / events (4)
-    "window_range_frame",
-    "rolling_active_users",
-    "funnel_analysis",
-    "time_bucket_hourly",
-    # sources / sinks (2)
-    "orc_sink_roundtrip",
-    "from_xml_extract",
-    # sketches (1)
-    "bitmap_distinct_count",
-    # ⊕ streaming (1)
-    "streaming_running_stats_tws",
+    # r07's 36: minhash_index_build, neardup_incremental_index;
+    # ann_index_batch_topk, ann_ivf_index_topk, embedding_pca_project2d,
+    # ann_index_append, semdedup_prune; multimodal_blob_stats,
+    # triangle_count; sentences_tokenize, fuzzy_name_match_dist1,
+    # corpus_drift_kl; balanced_sample_per_lang, length_bucket_padding,
+    # split_leakage_safe, contrastive_negatives; dq_expectations_report,
+    # robust_value_outliers_mad; q8_market_share,
+    # q11_important_part_value, q12_shipmode_priority,
+    # q13_customer_order_distribution, q14_promo_effect,
+    # q15_top_supplier; grouping_sets_agg, pivot_linestatus,
+    # scalar_subquery_filter, unpivot_measures; window_range_frame,
+    # rolling_active_users, funnel_analysis, time_bucket_hourly;
+    # orc_sink_roundtrip, from_xml_extract; bitmap_distinct_count;
+    # streaming_running_stats_tws.
+    # --- round-8 rotation: 36 picks, ALL fresh (none in r03…r07's
+    # driver-checked union), so the cumulative driver-grade sf0.01
+    # evidence reaches 192 + 36 = 228 distinct queries (VERDICT r7 #6
+    # target ≥ 226).
+    # ⊕ this round's new persisted-IVFPQ / geometry / lifecycle
+    # operators first (9)
+    "ann_ivfpq_index_build",
+    "ann_ivfpq_index_topk",
+    "ann_ivfpq_residual_index_topk",
+    "ann_index_tuned_topk",
+    "ann_lsh_coverage_tuned",
+    "ann_index_geometry_plan",
+    "ann_ivf_balance_report",
+    "ann_ivf_index_retrain",
+    "ann_probe_coverage_report",
+    # ⊕ the r7 lifecycle family members never driver-checked (8)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_incremental_topk",
+    "ann_incremental_parity_report",
+    "ann_index_compact",
+    "ann_ivf_index_append",
+    "ann_ivf_incremental_topk",
+    "semdedup_coverage_report",
+    # ⊕ embedding statistics tail (r7's mid-round slot donors) (2)
+    "embedding_covariance",
+    "embedding_outlier_mahalanobis",
+    # relational — the TPC-H tail VERDICT r7 named (3)
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q20_excess_share_suppliers",
+    # advanced SQL / engine-surface battery tail (8)
+    "rank_battery",
+    "cube_grouping_id",
+    "date_spine_gapfill",
+    "scd2_segment_upsert",
+    "snapshot_diff_cdc",
+    "sql_udf_disc_price",
+    "csv_malformed_handling",
+    "observed_metrics_scan",
+    # sources / connector surface (1)
+    "python_datasource_scan",
+    # events / analytics tail (3)
+    "cohort_retention",
+    "event_transition_matrix",
+    "approx_distinct_bounds",
+    # ⊕ streaming (2 — the ingest pipelines this round's probe/append
+    # hardening touched)
+    "streaming_ann_ingest",
+    "session_window_agg",
 )
 
 
