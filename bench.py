@@ -115,13 +115,17 @@ def main() -> None:
     # * the virtualization host shows multi-second CPU-steal BURSTS — a
     #   query sampled 3× back-to-back can land every sample in one
     #   burst, while samples a full pass apart are decorrelated in time;
-    # * the md5-heavy codegen plans keep JIT-improving for ~5
-    #   executions — by the later passes every plan is fully warm.
-    # Pass 1 is the untimed global warm-up.
+    # * the md5-heavy codegen plans keep JIT-improving for ~6
+    #   executions — the r8 fresh-JVM A/B (TUNING.md) showed the r7
+    #   "+6% drift" was exactly this: bm25_topk's knee sits at its 6th
+    #   execution, one past what 1 warm-up + 4 passes sampled, so the
+    #   recorded min rode the JIT tail. Two untimed warm-up passes put
+    #   every plan past the knee before sampling starts.
     n_passes = 4
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for _ in range(2):
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for _ in range(n_passes):
         for name in HEADLINE:
             t0 = time.perf_counter()

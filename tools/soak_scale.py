@@ -96,6 +96,20 @@ SOAK = [
     "ann_index_compact",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
+    # round-8 additions: the persisted IVFPQ code table (build cost +
+    # the pruned byte-code query), the non-default-geometry index, the
+    # IVF lifecycle retrain, and the probe-budget monitor at the REAL
+    # PROBE_CAP (the catalog entry's demo cap is a driver-scale device;
+    # at sf5z/sf20z the 512 budget itself is what needs numbers —
+    # recorded via ann_probe_coverage_report whose cap constant applies
+    # at every scale, with capped fractions in TUNING.md)
+    "ann_ivfpq_index_build",
+    "ann_ivfpq_index_topk",
+    "ann_index_tuned_topk",
+    "ann_lsh_coverage_tuned",
+    "ann_ivf_balance_report",
+    "ann_ivf_index_retrain",
+    "ann_probe_coverage_report",
 ]
 
 
