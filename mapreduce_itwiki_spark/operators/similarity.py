@@ -587,13 +587,17 @@ def probe_coverage_report(
     Queries with zero candidates still appear (fraction 0.0) — a
     silent empty probe is itself a signal.
 
-    Cost model: identical to the probe it monitors —
-    batch-sized band hashing, a driver-derived pkey IN-list (static
-    partition pruning), the pushed ``shard = 0`` predicate bounding
-    every bucket at ≤ max_bucket rows, one rank window, one
-    partial+final count agg. Safe to run on every ingest batch at ANY
-    corpus size. Columns: (qid, n_candidates_uncapped, n_candidates,
-    n_capped_out, capped_fraction)."""
+    Cost model: same PLAN shape as the probe it monitors (batch-sized
+    band hashing, driver-derived pkey IN-list, pushed ``shard = 0``
+    predicate, one rank window, partial+final count aggs) but a larger
+    candidate volume BY DESIGN: it counts the UNCAPPED shard-0 set the
+    budget excludes, ≤ LSH_BANDS·max_bucket rows per query vs the
+    probe's LSH_BANDS·probe_cap — i.e. ~max_bucket/probe_cap× the
+    probe (measured sf5z, 25 k queries: 230 s vs the ingest pipeline's
+    ~48 s/batch). Still bounded at ANY corpus size and carries no
+    embedding arrays — run it per ingest DAY, not per micro-batch.
+    Columns: (qid, n_candidates_uncapped, n_candidates, n_capped_out,
+    capped_fraction)."""
     geo_bits, _geo_cap = index_geometry(spark, index_path)
     qb = banded_rows(new_emb, band_bits=geo_bits).select(
         F.col("vec_id").alias("qid"), "band_id", "band_key"
