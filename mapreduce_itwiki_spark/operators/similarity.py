@@ -2167,6 +2167,68 @@ def ivfpq_index_write(
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
+def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
+    """APPEND new vectors to a persisted IVF-PQ index under BOTH frozen
+    quantizers — FAISS ``IndexIVFPQ.add()`` semantics, completing the
+    index family's lifecycle parity (LSH: build/append/compact; IVF:
+    build/append/retrain/balance; IVFPQ now: build/append): the batch
+    is assigned against the stored ``_centroids`` (one broadcast argmin
+    map pass), encoded against the stored ``_codebooks`` (the dense
+    per-subspace code ids ride the stored rows, so appended codes use
+    the identical bijection), and appended into its cid partitions —
+    PQ_M TINYINT bytes per new vector, ZERO corpus reads, cost ∝ batch.
+    ``by_residual`` replays from ``_meta``: residual-mode batches are
+    centered on their assigned cell's centroid before encoding, exactly
+    like the build. No retraining on the ingest path (drift is what
+    :func:`ivf_balance_report` + a PQ distortion check monitor); with
+    the same training rows the appended index is RESULT-IDENTICAL to a
+    rebuild that trained on the original corpus — the same
+    frozen-quantizer argument as :func:`ivf_index_append`."""
+    meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    books = spark.read.parquet(f"{index_path}/_codebooks")
+    lists = ivf_assign(new_emb, cents)
+    if bool(meta.by_residual):
+        base = (
+            new_emb.select(
+                "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+            )
+            .join(lists, "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, c: x - c).alias(
+                    "embedding"
+                ),
+            )
+        )
+    else:
+        base = new_emb.select("vec_id", "embedding")
+    sub = _pq_sub_rows(base)
+    enc = (
+        sub.join(F.broadcast(books), "s")
+        .select(
+            "vec_id",
+            "s",
+            "code",
+            "cid",
+            sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+    codes = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda st: st.getField("code"),
+        ).alias("codes")
+    )
+    codes.join(lists, "vec_id").write.mode("append").partitionBy("cid").parquet(
+        f"{index_path}/codes"
+    )
+
+
 def ivfpq_index_topk(
     spark,
     index_path: str,

@@ -197,10 +197,12 @@ _PRIORITY: tuple[str, ...] = (
     "observed_metrics_scan",
     # sources / connector surface (1)
     "python_datasource_scan",
-    # events / analytics tail (3)
+    # ⊕ the IVFPQ incremental lifecycle landed later in r8 (frozen-
+    # quantizer append + freshness probe) — still all-fresh picks
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_incremental_topk",
+    # events / analytics tail (1)
     "cohort_retention",
-    "event_transition_matrix",
-    "approx_distinct_bounds",
     # ⊕ streaming (2 — the ingest pipelines this round's probe/append
     # hardening touched)
     "streaming_ann_ingest",

@@ -469,13 +469,16 @@ def _pq_subdist(alias: str) -> str:
     )
 
 
-def _pq_train_ctes(sampled: bool, table: str = "e") -> str:
+def _pq_train_ctes(sampled: bool, table: str = "e", train_pred: str = "") -> str:
     """CTE chain ``ss → sub → … → enc`` (subvector split, codebook
     training, FULL-corpus encode), following an ``e`` CTE. Shared by
     every PQ oracle; sampled/full differ only in the training rows
     (VERDICT r5 #8 — sampled is the default, full is the opt-in
     twin). ``table`` lets the residual IVF-PQ oracle feed the chain a
-    residual-vector CTE instead of the raw ``e``."""
+    residual-vector CTE instead of the raw ``e``; ``train_pred`` (an
+    ``AND …`` fragment on the sampled training rows) lets the
+    incremental entries train on the CORPUS alone while encoding
+    corpus ∪ batch — the frozen-codebook append semantics."""
     head = f"""ss AS (SELECT unnest(range(0, {similarity.PQ_M})) AS s),
     sub AS (SELECT vec_id, s,
                    list_slice(v, s * {similarity.PQ_SUB} + 1,
@@ -484,7 +487,8 @@ def _pq_train_ctes(sampled: bool, table: str = "e") -> str:
     if sampled:
         train = f""",
     tsub AS (SELECT * FROM sub
-             WHERE {similarity.sample_coin_sql('vec_id', similarity.TRAIN_SAMPLE_MOD)}),
+             WHERE {similarity.sample_coin_sql('vec_id', similarity.TRAIN_SAMPLE_MOD)}
+                   {train_pred}),
     seed_ids AS (SELECT DISTINCT vec_id FROM tsub
                  ORDER BY vec_id LIMIT {similarity.PQ_CODES}),
     c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM tsub
@@ -1852,6 +1856,133 @@ def ann_ivfpq_residual_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ensure_ivfpq_index(spark, sf_dir, emb, by_residual=True)
     return similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=0, k=10)
+
+
+#: the IVFPQ incremental chains: IVF trained on the corpus (``e``) but
+#: assigning corpus ∪ batch, PQ codebooks trained on the corpus coin
+#: sample but encoding everything — the frozen-quantizer append
+#: semantics of ivfpq_index_append
+_IVFPQ_INCR_CTES = f"""
+    WITH alle AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    e AS (SELECT vec_id, v FROM alle WHERE vec_id < (SELECT s FROM sp)),
+    {_ivf_train_ctes(sampled=True, prefix="iv", assign_table="alle")},
+    {_pq_train_ctes(sampled=True, table="alle",
+                    train_pred="AND vec_id < (SELECT s FROM sp)")}"""
+
+
+@register(
+    "ann_ivfpq_index_append",
+    # frozen-quantizer append is rebuild-identical (same training rows
+    # ⇒ same centroids/codebooks ⇒ same assignment/encode), so the
+    # oracle trains on the corpus and assigns/encodes corpus ∪ batch
+    oracle=f"""
+    {_IVFPQ_INCR_CTES},
+    vcodes AS (SELECT vec_id, list(cid ORDER BY s)::VARCHAR AS word
+               FROM enc GROUP BY vec_id)
+    SELECT l.cid, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l.vec_id >= (SELECT s FROM sp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_rows,
+           CAST(count(DISTINCT v.word) AS BIGINT) AS n_distinct_codes
+    FROM ivlists l JOIN vcodes v ON v.vec_id = l.vec_id
+    GROUP BY l.cid
+    """,
+)
+def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance for the persisted IVF-PQ index — FAISS
+    ``IndexIVFPQ.add()``, completing lifecycle parity across all three
+    persisted tiers (LSH build/append/compact, IVF
+    build/append/retrain/balance, IVFPQ build/append): the batch is
+    assigned against the FROZEN stored centroids and encoded against
+    the FROZEN stored codebooks (PQ_M TINYINT bytes per new vector,
+    zero corpus reads, cost ∝ batch), then appended into its cid
+    partitions. Rebuild-identical by the frozen-quantizer argument.
+    Returns the per-cell summary read BACK from the written code table:
+    occupancy, the batch's rows, distinct code words. See
+    operators/similarity.py:ivfpq_index_append."""
+    import contextlib
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfpqincr{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+        f"m{similarity.PQ_M}c{similarity.PQ_CODES}"
+    )
+    # ivfpq_index_write only overwrites the _centroids/_codebooks/codes
+    # subdirs — clear a prior run's completion sentinel first (the
+    # ADVICE r7 stale-sentinel rule)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "_APPEND_DONE"))
+    similarity.ivfpq_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ivfpq_index_append(spark, path, emb.filter(F.col("vec_id") >= s))
+    open(os.path.join(path, "_APPEND_DONE"), "w").close()
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("vec_id") >= s, 1).otherwise(0)).alias("n_new_rows"),
+        F.countDistinct(F.col("codes").cast("string")).alias("n_distinct_codes"),
+    )
+
+
+@register(
+    "ann_ivfpq_incremental_topk",
+    # the IVFPQ freshness proof: the newest vector, ADC-scanned from
+    # the corpus-trained index that just absorbed its batch
+    oracle=f"""
+    {_IVFPQ_INCR_CTES},
+    qv AS (SELECT max(vec_id) AS q FROM embeddings),
+    ivq AS (SELECT v AS qv FROM alle WHERE vec_id = (SELECT q FROM qv)),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM ivc1 c, ivq) WHERE rn <= {similarity.IVF_NPROBE}),
+    cellcand AS (SELECT l.vec_id FROM ivlists l JOIN probe USING (cid)
+                 WHERE l.vec_id <> (SELECT q FROM qv)),
+    qs AS (SELECT s, sv FROM sub WHERE vec_id = (SELECT q FROM qv)),
+    dt AS (SELECT c.s, c.cid,
+                  CAST(round({_pq_subdist('qs')} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT enc.vec_id, sum(dti) AS adc
+            FROM enc JOIN cellcand ON enc.vec_id = cellcand.vec_id
+            JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+            GROUP BY enc.vec_id),
+    cand AS (SELECT vec_id FROM adc
+             ORDER BY adc, vec_id LIMIT {similarity.PQ_RERANK}),
+    q AS (SELECT v AS qv FROM alle WHERE vec_id = (SELECT q FROM qv))
+    SELECT alle.vec_id, alle.label, {_COSINE_SQL} AS cosine
+    FROM alle JOIN cand ON alle.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, alle.vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k for a JUST-INGESTED vector from the incrementally
+    maintained IVF-PQ index (corpus build + batch append, both
+    amortized behind the completion sentinel): the probe ranks the
+    frozen centroids driver-side, the ADC scan reads only the probed
+    cid partitions of the code table — which now hold corpus AND
+    appended byte codes — and the exact rerank reads the corpus floats
+    for the shortlist only. Query = the newest vector (max vec_id,
+    itself part of the appended batch — yesterday's quantizers answer
+    about today's data)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfpqincr{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+        f"m{similarity.PQ_M}c{similarity.PQ_CODES}"
+    )
+    done = os.path.join(path, "_APPEND_DONE")
+    if not os.path.exists(done):
+        similarity.ivfpq_index_write(emb.filter(F.col("vec_id") < s), path)
+        similarity.ivfpq_index_append(
+            spark, path, emb.filter(F.col("vec_id") >= s)
+        )
+        open(done, "w").close()
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    return similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=qid, k=10)
 
 
 #: non-default band-key width exercised end-to-end by the tuned-index

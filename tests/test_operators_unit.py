@@ -2015,3 +2015,50 @@ def test_probe_coverage_counts_match_probe_path(spark, tmp_path):
         assert r.n_candidates == got.get(qid, 0), (qid, r)
         assert r.n_candidates_uncapped == r.n_candidates + r.n_capped_out
     assert any(r.n_capped_out > 0 for r in rep.values())  # non-vacuous
+
+
+def test_ivfpq_append_freezes_corpus_codes_and_encodes_batch(spark, tmp_path):
+    """ivfpq_index_append must (a) leave every corpus code row
+    byte-identical, (b) encode the batch with the STORED frozen
+    codebooks — pinned by re-deriving the batch codes from the
+    sidecars independently — and (c) keep one row per vector with the
+    PQ_M TINYINT shape."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfpq_incr")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    similarity.ivfpq_index_write(corpus, path)
+    before = {
+        r.vec_id: (r.cid, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    similarity.ivfpq_index_append(spark, path, batch)
+    after = {
+        r.vec_id: (r.cid, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert len(after) == emb.count()
+    for vid, row in before.items():
+        assert after[vid] == row  # corpus rows frozen
+    # batch codes equal an independent frozen-book encode
+    books = spark.read.parquet(f"{path}/_codebooks")
+    sub = similarity._pq_sub_rows(batch.select("vec_id", "embedding"))
+    enc = (
+        sub.join(F.broadcast(books), "s")
+        .select(
+            "vec_id", "s", "code",
+            similarity.sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+            "cid",
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+    want = {
+        r.vec_id: tuple(x.code for x in sorted(r.cs, key=lambda x: x.s))
+        for r in enc.groupBy("vec_id")
+        .agg(F.collect_list(F.struct("s", "code")).alias("cs"))
+        .collect()
+    }
+    for vid, codes in want.items():
+        assert after[vid][1] == codes, vid
