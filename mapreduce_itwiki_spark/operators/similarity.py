@@ -2229,6 +2229,70 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     )
 
 
+def ivfpq_distortion_report(spark, index_path: str, emb: DataFrame) -> DataFrame:
+    """Per-cell PQ quantization-error report for a persisted IVF-PQ
+    index — the PQ-side retrain trigger (the codebook twin of
+    :func:`ivf_balance_report`'s cell-skew signal): for each IVF cell,
+    the mean squared error between every member's stored-code
+    reconstruction and its true (residual-mode aware) subvectors. A
+    corpus that drifts away from the frozen codebooks shows it here as
+    rising distortion in the drifted cells — the number that says when
+    the append path's no-retraining default stops being free.
+
+    Determinism: each per-vector error is a sum of PQ_M rounded
+    (1e-6-grid) squared distances — exact in doubles — integerized to
+    a BIGINT before the per-cell SUM, so aggregation order can never
+    move the reported mean (the ADC-table integerization idiom).
+
+    Scale shape: one pass over the code table (PQ_M bytes/vector) +
+    one pass over the corpus subvectors joined on vec_id, codebooks
+    broadcast; no pairwise work. Columns: (cid, n_vectors,
+    mean_sq_error)."""
+    meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    books = spark.read.parquet(f"{index_path}/_codebooks")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    enc = codes.select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+    if bool(meta.by_residual):
+        base = (
+            emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+            .join(codes.select("vec_id", "cid"), "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, c: x - c).alias(
+                    "embedding"
+                ),
+            )
+        )
+    else:
+        base = emb.select("vec_id", "embedding")
+    sub = _pq_sub_rows(base)
+    verr = (
+        enc.join(sub, ["vec_id", "s"])
+        .join(
+            F.broadcast(books.select("s", "code", "cv")), ["s", "code"]
+        )
+        .select(
+            "vec_id", "cell", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+        )
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(F.sum("d") * 1000000.0, 0).cast("long").alias("qerr_i")
+        )
+    )
+    return verr.groupBy(F.col("cell").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum("qerr_i") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("mean_sq_error"),
+    )
+
+
 def ivfpq_index_topk(
     spark,
     index_path: str,

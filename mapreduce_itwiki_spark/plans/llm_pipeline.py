@@ -1858,6 +1858,44 @@ def ann_ivfpq_residual_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.ivfpq_index_topk(spark, path, emb, query_vec_id=0, k=10)
 
 
+@register(
+    "ann_ivfpq_distortion_report",
+    # the chain's d2 already holds every (vec, subspace, code) distance;
+    # the per-vector error is the sum of per-subspace minima,
+    # integerized before the per-cell SUM so aggregation order can
+    # never move the mean
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    {_pq_train_ctes(sampled=True)},
+    vderr AS (SELECT vec_id,
+                     CAST(round(sum(dmin) * 1000000.0) AS BIGINT) AS qerr_i
+              FROM (SELECT vec_id, s, min(d) AS dmin
+                    FROM d2 GROUP BY vec_id, s)
+              GROUP BY vec_id)
+    SELECT l.cid, count(*) AS n_vectors,
+           round(sum(v.qerr_i) / (count(*) * 1000000.0), 6) AS mean_sq_error
+    FROM ivlists l JOIN vderr v ON v.vec_id = l.vec_id
+    GROUP BY l.cid
+    """,
+)
+def ann_ivfpq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-distortion monitoring for the persisted IVF-PQ index —
+    the PQ-side retrain trigger, closing the monitoring triangle
+    (ann_ivf_balance_report watches the coarse quantizer,
+    ann_probe_coverage_report watches the LSH budget, this watches the
+    codebooks): per cell, the mean squared quantization error of the
+    stored byte codes vs the true subvectors. Appending batches under
+    frozen codebooks is free until this number climbs in the appended
+    cells; then rebuild (the write IS the retrain — deterministic
+    sampled training over current rows). One code-table pass + one
+    corpus-subvector pass, codebooks broadcast, integer-exact
+    aggregation. See operators/similarity.py:ivfpq_distortion_report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_index(spark, sf_dir, emb, by_residual=False)
+    return similarity.ivfpq_distortion_report(spark, path, emb)
+
+
 #: the IVFPQ incremental chains: IVF trained on the corpus (``e``) but
 #: assigning corpus ∪ batch, PQ codebooks trained on the corpus coin
 #: sample but encoding everything — the frozen-quantizer append
