@@ -327,3 +327,44 @@ def test_stopword_regex_escapes_metacharacters(toks):
     got = len(re.findall(pat, f" {text} "))
     want = sum(1 for t in toks if t in _META_WORDS)
     assert got == want, (text, got, want)
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    band_bits=st.sampled_from([4, 5, 6, 8]),
+)
+@settings(max_examples=40, deadline=None)
+def test_band_keys_py_shape_across_geometries(vec, band_bits):
+    """The driver-side banding twin must honor an arbitrary band width
+    (the _geometry sidecar contract): LSH_BANDS keys, each band_bits
+    chars of '0'/'1', derived from plane j = b·band_bits + r — so the
+    pkey set a probe prunes with is always derivable from the embedding
+    plus the index's stored width alone."""
+    from mapreduce_itwiki_spark.operators.similarity import (
+        LSH_BANDS,
+        band_keys_py,
+        hyperplane,
+        pkeys_py,
+    )
+
+    keys = band_keys_py(vec, band_bits)
+    assert len(keys) == LSH_BANDS
+    assert all(len(k) == band_bits and set(k) <= {"0", "1"} for k in keys)
+    # bit (b, r) is the sign of plane b*band_bits + r — recompute one
+    for b in range(LSH_BANDS):
+        for r in range(band_bits):
+            h = hyperplane(b * band_bits + r, 64)
+            acc = None
+            for i, x in enumerate(h):
+                if x == 0:
+                    continue
+                t = float(vec[i]) * float(x)
+                acc = t if acc is None else acc + t
+            want = "1" if (acc if acc is not None else 0.0) >= 0 else "0"
+            assert keys[b][r] == want
+    pk = pkeys_py(vec, band_bits)
+    assert pk == sorted({f"{b}_{k}" for b, k in enumerate(keys)})
