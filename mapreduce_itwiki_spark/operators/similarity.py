@@ -328,6 +328,13 @@ def band_coverage_report(
     )
 
 
+#: session-side memo of per-index geometry: the sidecar is immutable
+#: for a given index directory (rewrites go through ann_index_write,
+#: which invalidates), and reading it is a ~0.15 s Spark job — a real
+#: tax on sub-second pruned probes if paid per call
+_GEOMETRY_CACHE: dict[str, tuple[int, int]] = {}
+
+
 def index_geometry(spark, path: str) -> tuple[int, int]:
     """(band_bits, max_bucket) of a persisted LSH index — read from the
     ``_geometry`` sidecar when present, module defaults otherwise
@@ -342,10 +349,17 @@ def index_geometry(spark, path: str) -> tuple[int, int]:
     API, same shape."""
     import os
 
+    key = os.path.abspath(path)
+    got = _GEOMETRY_CACHE.get(key)
+    if got is not None:
+        return got
     if os.path.exists(os.path.join(path, "_geometry", "_SUCCESS")):
         r = spark.read.parquet(f"{path}/_geometry").take(1)[0]
-        return int(r.band_bits), int(r.max_bucket)
-    return BAND_BITS, MAX_BUCKET
+        got = (int(r.band_bits), int(r.max_bucket))
+    else:
+        got = (BAND_BITS, MAX_BUCKET)
+    _GEOMETRY_CACHE[key] = got
+    return got
 
 
 def ann_index_write(
@@ -382,6 +396,9 @@ def ann_index_write(
     the build's completion marker: non-default-geometry consumers gate
     on it, and every reader — probe, append, compact — derives its
     hashing from the sidecar, never from the constants."""
+    import os
+
+    _GEOMETRY_CACHE.pop(os.path.abspath(path), None)  # rewrite invalidates
     if band_bits == "auto":
         band_bits = auto_band_bits(emb.count(), max_bucket)
     if band_bits is None:
