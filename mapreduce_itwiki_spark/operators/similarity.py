@@ -910,6 +910,20 @@ def _cosine_pairs_kernel(threshold: float):
 
 
 IVF_NLIST = 8  #: coarse-quantizer cells (inverted lists)
+
+
+def auto_nlist(n_rows: int, max_bucket: int = MAX_BUCKET) -> int:
+    """Corpus-size-derived cell count — the IVF twin of
+    :func:`auto_band_bits` (and the easier dial: unlike LSH banding,
+    nlist does not couple to a recall geometry): enough cells that a
+    uniform corpus's expected list fits the pairwise/scan cap,
+    floored at the well-tested default. nlist = max(IVF_NLIST,
+    ceil(n / max_bucket)); FAISS practice (~sqrt(n) cells) is stricter
+    still — this is the cap-driven floor a semdedup/IVF scan needs so
+    Σ cell² stays linear and no inverted list outgrows one task."""
+    import math
+
+    return max(IVF_NLIST, math.ceil(n_rows / max_bucket))
 IVF_NPROBE = 2  #: query-time cells scanned
 TRAIN_SAMPLE_MOD = 4  #: 1-in-4 md5 vec coin for sampled quantizer training
 #: (the BPE_SAMPLE_MOD idiom, plans/training_data.py — deterministic,

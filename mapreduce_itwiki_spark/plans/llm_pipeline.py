@@ -336,7 +336,10 @@ _IVF_QDIST = (
 
 
 def _ivf_train_ctes(
-    sampled: bool, assign_table: str = "e", prefix: str = ""
+    sampled: bool,
+    assign_table: str = "e",
+    prefix: str = "",
+    nlist: int | None = None,
 ) -> str:
     """CTE chain ``c0 → … → lists`` (quantizer training + FULL-corpus
     assignment), following an ``e`` CTE of (vec_id, label?, v). Shared
@@ -345,7 +348,9 @@ def _ivf_train_ctes(
     default; the full-corpus loop is the opt-in oracle twin).
     ``assign_table`` lets the incremental entries train on ``e`` (the
     frozen corpus) while assigning a DIFFERENT row set (corpus ∪ batch)
-    against the trained centroids.
+    against the trained centroids. ``nlist`` overrides the cell count —
+    the quantizer's free dial (r8: exercised by the tuned entries, with
+    auto_nlist deriving it from corpus size at a real deployment).
 
     Sampled: the deterministic 1-in-TRAIN_SAMPLE_MOD md5 vec coin
     picks the training rows, seeds are the NLIST smallest SAMPLED ids,
@@ -365,16 +370,18 @@ def _ivf_train_ctes(
     d1, d2, a1, lists = (
         f"{prefix}d1", f"{prefix}d2", f"{prefix}a1", f"{prefix}lists"
     )
+    if nlist is None:
+        nlist = similarity.IVF_NLIST
     if sampled:
         head = f"""{samp} AS (SELECT vec_id, v FROM e
              WHERE {similarity.sample_coin_sql('vec_id', similarity.TRAIN_SAMPLE_MOD)}),
     {c0} AS (SELECT vec_id AS cid, v AS cv FROM {samp}
-           ORDER BY vec_id LIMIT {similarity.IVF_NLIST}),
+           ORDER BY vec_id LIMIT {nlist}),
     {d1} AS (SELECT {samp}.vec_id, c.cid, {_IVF_DIST} AS d, {samp}.v
            FROM {samp} CROSS JOIN {c0} c)"""
     else:
         head = f"""{c0} AS (SELECT vec_id AS cid, v AS cv FROM e
-           WHERE vec_id < {similarity.IVF_NLIST}),
+           WHERE vec_id < {nlist}),
     {d1} AS (SELECT e.vec_id, c.cid, {_IVF_DIST} AS d, e.v FROM e CROSS JOIN {c0} c)"""
     return head + f""",
     {a1} AS (SELECT vec_id, cid, v FROM (
@@ -454,6 +461,81 @@ def ann_ivf_full_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_id=0,
         k=10,
         sample_mod=None,
+    )
+
+
+#: non-default IVF cell count exercised end-to-end (the quantizer's
+#: free dial, r8): 16 cells vs the 8-cell default — auto_nlist derives
+#: it from corpus size at a real deployment (sf5z → 25, 10^6 → 245)
+_TUNED_NLIST = 16
+
+
+@register(
+    "ann_ivf_tuned_topk",
+    # the ann_ivf_topk oracle re-generated at nlist=16: seeds = the 16
+    # smallest sampled ids, same Lloyd round, same probe tail — the
+    # CTE generator takes nlist as a parameter so retuning keeps parity
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, nlist=_TUNED_NLIST)},
+    {_IVF_SINGLE_TAIL}
+    """,
+)
+def ann_ivf_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at a NON-default cell count (the nlist dial, exercised —
+    the IVF twin of ann_index_tuned_topk's geometry proof): 16 cells
+    instead of 8, same sampled training and probe discipline,
+    oracle-checked end to end. With nprobe fixed, more cells = a finer
+    probe (each cell holds ~n/nlist vectors, so the scanned fraction
+    halves); auto_nlist picks the cap-driven count at scale. See
+    operators/similarity.py:ivf_topk(nlist=…) / auto_nlist."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        nlist=_TUNED_NLIST,
+    )
+
+
+@register(
+    "semdedup_tuned_prune",
+    # the semdedup_prune oracle at nlist=16 — the "cluster count is a
+    # free dial" claim exercised: same shard rule, same epsilon-ball
+    # min-id keep, twice the clusters
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, nlist=_TUNED_NLIST)},
+    m AS (SELECT l.vec_id, l.cid, e.v
+          FROM lists l JOIN e ON e.vec_id = l.vec_id),
+    capped AS (SELECT vec_id, cid, v,
+                      CAST(floor((row_number() OVER (PARTITION BY cid
+                          ORDER BY md5(CAST(cid AS VARCHAR) || ':'
+                                       || CAST(vec_id AS VARCHAR)), vec_id) - 1)
+                          / {similarity.MAX_BUCKET}.0) AS BIGINT) AS shard
+               FROM m),
+    dups AS (SELECT DISTINCT b.vec_id
+             FROM capped a JOIN capped b
+               ON a.cid = b.cid AND a.shard = b.shard AND a.vec_id < b.vec_id
+             WHERE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))
+                   >= {similarity.SEMDEDUP_EPS})
+    SELECT m.vec_id, m.cid,
+           (m.vec_id NOT IN (SELECT vec_id FROM dups)) AS keep
+    FROM m
+    """,
+)
+def semdedup_tuned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at DOUBLE the cluster count — the "cluster count is a
+    free dial (unlike LSH banding, where recall couples to the band
+    shape)" claim from semdedup_keep's docstring, exercised as an
+    oracle-checked query instead of asserted: Σ cluster² halves, the
+    epsilon-ball keep rule is unchanged, and only pairs split across
+    the finer cluster boundary can differ from the 8-cell run. At
+    scale auto_nlist sets the count so no cluster outgrows one task.
+    See operators/similarity.py:semdedup_keep(nlist=…)."""
+    return similarity.semdedup_keep(
+        load_table(spark, sf_dir, "embeddings"), nlist=_TUNED_NLIST
     )
 
 
@@ -787,6 +869,15 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast against the corpus for the exact ranking (map stage +
     per-query WindowGroupLimit); the approximate side reuses the capped
     band join; recall is a tiny per-qid agg. Nothing is ever corpus²."""
+    return _recall_at_k(spark, sf_dir, similarity.BAND_BITS)
+
+
+def _recall_at_k(spark: SparkSession, sf_dir: str, band_bits: int) -> DataFrame:
+    """Shared recall@10 harness, parameterized by band-key width — the
+    evaluation half of the geometry dial: spill/cost live in the
+    coverage reports, THIS measures what a wider key costs in recall
+    (fewer per-band collisions, partially recovered by multi-probe
+    banding)."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -810,7 +901,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cos.alias("cosine"))
     )
-    capped = similarity.sharded_band_rows(emb)
+    capped = similarity.sharded_band_rows(emb, band_bits=band_bits)
     cq = capped.select(
         F.col("vec_id").alias("qid"), "band_id", "band_key", "shard"
     ).filter(F.col("qid") < n_q)
@@ -2083,6 +2174,58 @@ def ann_index_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ensure_tuned_index(spark, sf_dir, emb)
     return similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
+
+
+@register(
+    "ann_tuned_recall_at_k",
+    # the ann_recall_at_k oracle re-generated at the tuned width: the
+    # recall half of the geometry decision (the coverage reports give
+    # the spill/cost half) — a retune is justified when spill drops
+    # without recall collapsing, and BOTH sides are now oracle-checked
+    # queries instead of prose
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bits_sql(similarity.LSH_BANDS * _TUNED_BITS)} AS bits
+               FROM embeddings),
+    bands AS ({_vec_bands_sql(_TUNED_BITS)}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT q.qid, e.vec_id, {_COSINE_SQL} AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid))
+      WHERE rn <= 10),
+    cand AS (SELECT DISTINCT cq.vec_id AS qid, c.vec_id
+             FROM capped c JOIN capped cq
+               ON c.band_id = cq.band_id AND c.band_key = cq.band_key
+              AND c.shard = cq.shard
+             WHERE cq.vec_id < 8 AND c.vec_id <> cq.vec_id),
+    appx AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT cand.qid, cand.vec_id, {_COSINE_SQL} AS cosine
+            FROM cand JOIN e ON e.vec_id = cand.vec_id
+                      JOIN q ON q.qid = cand.qid))
+      WHERE rn <= 10),
+    hits AS (SELECT exact.qid, count(*) AS n_hits
+             FROM exact JOIN appx
+               ON exact.qid = appx.qid AND exact.vec_id = appx.vec_id
+             GROUP BY 1)
+    SELECT q.qid, COALESCE(n_hits, 0) AS n_hits,
+           round(COALESCE(n_hits, 0) / 10.0, 6) AS recall_at_10
+    FROM q LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def ann_tuned_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 at the TUNED band width — the second half of the
+    geometry decision ann_lsh_coverage_tuned starts: a retune from 4 to
+    {_TUNED_BITS} bits is justified when the coverage report's
+    spill_fraction drops (measured: 0.55 → 0.30 at sf5z) AND this
+    recall stays acceptable. Both halves are oracle-checked catalog
+    queries, so the 100 TB tuning loop runs entirely inside the engine.
+    See plans/llm_pipeline.py:_recall_at_k."""
+    return _recall_at_k(spark, sf_dir, _TUNED_BITS)
 
 
 @register(

@@ -2062,3 +2062,16 @@ def test_ivfpq_append_freezes_corpus_codes_and_encodes_batch(spark, tmp_path):
     }
     for vid, codes in want.items():
         assert after[vid][1] == codes, vid
+
+
+def test_auto_nlist_scales_with_corpus(spark):
+    """The cap-driven cell-count floor: default below MAX_BUCKET·8
+    rows, then ceil(n/cap) so no inverted list outgrows one pairwise
+    task."""
+    cap = similarity.MAX_BUCKET
+    assert similarity.auto_nlist(100) == similarity.IVF_NLIST
+    assert similarity.auto_nlist(cap * 8) == similarity.IVF_NLIST
+    assert similarity.auto_nlist(cap * 9) == 9
+    assert similarity.auto_nlist(10**6) == 245
+    for n in (10**5, 10**6, 10**8):
+        assert n / similarity.auto_nlist(n) <= cap

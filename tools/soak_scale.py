@@ -110,6 +110,12 @@ SOAK = [
     "ann_ivf_balance_report",
     "ann_ivf_index_retrain",
     "ann_probe_coverage_report",
+    # round-8 second half: the IVFPQ incremental lifecycle (frozen-
+    # quantizer append + freshness probe) and the codebook-distortion
+    # monitor
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_incremental_topk",
+    "ann_ivfpq_distortion_report",
 ]
 
 
