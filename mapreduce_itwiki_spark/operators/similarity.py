@@ -2260,6 +2260,132 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     )
 
 
+def ivfpq_probe_batch(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    emb: DataFrame,
+    corpus_max_id: int | None = None,
+    probe_cap: int = PROBE_CAP,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Per-query corpus near-neighbor verdicts for a BATCH of new
+    vectors probing a persisted IVF-PQ index — the compressed-tier twin
+    of :func:`ann_candidates_against_index`, built for the streaming
+    ingest path: every query ranks its ``nprobe`` cells against the
+    broadcast centroids, takes each probed cell's md5-first
+    ``probe_cap`` corpus members (the cell-salted rank — an unbiased
+    fixed-size sample, the same budget rule as the LSH ingest), scores
+    them by integerized ADC against a broadcast per-query distance
+    table, and exact-cosine-reranks the per-query ADC-top ``rerank``
+    shortlist. Work per batch is ∝ batch · nprobe · probe_cap · PQ_M
+    BYTE-code cells at ANY corpus size.
+
+    What each tier reads: the nlist-row centroids, the probed cid
+    partitions of the code table (pruned, no embedding column exists
+    there), and — unlike the LSH index, which carries its floats — a
+    ``rerank``-bounded pushed semi-join of the corpus table for the
+    exact re-rank (the compression trade: PQ_M bytes/vector on the
+    scan path, floats only for shortlists). ``corpus_max_id`` freezes
+    verdicts to corpus rows while the same stream appends (appended
+    ids are higher), keeping the drained result
+    batch-partitioning-invariant. Raw-code indexes only (asserted from
+    ``_meta``) — the residual mode needs per-(query, cell) tables and
+    belongs to the single-query path. Columns: (qid,
+    n_corpus_candidates, nearest_corpus_cosine)."""
+    meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    if bool(meta.by_residual):
+        raise ValueError("ivfpq_probe_batch supports raw-code indexes only")
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    books = spark.read.parquet(f"{index_path}/_codebooks")
+    qv = new_emb.select(
+        F.col("vec_id").alias("qid"),
+        vectors.as_double(F.col("embedding")).alias("v"),
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cids = sorted(
+        {r.cell for r in probe.select("cell").distinct().collect()}
+    ) or [-1]
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cid").isin(cids)  # static partition pruning
+    )
+    if corpus_max_id is not None:
+        codes = codes.filter(F.col("vec_id") <= corpus_max_id)
+    wr = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat_ws(":", F.col("cell"), F.col("vec_id"))), F.col("vec_id")
+    )
+    crank = (
+        codes.select("vec_id", F.col("cid").alias("cell"), "codes")
+        .withColumn("crn", F.row_number().over(wr))
+        .filter(F.col("crn") <= probe_cap)
+    )
+    cand = crank.join(F.broadcast(probe), "cell").select(
+        "qid", "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+    qsub = _pq_sub_rows(
+        new_emb.select(F.col("vec_id"), F.col("embedding"))
+    ).select(F.col("vec_id").alias("qid"), "s", "sv")
+    dt = qsub.join(F.broadcast(books), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.round(sq_dist(F.col("sv"), F.col("cv")) * 1000000.0, 0)
+        .cast("long")
+        .alias("dti"),
+    )
+    adc = (
+        cand.join(F.broadcast(dt), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dti").alias("adc"))
+    )
+    ws = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    ev = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("cv2")
+    )
+    scored = (
+        short.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.round(vectors.cosine(F.col("cv2"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    ncand = (
+        cand.select("qid", "vec_id")
+        .distinct()
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_corpus_candidates"))
+    )
+    best = scored.groupBy("qid").agg(
+        F.max("cosine").alias("nearest_corpus_cosine")
+    )
+    base = new_emb.select(F.col("vec_id").alias("qid")).distinct()
+    return (
+        base.join(ncand, "qid", "left")
+        .join(best, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                "n_corpus_candidates"
+            ),
+            "nearest_corpus_cosine",
+        )
+    )
+
+
 def ivfpq_distortion_report(spark, index_path: str, emb: DataFrame) -> DataFrame:
     """Per-cell PQ quantization-error report for a persisted IVF-PQ
     index — the PQ-side retrain trigger (the codebook twin of

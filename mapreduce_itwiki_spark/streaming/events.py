@@ -1127,3 +1127,136 @@ def _ann_ingest_oracle() -> str:
 
 
 register("streaming_ann_ingest", oracle=_ann_ingest_oracle())(ann_ingest_stream)
+
+
+def ivfpq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingest against the persisted IVF-PQ index —
+    the COMPRESSED-tier twin of ann_ingest_stream, and the shape a
+    100 TB deployment actually runs once the float index no longer
+    fits its storage budget: the corpus lives as PQ_M-byte codes
+    partitioned by cell, new embeddings stream in (top-quarter vec_ids,
+    3 files, one micro-batch each), and every micro-batch through
+    foreachBatch (1) probes the code index for its nearest corpus
+    neighbor — nprobe cells per query against the broadcast centroids,
+    each probed cell's md5-first PROBE_CAP members ADC-scored from
+    their byte codes, the per-query ADC-top shortlist exact-reranked
+    via a rerank-bounded semi-join of the corpus floats
+    (operators/similarity.py:ivfpq_probe_batch) — and (2) APPENDS its
+    own codes under the frozen quantizers
+    (similarity.ivfpq_index_append), so tomorrow's batches probe an
+    index that already contains today's vectors. Verdicts are
+    corpus-restricted (batch-partitioning-invariant, which is what the
+    oracle replays); appends are idempotent per batch_id (the marker
+    rule, ADVICE r7). Columns: (vec_id, n_corpus_candidates,
+    nearest_corpus_cosine)."""
+    import shutil
+
+    from ..operators import similarity as S
+    from ..plans.llm_pipeline import _vec_split
+    from ..plans.relational import _scratch_dir
+    from ..sources.parquet import load_table
+
+    s = _vec_split(spark, sf_dir)
+    base = _scratch_dir("ivfpqin", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    feed, out, ckpt, idx = (
+        os.path.join(base, d) for d in ("feed", "out", "ckpt", "idx")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < s)
+    S.ivfpq_index_write(corpus, idx)
+    batch = emb.filter(F.col("vec_id") >= s).select("vec_id", "embedding")
+    batch.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    done_dir = os.path.join(base, "done")
+    os.makedirs(done_dir, exist_ok=True)
+
+    def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(done_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        verdicts = S.ivfpq_probe_batch(
+            spark, idx, bdf, corpus, corpus_max_id=s - 1
+        )
+        verdicts.withColumnRenamed("qid", "vec_id").write.mode(
+            "append"
+        ).parquet(out)
+        S.ivfpq_index_append(spark, idx, bdf)
+        open(marker, "w").close()
+
+    q = (
+        stream.writeStream.foreachBatch(probe_and_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _ivfpq_ingest_oracle() -> str:
+    from ..operators.similarity import IVF_NPROBE, PQ_RERANK, PROBE_CAP
+    from ..plans.llm_pipeline import _IVFPQ_INCR_CTES, _pq_subdist
+
+    qdist = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (qv.v[i] - c.cv[i]) * (qv.v[i] - c.cv[i]))), 6)"
+    )
+    return f"""
+    {_IVFPQ_INCR_CTES},
+    qv AS (SELECT vec_id AS qid, v FROM alle
+           WHERE vec_id >= (SELECT s FROM sp)),
+    probe AS (SELECT qid, cid AS cell FROM (
+                SELECT qv.qid, c.cid,
+                       row_number() OVER (PARTITION BY qv.qid
+                           ORDER BY {qdist}, c.cid) AS rn
+                FROM ivc1 c CROSS JOIN qv) WHERE rn <= {IVF_NPROBE}),
+    crank AS (SELECT vec_id, cid AS cell,
+                     row_number() OVER (PARTITION BY cid
+                         ORDER BY md5(CAST(cid AS VARCHAR) || ':'
+                                      || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS crn
+              FROM ivlists WHERE vec_id < (SELECT s FROM sp)),
+    cand AS (SELECT p.qid, c.vec_id FROM crank c JOIN probe p USING (cell)
+             WHERE c.crn <= {PROBE_CAP}),
+    qs AS (SELECT vec_id AS qid, s, sv FROM sub
+           WHERE vec_id >= (SELECT s FROM sp)),
+    dt AS (SELECT qs.qid, c.s, c.cid,
+                  CAST(round({_pq_subdist('qs')} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT cand.qid, cand.vec_id, sum(dti) AS adc
+            FROM cand JOIN enc ON enc.vec_id = cand.vec_id
+            JOIN dt ON dt.qid = cand.qid AND dt.s = enc.s AND dt.cid = enc.cid
+            GROUP BY cand.qid, cand.vec_id),
+    short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc, vec_id) AS rn
+                FROM adc) WHERE rn <= {PQ_RERANK}),
+    scored AS (SELECT short.qid,
+                      round(list_dot_product(a.v, q.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+               FROM short
+               JOIN alle a ON a.vec_id = short.vec_id
+               JOIN qv q ON q.qid = short.qid),
+    ncand AS (SELECT qid, count(DISTINCT vec_id) AS n_corpus_candidates
+              FROM cand GROUP BY qid),
+    best AS (SELECT qid, max(cos) AS nearest_corpus_cosine
+             FROM scored GROUP BY qid)
+    SELECT q.qid AS vec_id,
+           COALESCE(n.n_corpus_candidates, 0) AS n_corpus_candidates,
+           b.nearest_corpus_cosine
+    FROM (SELECT DISTINCT qid FROM qv) q
+    LEFT JOIN ncand n ON n.qid = q.qid
+    LEFT JOIN best b ON b.qid = q.qid
+    """
+
+
+register("streaming_ivfpq_ingest", oracle=_ivfpq_ingest_oracle())(
+    ivfpq_ingest_stream
+)
