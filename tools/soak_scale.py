@@ -116,6 +116,13 @@ SOAK = [
     "ann_ivfpq_index_append",
     "ann_ivfpq_incremental_topk",
     "ann_ivfpq_distortion_report",
+    # round-8 tail: the tuned-dial evaluation pair (recall + IVF cell
+    # count), SemDeDup at the doubled cluster count, and the
+    # compressed-tier streaming ingest
+    "ann_tuned_recall_at_k",
+    "ann_ivf_tuned_topk",
+    "semdedup_tuned_prune",
+    "streaming_ivfpq_ingest",
 ]
 
 
