@@ -2386,6 +2386,106 @@ def ivfpq_probe_batch(
     )
 
 
+def ivfpq_index_batch_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """BATCH ANN from the persisted IVF-PQ code index — the
+    queries-as-a-DataFrame lift of :func:`ivfpq_index_topk`, completing
+    the single+batch symmetry the LSH index already has: ONE broadcast
+    probe ranks every query's ``nprobe`` cells against the stored
+    centroids, the code table is read ONCE pruned to the UNION of all
+    probed cells (literal cid IN-list — static partition pruning for
+    the whole batch, over PQ_M-byte rows with no embedding column),
+    every query's integerized ADC table rides one broadcast keyed
+    (qid, s, code), and the per-qid ADC-top ``rerank`` shortlists are
+    exact-reranked via one rerank·|Q|-bounded semi-join of the corpus
+    floats. Unlike the ingest-path :func:`ivfpq_probe_batch` there is
+    NO per-cell candidate budget — this is the retrieval scan, whole
+    probed cells, exactly :func:`ivfpq_topk` semantics per query (and
+    per-query result-identical to it; raw-code indexes only, asserted
+    from ``_meta``). Columns: (qid, vec_id, label, cosine), per-qid
+    top-k under (cosine desc, vec_id)."""
+    meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    if bool(meta.by_residual):
+        raise ValueError("ivfpq_index_batch_topk supports raw-code indexes only")
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    books = spark.read.parquet(f"{index_path}/_codebooks")
+    q_ids = queries.select("qid")
+    q_emb = emb.join(
+        F.broadcast(q_ids), emb["vec_id"] == q_ids["qid"]
+    ).select("qid", "embedding")
+    qv = q_emb.select(
+        "qid", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cids = sorted(
+        {r.cell for r in probe.select("cell").distinct().collect()}
+    ) or [-1]
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cid").isin(cids)  # static partition pruning for the batch
+    )
+    cand = (
+        codes.select("vec_id", F.col("cid").alias("cell"), "codes")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.posexplode("codes").alias("s", "code"))
+    )
+    qsub = _pq_sub_rows(q_emb.select(F.col("qid").alias("vec_id"), "embedding")).select(
+        F.col("vec_id").alias("qid"), "s", "sv"
+    )
+    dt = qsub.join(F.broadcast(books), "s").select(
+        "qid",
+        "s",
+        "code",
+        F.round(sq_dist(F.col("sv"), F.col("cv")) * 1000000.0, 0)
+        .cast("long")
+        .alias("dti"),
+    )
+    adc = (
+        cand.join(F.broadcast(dt), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dti").alias("adc"))
+    )
+    ws = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("cv2")
+    )
+    scored = (
+        short.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("cv2"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )
+
+
 def ivfpq_distortion_report(spark, index_path: str, emb: DataFrame) -> DataFrame:
     """Per-cell PQ quantization-error report for a persisted IVF-PQ
     index — the PQ-side retrain trigger (the codebook twin of

@@ -1950,6 +1950,64 @@ def ann_ivfpq_residual_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "ann_ivfpq_index_batch_topk",
+    # the ann_batch_pq_topk oracle with the IVF cell restriction: both
+    # chains composed, per-qid probe, ADC limited to each query's
+    # probed cells' members, per-qid shortlist + exact rerank
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    {_pq_train_ctes(sampled=True)},
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_BATCH_NQ}),
+    probe AS (SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       row_number() OVER (PARTITION BY q.qid
+                                          ORDER BY {_IVF_QDIST}, c.cid) AS rn
+                FROM ivc1 c CROSS JOIN q) WHERE rn <= {similarity.IVF_NPROBE}),
+    cellcand AS (SELECT p.qid, l.vec_id FROM ivlists l JOIN probe p USING (cid)
+                 WHERE l.vec_id <> p.qid),
+    qs AS (SELECT vec_id AS qid, s, sv FROM sub
+           WHERE vec_id < {_ANN_BATCH_NQ}),
+    dt AS (SELECT qs.qid, c.s, c.cid,
+                  CAST(round({_pq_subdist('qs')} * 1000000.0) AS BIGINT) AS dti
+           FROM c1 c JOIN qs ON c.s = qs.s),
+    adc AS (SELECT cc.qid, cc.vec_id, sum(dti) AS adc
+            FROM cellcand cc JOIN enc ON enc.vec_id = cc.vec_id
+            JOIN dt ON dt.qid = cc.qid AND dt.s = enc.s AND dt.cid = enc.cid
+            GROUP BY cc.qid, cc.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adc, vec_id) AS rn
+               FROM adc) WHERE rn <= {similarity.PQ_RERANK}),
+    scored AS (SELECT cand.qid, e.vec_id, e.label, {_COSINE_SQL} AS cosine
+               FROM cand JOIN e ON e.vec_id = cand.vec_id
+                         JOIN q ON q.qid = cand.qid)
+    SELECT qid, vec_id, label, cosine FROM (
+      SELECT qid, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def ann_ivfpq_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN from the persisted IVF-PQ code index — eight queries,
+    one broadcast centroid probe, ONE code-table read pruned to the
+    union of every query's probed cells (literal cid IN-list over
+    PQ_M-byte rows), one broadcast (qid, s, code)-keyed ADC table, one
+    rerank·8-bounded float semi-join. Completes the single+batch
+    retrieval symmetry for the compressed tier (the LSH index has had
+    both since r6); per-query results equal ivfpq_topk's. See
+    operators/similarity.py:ivfpq_index_batch_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_index(spark, sf_dir, emb, by_residual=False)
+    queries = emb.filter(F.col("vec_id") < _ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("qid")
+    )
+    return similarity.ivfpq_index_batch_topk(spark, path, emb, queries, k=10)
+
+
+@register(
     "ann_ivfpq_distortion_report",
     # the chain's d2 already holds every (vec, subspace, code) distance;
     # the per-vector error is the sum of per-subspace minima,

@@ -1244,3 +1244,16 @@ def test_probe_coverage_report_is_pruned_and_pairwise_free(spark):
     assert "pkey" in pf and "IN" in pf, pf
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_index_batch_scan_is_pruned(spark):
+    """The persisted-IVFPQ batch lookup keeps the whole-batch pruning
+    contract: the code-table read carries the literal cid IN-list
+    (union of every query's probed cells) under PartitionFilters, the
+    ADC table rides a broadcast, and no cartesian appears."""
+    plan = plan_of(spark, "ann_ivfpq_index_batch_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cid" in pf and "IN" in pf, pf
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
