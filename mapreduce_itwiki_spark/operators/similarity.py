@@ -1102,22 +1102,38 @@ PQ_CODES = 4  #: codes per subspace codebook (256 in production; small keeps the
 PQ_RERANK = 50  #: ADC shortlist size re-ranked by exact cosine
 
 
-def _pq_sub_rows(emb: DataFrame) -> DataFrame:
-    """(vec_id, s, sv): the PQ_M disjoint PQ_SUB-dim subvectors of each
-    embedding — one explode, no shuffle."""
+def _pq_sub_rows(
+    emb: DataFrame, pq_m: int = PQ_M, pq_sub: int = PQ_SUB
+) -> DataFrame:
+    """(vec_id, s, sv): the ``pq_m`` disjoint ``pq_sub``-dim subvectors
+    of each embedding — one explode, no shuffle. The geometry defaults
+    to the module constants for in-DAG callers; PERSISTED-index callers
+    pass the widths recorded in the index's ``_meta`` sidecar (ADVICE
+    r8: queries must decode with the geometry the index was BUILT at,
+    never the constants of the code that happens to be running)."""
     v = vectors.as_double(F.col("embedding"))
     subs = F.array(
         *[
             F.struct(
                 F.lit(s).alias("s"),
-                F.slice(v, s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                F.slice(v, s * pq_sub + 1, pq_sub).alias("sv"),
             )
-            for s in range(PQ_M)
+            for s in range(pq_m)
         ]
     )
     return emb.select("vec_id", F.explode(subs).alias("sub")).select(
         "vec_id", "sub.s", "sub.sv"
     )
+
+
+def _pq_meta_geometry(meta) -> tuple[int, int]:
+    """(pq_m, pq_sub) recorded in a persisted IVFPQ index's ``_meta``
+    sidecar row — every query/append/report path decodes with the
+    STORED widths (ADVICE r8: the PQ twin of the LSH ``_geometry``
+    rule), falling back to the module constants only for a sidecar
+    that predates the fields."""
+    d = meta.asDict()
+    return int(d.get("pq_m") or PQ_M), int(d.get("pq_sub") or PQ_SUB)
 
 
 def pq_codebooks(sub: DataFrame, sample_mod: int | None = None) -> DataFrame:
@@ -1611,6 +1627,14 @@ def ivf_balance_report(spark, index_path: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n_vectors").alias("t")).collect()[0].t or 0
     nlist = cents.count()
+    if total == 0:
+        # an empty/corrupt lists table must be distinguishable from a
+        # balanced index (ADVICE r8: total=0 would otherwise divide
+        # through to NULL occupancy rows, which reads as "fine")
+        raise ValueError(
+            f"ivf_balance_report: index at {index_path!r} has no list rows"
+            " — empty or corrupt index"
+        )
     return (
         cents.join(counts, "cid", "left")
         .select(
@@ -2216,6 +2240,7 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     rebuild that trained on the original corpus — the same
     frozen-quantizer argument as :func:`ivf_index_append`."""
     meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    pq_m, pq_sub = _pq_meta_geometry(meta)
     cents = spark.read.parquet(f"{index_path}/_centroids")
     books = spark.read.parquet(f"{index_path}/_codebooks")
     lists = ivf_assign(new_emb, cents)
@@ -2235,7 +2260,7 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
         )
     else:
         base = new_emb.select("vec_id", "embedding")
-    sub = _pq_sub_rows(base)
+    sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
     enc = (
         sub.join(F.broadcast(books), "s")
         .select(
@@ -2297,6 +2322,7 @@ def ivfpq_probe_batch(
     meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
     if bool(meta.by_residual):
         raise ValueError("ivfpq_probe_batch supports raw-code indexes only")
+    pq_m, pq_sub = _pq_meta_geometry(meta)
     cents = spark.read.parquet(f"{index_path}/_centroids")
     books = spark.read.parquet(f"{index_path}/_codebooks")
     qv = new_emb.select(
@@ -2331,7 +2357,9 @@ def ivfpq_probe_batch(
         "qid", "vec_id", F.posexplode("codes").alias("s", "code")
     )
     qsub = _pq_sub_rows(
-        new_emb.select(F.col("vec_id"), F.col("embedding"))
+        new_emb.select(F.col("vec_id"), F.col("embedding")),
+        pq_m=pq_m,
+        pq_sub=pq_sub,
     ).select(F.col("vec_id").alias("qid"), "s", "sv")
     dt = qsub.join(F.broadcast(books), "s").select(
         "qid",
@@ -2414,6 +2442,7 @@ def ivfpq_index_batch_topk(
     meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
     if bool(meta.by_residual):
         raise ValueError("ivfpq_index_batch_topk supports raw-code indexes only")
+    pq_m, pq_sub = _pq_meta_geometry(meta)
     cents = spark.read.parquet(f"{index_path}/_centroids")
     books = spark.read.parquet(f"{index_path}/_codebooks")
     q_ids = queries.select("qid")
@@ -2443,9 +2472,11 @@ def ivfpq_index_batch_topk(
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", F.posexplode("codes").alias("s", "code"))
     )
-    qsub = _pq_sub_rows(q_emb.select(F.col("qid").alias("vec_id"), "embedding")).select(
-        F.col("vec_id").alias("qid"), "s", "sv"
-    )
+    qsub = _pq_sub_rows(
+        q_emb.select(F.col("qid").alias("vec_id"), "embedding"),
+        pq_m=pq_m,
+        pq_sub=pq_sub,
+    ).select(F.col("vec_id").alias("qid"), "s", "sv")
     dt = qsub.join(F.broadcast(books), "s").select(
         "qid",
         "s",
@@ -2506,6 +2537,7 @@ def ivfpq_distortion_report(spark, index_path: str, emb: DataFrame) -> DataFrame
     broadcast; no pairwise work. Columns: (cid, n_vectors,
     mean_sq_error)."""
     meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
+    pq_m, pq_sub = _pq_meta_geometry(meta)
     cents = spark.read.parquet(f"{index_path}/_centroids")
     books = spark.read.parquet(f"{index_path}/_codebooks")
     codes = spark.read.parquet(f"{index_path}/codes")
@@ -2528,7 +2560,7 @@ def ivfpq_distortion_report(spark, index_path: str, emb: DataFrame) -> DataFrame
         )
     else:
         base = emb.select("vec_id", "embedding")
-    sub = _pq_sub_rows(base)
+    sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
     verr = (
         enc.join(sub, ["vec_id", "s"])
         .join(
@@ -2585,6 +2617,7 @@ def ivfpq_index_topk(
     accidentally ADC-scan residual codes with a raw-vector table."""
     meta = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
     by_residual = bool(meta.by_residual)
+    pq_m, pq_sub = _pq_meta_geometry(meta)
     cents = spark.read.parquet(f"{index_path}/_centroids")
     books = spark.read.parquet(f"{index_path}/_codebooks")
     qrows = (
@@ -2618,9 +2651,9 @@ def ivfpq_index_topk(
         # subtraction is the same IEEE double op either engine runs)
         crows = {r.cid: list(r.cv) for r in cents.filter(F.col("cid").isin(cids)).collect()}
         qsub_rows = [
-            (cid, s, [qv[i] - crows[cid][i] for i in range(s * PQ_SUB, (s + 1) * PQ_SUB)])
+            (cid, s, [qv[i] - crows[cid][i] for i in range(s * pq_sub, (s + 1) * pq_sub)])
             for cid in cids
-            for s in range(PQ_M)
+            for s in range(pq_m)
         ]
         qsub = spark.createDataFrame(
             qsub_rows, "pcell bigint, s int, qsv array<double>"
@@ -2640,7 +2673,7 @@ def ivfpq_index_topk(
         )
     else:
         qsub_rows = [
-            (s, qv[s * PQ_SUB : (s + 1) * PQ_SUB]) for s in range(PQ_M)
+            (s, qv[s * pq_sub : (s + 1) * pq_sub]) for s in range(pq_m)
         ]
         qsub = spark.createDataFrame(qsub_rows, "s int, qsv array<double>")
         dt = qsub.join(books, "s").select(

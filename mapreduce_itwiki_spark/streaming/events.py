@@ -939,7 +939,14 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .withColumn("neardup_of_corpus", F.col("n_corpus_candidates") > 0)
-            .write.mode("append")
+            # verdict idempotence (ADVICE r8): foreachBatch is
+            # at-least-once, so verdicts land in a batch_id partition
+            # via dynamic partition overwrite — a re-fired batch
+            # replaces its own rows instead of duplicating them
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out)
         )
 
@@ -950,7 +957,7 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("batch_id")
 
 
 def _neardup_ingest_oracle() -> str:
@@ -1044,14 +1051,17 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(done_dir, exist_ok=True)
 
     def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
-        # idempotence marker (ADVICE r7): foreachBatch is at-least-once,
-        # and both writes below are blind parquet appends — a re-fired
-        # batch would double its band rows (breaking the ≤ cap-per-shard
-        # invariant and inflating future oldc occupancy counts). The
-        # marker, written LAST, makes the completed-batch retry a no-op;
-        # a crash MID-batch still needs the stage-to-batch_id-prefix +
-        # atomic-commit pattern a production object-store deployment
-        # would use.
+        # idempotence (ADVICE r7 + r8): foreachBatch is at-least-once.
+        # The VERDICT write overwrites its own batch_id partition
+        # (dynamic partition overwrite), so it is idempotent on its own
+        # — a crash anywhere and a retry replaces, never duplicates,
+        # the batch's verdict rows. The INDEX append stays a blind
+        # parquet append (a re-fired completed batch would double its
+        # band rows, breaking the ≤ cap-per-shard invariant), so the
+        # marker — written LAST — still guards it; a crash BETWEEN the
+        # index append and the marker still needs the
+        # stage-to-batch_id-prefix + atomic-commit pattern a production
+        # object-store deployment would use.
         marker = os.path.join(done_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return
@@ -1070,7 +1080,10 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "nearest_corpus_cosine",
             )
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out)
         )
         S.ann_index_append(spark, idx, bdf)
@@ -1083,7 +1096,7 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("batch_id")
 
 
 def _ann_ingest_oracle() -> str:
@@ -1182,9 +1195,18 @@ def ivfpq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdicts = S.ivfpq_probe_batch(
             spark, idx, bdf, corpus, corpus_max_id=s - 1
         )
-        verdicts.withColumnRenamed("qid", "vec_id").write.mode(
-            "append"
-        ).parquet(out)
+        # verdict idempotence (ADVICE r8): same batch_id-partitioned
+        # dynamic overwrite as ann_ingest_stream — a retried batch
+        # replaces its verdict rows; the marker still guards the
+        # blind code-table append below.
+        (
+            verdicts.withColumnRenamed("qid", "vec_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
         S.ivfpq_index_append(spark, idx, bdf)
         open(marker, "w").close()
 
@@ -1195,7 +1217,7 @@ def ivfpq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("batch_id")
 
 
 def _ivfpq_ingest_oracle() -> str:

@@ -44,13 +44,17 @@ def test_priority_slots_cover_every_family():
 
     from mapreduce_itwiki_spark.plans import catalog
 
+    all_names = set(catalog.queries())
     first50 = set(list(catalog.queries())[:50])
     for rec in sorted(REPO.glob("CORRECTNESS_r*.json")):
         d = json.loads(rec.read_text())
+        # intersect history with the CURRENT catalog (ADVICE r8): a
+        # renamed/deleted query's stale green record must not keep its
+        # family "covered" after the query stops existing
         first50 |= {
             n
             for n, v in d.items()
-            if isinstance(v, dict) and not v.get("err")
+            if isinstance(v, dict) and not v.get("err") and n in all_names
         }
     # membership by family PREFIX/name-set rather than one pinned query,
     # so the per-round slot rotation (VERDICT r3 ask #3) keeps passing
