@@ -1736,6 +1736,72 @@ def ann_probe_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 1-in-mod md5 query sample for the SAMPLED probe-coverage mode —
+#: the full report is the costliest monitoring row at scale (817 s at
+#: sf20z: its uncapped candidate volume is ∝ batch·occupancy BY
+#: DESIGN); sampling the queries makes monitoring cost ∝ batch/mod
+#: while each sampled query's row stays exact
+_PROBE_SAMPLE_MOD = 3
+
+
+@register(
+    "ann_probe_coverage_sampled",
+    # the full report's oracle filtered by the same md5 coin — the
+    # error contract in SQL: sampled rows are EXACTLY the full
+    # report's rows for the coin-selected qids, nothing re-estimated
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    qb AS (SELECT vec_id AS qid, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)
+             AND {similarity.sample_coin_sql('vec_id', _PROBE_SAMPLE_MOD)}),
+    pr AS (SELECT q.qid, c.vec_id, min(c.rn) AS best
+           FROM corp c JOIN qb q
+             ON c.band_id = q.band_id AND c.band_key = q.band_key
+           WHERE c.vec_id <> q.qid AND c.rn <= {similarity.MAX_BUCKET}
+           GROUP BY q.qid, c.vec_id),
+    roll AS (SELECT qid, count(*) AS nu,
+                    CAST(sum(CASE WHEN best <= {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                    CAST(sum(CASE WHEN best > {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nx
+             FROM pr GROUP BY qid)
+    SELECT b.qid,
+           coalesce(r.nu, 0) AS n_candidates_uncapped,
+           coalesce(r.nc, 0) AS n_candidates,
+           coalesce(r.nx, 0) AS n_capped_out,
+           CASE WHEN coalesce(r.nu, 0) = 0 THEN 0.0
+                ELSE round(r.nx * 1.0 / r.nu, 6) END AS capped_fraction
+    FROM (SELECT DISTINCT qid FROM qb) b
+    LEFT JOIN roll r ON r.qid = b.qid
+    """,
+)
+def ann_probe_coverage_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED probe-coverage monitoring (VERDICT r8 #4): the full
+    report re-done over the deterministic 1-in-{_PROBE_SAMPLE_MOD} md5
+    query sample — per-query rows exact, batch-mean a √(mod/batch)-
+    error estimate, total cost ∝ batch/mod instead of the full
+    batch·occupancy volume that made the full report the costliest
+    monitoring row at sf20z (817 s → proportional to the sample). The
+    full mode stays available (ann_probe_coverage_report); a pipeline
+    runs the sampled mode per ingest day and the full mode before a
+    retune decision. See
+    operators/similarity.py:probe_coverage_report(query_sample_mod=…)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    return similarity.probe_coverage_report(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") >= s),
+        probe_cap=_PROBE_DEMO_CAP,
+        corpus_max_id=s - 1,
+        query_sample_mod=_PROBE_SAMPLE_MOD,
+    )
+
+
 # the two quantizer chains compose in one WITH: the IVF CTEs carry
 # an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
 # are ann_pq_topk's verbatim; the tail restricts the ADC scan to
@@ -2359,6 +2425,129 @@ def ann_index_geometry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits.alias("band_bits"),
         (F.lit(similarity.LSH_BANDS) * bits).cast("long").alias("n_planes"),
     )
+
+
+#: occupancy-entry demo cap (same rationale as _COMPACT_CAP below):
+#: small enough that the driver-scale corpora genuinely spill across
+#: the candidate grid, so the occupancy CHOICE is a real decision, not
+#: the degenerate "everything fits at 4 bits"
+_OCC_CAP = 20
+
+
+def _occ_trail_sql() -> str:
+    """DuckDB twin of similarity.occupancy_spill_trail at the demo cap:
+    sign bits computed ONCE at the widest grid width, every (width,
+    band) key a substring of that prefix — the same one-pass shape as
+    the Spark side, parameterized from the same OCCUPANCY_GRID
+    constants so the two can never disagree on the grid."""
+    g = similarity.OCCUPANCY_GRID
+    maxw = max(g)
+    arms = " UNION ALL ".join(
+        f"SELECT {w} AS w, {b} AS band_id,"
+        f" substr(bits, {b * w + 1}, {w}) AS band_key FROM e"
+        for w in g
+        for b in range(similarity.LSH_BANDS)
+    )
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bits_sql(similarity.LSH_BANDS * maxw)} AS bits
+          FROM embeddings),
+    wrows AS ({arms}),
+    bc AS (SELECT w, band_id, band_key, count(*) AS cnt
+           FROM wrows GROUP BY 1, 2, 3),
+    trail AS (
+      SELECT w AS band_bits,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_buckets,
+             CAST(sum(CASE WHEN cnt > {_OCC_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hot_buckets,
+             CAST(sum(greatest(cnt - {_OCC_CAP}, 0)) AS BIGINT) AS spill_rows,
+             round(sum(greatest(cnt - {_OCC_CAP}, 0)) * 1.0 / sum(cnt), 6)
+                 AS spill_fraction
+      FROM bc GROUP BY w)
+    """
+
+
+@register(
+    "ann_geometry_occupancy_plan",
+    oracle=f"""
+    WITH {_occ_trail_sql()}
+    SELECT band_bits, n_rows, n_buckets, n_hot_buckets, spill_rows,
+           spill_fraction,
+           band_bits = coalesce(
+               min(CASE WHEN spill_fraction <= {similarity.OCCUPANCY_TARGET_SPILL}
+                        THEN band_bits END) OVER (),
+               {max(similarity.OCCUPANCY_GRID)}) AS chosen
+    FROM trail
+    """,
+)
+def ann_geometry_occupancy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCCUPANCY-AWARE geometry plan (VERDICT r8 #1): one corpus
+    pass measures the spill every candidate band width would actually
+    produce (sign bits hashed once at the widest width, every
+    narrower key a substring), and the smallest width whose MEASURED
+    spill meets the target is marked chosen — grid max if none does.
+    This replaces the uniform-corpus count formula that
+    ann_index_geometry_plan still shows (kept for contrast): on the
+    clustered scale corpora the formula's choice leaves spill at 0.643
+    (sf20z, 7-bit) while the measured choice lands 0.280 (14-bit).
+    Demo cap so driver-scale corpora genuinely exercise the decision.
+    See operators/similarity.py:occupancy_spill_trail /
+    choose_band_bits_occupancy."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trail = similarity.occupancy_spill_trail(emb, max_bucket=_OCC_CAP)
+    chosen_w = F.min(
+        F.when(
+            F.col("spill_fraction") <= similarity.OCCUPANCY_TARGET_SPILL,
+            F.col("band_bits"),
+        )
+    ).over(Window.partitionBy(F.lit(1)))
+    return trail.withColumn(
+        "chosen",
+        F.col("band_bits")
+        == F.coalesce(chosen_w, F.lit(max(similarity.OCCUPANCY_GRID))),
+    )
+
+
+@register(
+    "ann_lsh_coverage_occupancy",
+    # the per-band coverage report AT the occupancy-chosen width: the
+    # oracle derives the choice itself (same trail + same threshold)
+    # and selects that width's coverage rows — the full decision loop
+    # measured on both engines, no width constant pinned anywhere
+    oracle=f"""
+    WITH {_occ_trail_sql()},
+    ch AS (SELECT coalesce(
+               min(CASE WHEN spill_fraction <= {similarity.OCCUPANCY_TARGET_SPILL}
+                        THEN band_bits END),
+               {max(similarity.OCCUPANCY_GRID)}) AS w FROM trail)
+    SELECT band_id,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN cnt > {_OCC_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_buckets,
+           CAST(sum((cnt + {_OCC_CAP} - 1) // {_OCC_CAP}) AS BIGINT)
+               AS n_shards,
+           CAST(sum(greatest(cnt - {_OCC_CAP}, 0)) AS BIGINT) AS spill_rows,
+           round(sum(greatest(cnt - {_OCC_CAP}, 0)) * 1.0 / sum(cnt), 6)
+               AS spill_fraction
+    FROM bc WHERE w = (SELECT w FROM ch) GROUP BY band_id
+    """,
+)
+def ann_lsh_coverage_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage at the width the OCCUPANCY measurement chose — closing
+    the loop VERDICT r8 #1 asked for: measure → choose → verify the
+    choice's spill, all in-engine (sf20z: the uniform formula's 7-bit
+    leaves 0.643 spill; this chooses 14-bit and reports 0.280 ≤ the
+    0.35 target). The oracle recomputes the choice from the same trail,
+    so a drifting threshold or grid breaks parity loudly. Demo cap;
+    same two-hash-agg plan shape as ann_lsh_coverage_report —
+    full-corpus safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = similarity.choose_band_bits_occupancy(emb, max_bucket=_OCC_CAP)
+    return similarity.band_coverage_report(emb, max_bucket=_OCC_CAP, band_bits=w)
 
 
 #: compaction-entry shard cap: small enough that sf0.001's ~30-member
