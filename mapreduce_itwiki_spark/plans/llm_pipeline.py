@@ -2815,6 +2815,201 @@ def ann_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_index_retrain",
+    # post-retrain the compressed index IS the full rebuild on
+    # corpus ∪ batch (both quantizer trainings deterministic over the
+    # current membership), so the oracle is the full-corpus composite
+    # chain rolled up per cell — occupancy, fresh rows, and distinct
+    # code words (bijection-invariant, like the build entry)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    {_pq_train_ctes(sampled=True)},
+    vcodes AS (SELECT vec_id, list(cid ORDER BY s)::VARCHAR AS word
+               FROM enc GROUP BY vec_id)
+    SELECT l.cid, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN l.vec_id >= (SELECT s FROM sp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_rows,
+           CAST(count(DISTINCT v.word) AS BIGINT) AS n_distinct_codes
+    FROM ivlists l JOIN vcodes v ON v.vec_id = l.vec_id
+    GROUP BY l.cid
+    """,
+)
+def ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ lifecycle end to end (VERDICT r8 #5 — build → append
+    → RETRAIN for the COMPRESSED tier, completing lifecycle parity
+    across all three persisted index families): build the corpus-split
+    code index, absorb the batch under both frozen quantizers (the
+    drift ann_ivfpq_distortion_report measures: codes chosen from
+    codebooks that never saw the batch), then retrain on the index's
+    current membership — after which centroids, codebooks AND codes
+    equal a from-scratch build on corpus ∪ batch (deterministic
+    trainings; rebuild-equality unit-pinned), which is exactly what the
+    oracle replays. Returns the per-cell summary read BACK from the
+    retrained code table. See
+    operators/similarity.py:ivfpq_index_retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _vec_split(spark, sf_dir)
+    path = _ann_index_path(sf_dir) + (
+        f"_ivfpqrt{similarity.IVF_NLIST}s{similarity.TRAIN_SAMPLE_MOD}"
+        f"m{similarity.PQ_M}c{similarity.PQ_CODES}"
+    )
+    similarity.ivfpq_index_write(emb.filter(F.col("vec_id") < s), path)
+    similarity.ivfpq_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= s)
+    )
+    similarity.ivfpq_index_retrain(spark, path, emb)
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("vec_id") >= s, 1).otherwise(0)).alias(
+            "n_new_rows"
+        ),
+        F.countDistinct(F.col("codes").cast("string")).alias(
+            "n_distinct_codes"
+        ),
+    )
+
+
+#: report→verb policy thresholds (VERDICT r8 #7): pinned here, replayed
+#: verbatim in the oracle — the automation seam that turns the
+#: monitoring reports into maintenance decisions instead of prose
+_POLICY_SKEW_MAX = 2.0  #: IVF max cell skew before a retrain pays
+_POLICY_MSE_MAX = 0.05  #: corpus-mean PQ reconstruction error ceiling
+
+
+@register(
+    "index_maintenance_policy",
+    # each tier's trigger metric recomputed from the corpus with the
+    # SAME chains its report uses, then CASE'd against the pinned
+    # threshold — the full decision table on both engines
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    lbc AS (SELECT band_id, band_key, count(*) AS cnt
+            FROM bands GROUP BY 1, 2),
+    lshv AS (SELECT round(sum(greatest(cnt - {_OCC_CAP}, 0)) * 1.0
+                          / sum(cnt), 6) AS value FROM lbc),
+    {_ivf_train_ctes(sampled=True, prefix="iv")},
+    ivfv AS (SELECT round(max(c) * {similarity.IVF_NLIST}.0 / sum(c), 6)
+                 AS value
+             FROM (SELECT cid, count(*) AS c FROM ivlists GROUP BY cid)),
+    {_pq_train_ctes(sampled=True)},
+    perr AS (SELECT vec_id,
+                    CAST(round(sum(md) * 1000000.0) AS BIGINT) AS qi
+             FROM (SELECT vec_id, s, min(d) AS md FROM d2 GROUP BY 1, 2)
+             GROUP BY vec_id),
+    pqv AS (SELECT round(sum(qi) * 1.0 / (count(*) * 1000000.0), 6)
+                AS value FROM perr)
+    SELECT 'lsh' AS index_tier, 'spill_fraction' AS metric, value,
+           CAST({similarity.OCCUPANCY_TARGET_SPILL} AS DOUBLE) AS threshold,
+           CASE WHEN value > {similarity.OCCUPANCY_TARGET_SPILL}
+                THEN 'retune_band_bits' ELSE 'none' END AS decision
+    FROM lshv
+    UNION ALL
+    SELECT 'ivf', 'max_skew', value, CAST({_POLICY_SKEW_MAX} AS DOUBLE),
+           CASE WHEN value > {_POLICY_SKEW_MAX}
+                THEN 'retrain_ivf' ELSE 'none' END
+    FROM ivfv
+    UNION ALL
+    SELECT 'ivfpq', 'mean_sq_error', value, CAST({_POLICY_MSE_MAX} AS DOUBLE),
+           CASE WHEN value > {_POLICY_MSE_MAX}
+                THEN 'retrain_pq' ELSE 'none' END
+    FROM pqv
+    """,
+)
+def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPORT → VERB policy (VERDICT r8 #7 — the 100 TB story no longer
+    ends with "a human reads TUNING.md"): one decision row per index
+    tier mapping its trigger metric to the lifecycle verb this engine
+    ships for it, against pinned thresholds both engines replay —
+
+    * LSH:   overall spill_fraction (band_coverage_report's number) >
+      {similarity.OCCUPANCY_TARGET_SPILL} → ``retune_band_bits``
+      (rebuild via ann_index_write(band_bits="auto_occupancy")).
+    * IVF:   max cell skew (ivf_balance_report's number) >
+      {_POLICY_SKEW_MAX} → ``retrain_ivf`` (ivf_index_retrain).
+    * IVFPQ: corpus-mean PQ reconstruction error
+      (ivfpq_distortion_report's number, corpus-rolled) >
+      {_POLICY_MSE_MAX} → ``retrain_pq`` (ivfpq_index_retrain).
+
+    Metrics are computed in-DAG from the corpus with the same
+    deterministic chains the persisted-index reports use (training is
+    the md5-coin sample; every per-vector error integerized before the
+    roll-up), so the decision table is exact on both engines. Demo cap
+    on the LSH metric so driver scales exercise a non-trivial
+    decision. Columns: (index_tier, metric, value, threshold,
+    decision)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = similarity.band_coverage_report(emb, max_bucket=_OCC_CAP)
+    lsh = cov.agg(
+        F.round(F.sum("spill_rows") / F.sum("n_rows"), 6).alias("value")
+    )
+    cents = similarity.ivf_centroids(
+        emb, similarity.IVF_NLIST, sample_mod=similarity.TRAIN_SAMPLE_MOD
+    )
+    cc = (
+        similarity.ivf_assign(emb, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ivf = cc.agg(
+        F.round(
+            F.max("c") * F.lit(similarity.IVF_NLIST) / F.sum("c"), 6
+        ).alias("value")
+    )
+    sub = similarity._pq_sub_rows(emb)
+    books = similarity.pq_codebooks(
+        sub, sample_mod=similarity.TRAIN_SAMPLE_MOD
+    )
+    md = (
+        sub.join(F.broadcast(books), "s")
+        .select(
+            "vec_id",
+            "s",
+            similarity.sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("d").alias("md"))
+    )
+    qi = md.groupBy("vec_id").agg(
+        F.round(F.sum("md") * 1000000.0, 0).cast("long").alias("qi")
+    )
+    pq = qi.agg(
+        F.round(F.sum("qi") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+            "value"
+        )
+    )
+
+    def verdict(df: DataFrame, tier: str, metric: str, thr: float, verb: str):
+        return df.select(
+            F.lit(tier).alias("index_tier"),
+            F.lit(metric).alias("metric"),
+            F.col("value"),
+            F.lit(float(thr)).alias("threshold"),
+            F.when(F.col("value") > thr, F.lit(verb))
+            .otherwise(F.lit("none"))
+            .alias("decision"),
+        )
+
+    return (
+        verdict(
+            lsh,
+            "lsh",
+            "spill_fraction",
+            similarity.OCCUPANCY_TARGET_SPILL,
+            "retune_band_bits",
+        )
+        .unionAll(verdict(ivf, "ivf", "max_skew", _POLICY_SKEW_MAX, "retrain_ivf"))
+        .unionAll(
+            verdict(pq, "ivfpq", "mean_sq_error", _POLICY_MSE_MAX, "retrain_pq")
+        )
+    )
+
+
+@register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead
     # of round() so both engines share ONE tie convention; scale is

@@ -1821,6 +1821,36 @@ def test_ann_index_compact_restores_rebuild_order(spark, tmp_path):
     assert again == want
 
 
+def test_ivfpq_index_retrain_equals_rebuild(spark, tmp_path):
+    """Retraining an append-maintained IVF-PQ index must reproduce a
+    from-scratch build over the current membership byte-for-byte (as
+    row sets) — centroids, codebooks, codes, meta — in BOTH coding
+    modes (VERDICT r8 #5): deterministic md5-coin trainings over the
+    same rows give the same quantizers, hence the same codes."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    s = 3 * (n - 1) // 4
+    for mode in (False, True):
+        inc = str(tmp_path / f"ivfpq_inc_{mode}")
+        similarity.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < s), inc, by_residual=mode
+        )
+        similarity.ivfpq_index_append(
+            spark, inc, emb.filter(F.col("vec_id") >= s)
+        )
+        similarity.ivfpq_index_retrain(spark, inc, emb)
+        ref = str(tmp_path / f"ivfpq_ref_{mode}")
+        similarity.ivfpq_index_write(emb, ref, by_residual=mode)
+        for part in ("codes", "_centroids", "_codebooks", "_meta"):
+            got = sorted(
+                map(str, spark.read.parquet(f"{inc}/{part}").collect())
+            )
+            want = sorted(
+                map(str, spark.read.parquet(f"{ref}/{part}").collect())
+            )
+            assert got == want, f"{part} differs post-retrain ({mode=})"
+
+
 def test_auto_occupancy_geometry_measured_choice(spark, tmp_path):
     """band_bits="auto_occupancy" sizes from MEASURED spill (VERDICT
     r8 #1): with a tiny cap the driver-scale clustered corpus needs
