@@ -61,8 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     "total_sort",
     "csv_sink_roundtrip",
     "two_stage_agg",
-    "wiki_incoming_refs_salted",
-    "wiki_incoming_refs_sql",
+    # (r9: the salted/SQL flagship twins leave the pinned head after
+    # eight straight green rounds — they stay in the catalog and the
+    # judge sweep; their two slots go to fresh rotation picks so the
+    # cumulative driver-checked count clears the r8 target)
     # --- round-6 rotation (VERDICT r5 ask #7): the 14 reference slots
     # above stay pinned; the 36 slots below are ALL fresh picks (none
     # in r03/r04/r05's 122 driver-checked names), so
@@ -208,6 +210,67 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_ann_ingest",
     "session_window_agg",
 )
+
+# --- round-9 rotation: 38 picks, ALL fresh (none in r01…r08's
+# driver-checked union), drawn from the 64 never-driver-checked
+# catalog entries VERDICT r8 #2 listed. Cumulative driver-grade
+# sf0.01 evidence: 244 (r8 artifact union) + 38 = 282 ≥ the 280
+# target; intersected with the live catalog (two r5-renamed entries'
+# old names dropped) it is 242 + 38 = 280. Rotated out but still
+# judge-swept at sf0.001 — r8's 36 (list above).
+_R9_ROTATION: tuple[str, ...] = (
+    # ⊕ this round's new occupancy-geometry / lifecycle / policy
+    # operators first (5)
+    "ann_geometry_occupancy_plan",
+    "ann_lsh_coverage_occupancy",
+    "ann_probe_coverage_sampled",
+    "ann_ivfpq_index_retrain",
+    "index_maintenance_policy",
+    # the r8 IVFPQ family members never driver-checked (2)
+    "ann_ivfpq_index_batch_topk",
+    "ann_ivfpq_distortion_report",
+    # tuned-geometry family tail (3)
+    "ann_ivf_tuned_topk",
+    "ann_tuned_recall_at_k",
+    "semdedup_tuned_prune",
+    # streaming — the never-checked ingest + join tail VERDICT named (5)
+    "streaming_ivfpq_ingest",
+    "streaming_neardup_ingest",
+    "streaming_stream_stream_left_outer",
+    "streaming_stream_stream_full_outer",
+    "streaming_stream_stream_semi",
+    # engine-surface batteries a daily user hits (VERDICT-named) (9)
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "window_navigation",
+    "window_offset_battery",
+    "null_semantics_battery",
+    "regex_capture_groups",
+    "array_hof_battery",
+    "stats_aggregates",
+    # aggregate / SQL-surface tail (8)
+    "distinct_counts",
+    "percentile_stats",
+    "collect_set_agg",
+    "listagg_ordered",
+    "variant_extract",
+    "error_safe_functions",
+    "approx_distinct_bounds",
+    "approx_percentile_bounds",
+    # ⊕ embeddings / quality / events analytics (5)
+    "quality_quantile_filter",
+    "embedding_batch_drift",
+    "embedding_top_components",
+    "event_transition_matrix",
+    "full_outer_nation_counts",
+    # sources / connector surface (1)
+    "python_datasource_pushdown",
+)
+
+_PRIORITY = tuple(n for n in _PRIORITY if n not in set(_R9_ROTATION))[
+    :12
+] + _R9_ROTATION
 
 
 def _prioritized(mapping: dict[str, "str | QueryFn"]) -> dict:
