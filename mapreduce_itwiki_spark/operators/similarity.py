@@ -976,6 +976,86 @@ def ann_index_multiprobe_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def ann_index_multiprobe_batch_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    radius: int = 1,
+) -> DataFrame:
+    """BATCH multi-probe ANN from the persisted index — the
+    queries-as-a-DataFrame lift of :func:`ann_index_multiprobe_topk`,
+    keeping the single/batch symmetry every other retrieval tier has:
+    the batch's probe sets (own keys + every Hamming-``radius`` flip)
+    are generated DRIVER-SIDE from the stored geometry, the candidate
+    scan reads the UNION of all probed pkey partitions once (literal
+    IN-list ⇒ static partition pruning for the whole batch), and the
+    per-qid association rides a broadcast (qid, pkey, shard) probe
+    table: shard 0 of every probed bucket plus each query's own shard
+    in its home buckets — per-query result-identical to the
+    single-query operator. Columns: (qid, vec_id, label, cosine),
+    per-qid top-k under (cosine desc, vec_id)."""
+    idx = spark.read.parquet(index_path)
+    geo_bits, _geo_cap = index_geometry(spark, index_path)
+    q_ids = queries.select("qid")
+    q_emb = (
+        emb.join(F.broadcast(q_ids), emb["vec_id"] == q_ids["qid"])
+        .select("qid", "embedding")
+        .collect()
+    )
+    probe_pairs = set()  # (qid, pkey) over the multi-probe set
+    own_pkeys = set()
+    for r in q_emb:
+        for b, key in enumerate(band_keys_py(list(r.embedding), band_bits=geo_bits)):
+            own_pkeys.add(f"{b}_{key}")
+            for nk in neighbor_band_keys(key, radius):
+                probe_pairs.add((r.qid, f"{b}_{nk}"))
+    pkeys = sorted({p for _, p in probe_pairs}) or ["__none__"]
+    own_rows = (
+        idx.filter(F.col("pkey").isin(sorted(own_pkeys) or ["__none__"]))
+        .join(F.broadcast(q_ids), idx["vec_id"] == q_ids["qid"])
+        .select("qid", "pkey", "shard")
+        .collect()
+    )
+    rows = [(q, p, 0) for q, p in probe_pairs] + [
+        (r.qid, r.pkey, r.shard) for r in own_rows
+    ]
+    probes = spark.createDataFrame(
+        sorted(set(rows)) or [(None, "__none__", -1)],
+        "qid long, pkey string, shard long",
+    ).distinct()
+    cand = (
+        idx.filter(F.col("pkey").isin(pkeys))  # static partition pruning
+        .join(F.broadcast(probes), ["pkey", "shard"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    ev = emb.select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    qv = ev.join(F.broadcast(q_ids), ev["vec_id"] == q_ids["qid"]).select(
+        "qid", F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(vectors.cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "cosine")
+    )
+
+
 def ann_index_batch_topk(
     spark,
     index_path: str,

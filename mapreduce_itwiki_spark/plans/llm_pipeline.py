@@ -1459,6 +1459,55 @@ def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_multiprobe_batch_topk",
+    # the batch lift of the multiprobe oracle: per-qid own (bucket,
+    # shard) rows plus shard 0 of every Hamming-1 bucket, ranked per qid
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    cq AS (SELECT vec_id AS qid, band_id, band_key, shard FROM capped
+           WHERE vec_id < {_ANN_BATCH_NQ}),
+    cand AS (SELECT DISTINCT cq.qid, c.vec_id
+             FROM capped c JOIN cq
+               ON c.band_id = cq.band_id
+              AND ((c.band_key = cq.band_key AND c.shard = cq.shard)
+                OR (c.shard = 0
+                    AND ({_hamming_sql('c.band_key', 'cq.band_key',
+                                       similarity.BAND_BITS)}) <= 1))
+             WHERE c.vec_id <> cq.qid),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_BATCH_NQ}),
+    scored AS (SELECT cand.qid, e.vec_id, e.label, {_COSINE_SQL} AS cosine
+               FROM cand JOIN e ON e.vec_id = cand.vec_id
+                         JOIN q ON q.qid = cand.qid)
+    SELECT qid, vec_id, label, cosine FROM (
+      SELECT qid, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def ann_index_multiprobe_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe ANN from the persisted index (r9): eight
+    queries, ONE candidate scan over the union of all probed pkey
+    partitions (own keys + every one-bit flip — literal IN-list, static
+    partition pruning for the whole batch), per-qid association via a
+    broadcast probe table. Keeps the single/batch symmetry of every
+    other retrieval tier; per-query result-identical to
+    ann_index_multiprobe_topk. See
+    operators/similarity.py:ann_index_multiprobe_batch_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ann_index(spark, sf_dir, emb)
+    queries = emb.filter(F.col("vec_id") < _ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("qid")
+    )
+    return similarity.ann_index_multiprobe_batch_topk(
+        spark, path, emb, queries, k=10, radius=1
+    )
+
+
+@register(
     "ann_index_batch_topk",
     # result-identical to ann_batch_topk (same bands, sharding, and
     # per-qid candidates) — the persisted index changes WHERE the band
