@@ -2779,6 +2779,91 @@ def ann_lsh_coverage_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.band_coverage_report(emb, max_bucket=_OCC_CAP, band_bits=w)
 
 
+def _occ_topk_branches() -> str:
+    """Per-grid-width capped-banding + candidate CTEs for the
+    occupancy-index top-k oracle: bands{w}/capped{w}/qb{w}/cand{w} for
+    every candidate width, all substrings of the ONE widest bit string
+    (the trail's idiom), sharded at the demo cap with the same
+    per-band-salted md5 rank the index write uses."""
+    parts = []
+    for w in similarity.OCCUPANCY_GRID:
+        arms = " UNION ALL ".join(
+            f"SELECT vec_id, v, {b} AS band_id,"
+            f" substr(bits, {b * w + 1}, {w}) AS band_key FROM e"
+            for b in range(similarity.LSH_BANDS)
+        )
+        parts.append(f"""
+    bands{w} AS ({arms}),
+    capped{w} AS (SELECT vec_id, v, band_id, band_key,
+                      CAST(floor((row_number() OVER (
+                          PARTITION BY band_id, band_key
+                          ORDER BY md5(CAST(band_id AS VARCHAR) || ':'
+                                       || CAST(vec_id AS VARCHAR)),
+                                   vec_id) - 1) / {_OCC_CAP}.0)
+                           AS BIGINT) AS shard
+               FROM bands{w}),
+    qb{w} AS (SELECT band_id, band_key, shard FROM capped{w}
+              WHERE vec_id = 0),
+    cand{w} AS (SELECT DISTINCT c.vec_id FROM capped{w} c
+                JOIN qb{w} ON c.band_id = qb{w}.band_id
+                          AND c.band_key = qb{w}.band_key
+                          AND c.shard = qb{w}.shard
+                WHERE c.vec_id <> 0)""")
+    return ",".join(parts)
+
+
+@register(
+    "ann_index_occupancy_topk",
+    # the full loop in one oracle: the trail derives the chosen width,
+    # and the candidate set is the matching width's capped banding —
+    # one branch per grid width, selected by the SAME decision rule the
+    # Spark side applies before building the index
+    oracle=f"""
+    WITH {_occ_trail_sql()},
+    ch AS (SELECT coalesce(
+               min(CASE WHEN spill_fraction <= {similarity.OCCUPANCY_TARGET_SPILL}
+                        THEN band_bits END),
+               {max(similarity.OCCUPANCY_GRID)}) AS w FROM trail),
+    {_occ_topk_branches()},
+    cand AS ({" UNION ALL ".join(
+        f"SELECT vec_id FROM cand{w} WHERE (SELECT w FROM ch) = {w}"
+        for w in similarity.OCCUPANCY_GRID)}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, lbl.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id
+           JOIN lbl ON lbl.vec_id = e.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_index_occupancy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The occupancy loop END TO END (r9): measure the trail → choose
+    the width → BUILD the persisted index at that width
+    (``band_bits="auto_occupancy"`` under the demo cap) → answer a
+    top-k from it, probing with the geometry read back from the
+    ``_geometry`` sidecar. The oracle re-derives the choice from the
+    same trail and replays the matching width's capped banding — if
+    the decision rule, the sidecar, or the probe's stored-geometry
+    hashing drifted, this entry breaks loudly. Rebuilds only when the
+    on-disk geometry disagrees with the current measurement (the
+    retune-on-drift semantics a 100 TB pipeline wants). See
+    operators/similarity.py:choose_band_bits_occupancy /
+    ann_index_write / index_geometry."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = similarity.choose_band_bits_occupancy(emb, max_bucket=_OCC_CAP)
+    path = _ann_index_path(sf_dir) + f"_occ{_OCC_CAP}"
+    if (
+        not os.path.exists(os.path.join(path, "_geometry", "_SUCCESS"))
+        or similarity.index_geometry(spark, path) != (w, _OCC_CAP)
+    ):
+        similarity.ann_index_write(
+            emb, path, max_bucket=_OCC_CAP, band_bits=w
+        )
+    return similarity.ann_index_topk(spark, path, emb, query_vec_id=0, k=10)
+
+
 #: compaction-entry shard cap: small enough that sf0.001's ~30-member
 #: buckets genuinely shard (the default 4096 cap never runs hot below
 #: sf5, which would make the catalog entry exercise nothing); the
