@@ -650,6 +650,7 @@ def ann_candidates_against_index(
     new_emb: DataFrame,
     corpus_max_id: int | None = None,
     probe_cap: int = PROBE_CAP,
+    radius: int = 0,
 ) -> DataFrame:
     """(qid, cand_vec_id, cosine) — corpus candidates for a batch of
     NEW vectors probing a persisted ANN index, the vector twin of
@@ -688,11 +689,39 @@ def ann_candidates_against_index(
 
     Verdicts restricted to ``vec_id <= corpus_max_id`` stay
     batch-partitioning-invariant even while the same stream appends to
-    the index (appended rows all carry higher ids)."""
+    the index (appended rows all carry higher ids).
+
+    ``radius`` (r9) turns on Hamming multi-probe for the ingest path:
+    each query band row expands IN-EXPRESSION to its bit-flip
+    neighbors (radius 1 ⇒ band_bits extra keys per band) before the
+    band join, so a near-duplicate one sign-bit away in every band —
+    the clustered-corpus miss — still gets a verdict. The budget rule
+    is unchanged (md5-first ``probe_cap`` per PROBED bucket): work per
+    query is ≤ LSH_BANDS·(1+band_bits·radius)·probe_cap exact cosines
+    at any corpus size. radius=0 is the historical behavior and the
+    streaming entries' default."""
     geo_bits, _geo_cap = index_geometry(spark, index_path)
     qb = banded_rows(new_emb, band_bits=geo_bits).select(
         F.col("vec_id").alias("qid"), "band_id", "band_key"
     )
+    if radius > 1:
+        raise ValueError(
+            "ann_candidates_against_index supports radius 0 or 1 — the"
+            " in-expression expansion generates single-bit flips only"
+        )
+    if radius >= 1:
+        def _flip(i):
+            ch = F.substring(F.col("band_key"), i + 1, 1)
+            return F.concat(
+                F.substring(F.col("band_key"), 1, i),
+                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(F.col("band_key"), i + 2, geo_bits - i - 1),
+            )
+
+        nbrs = F.array(F.col("band_key"), *[_flip(i) for i in range(geo_bits)])
+        qb = qb.select(
+            "qid", "band_id", F.explode(nbrs).alias("band_key")
+        ).distinct()
     touched = qb.select("band_id", "band_key").distinct().collect()
     pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
     idx = (

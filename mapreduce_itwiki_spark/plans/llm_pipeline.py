@@ -2031,6 +2031,81 @@ def ann_probe_coverage_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ingest_multiprobe_verdicts",
+    # the ingest-verdict oracle widened by the Hamming-1 predicate on
+    # the band join — same md5-first budget per PROBED bucket, so the
+    # work bound is (band_bits+1)× the single-probe verdicts
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    qb AS (SELECT vec_id, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)),
+    cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+             FROM corp c JOIN qb q
+               ON c.band_id = q.band_id
+              AND ({_hamming_sql('c.band_key', 'q.band_key',
+                                 similarity.BAND_BITS)}) <= 1
+             WHERE c.rn <= {_PROBE_DEMO_CAP} AND c.vec_id <> q.vec_id),
+    scored AS (SELECT cand.qid,
+                      round(list_dot_product(cv.v, qv.v) /
+                            (sqrt(list_dot_product(cv.v, cv.v)) *
+                             sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+               FROM cand JOIN e cv ON cv.vec_id = cand.cid
+                         JOIN e qv ON qv.vec_id = cand.qid),
+    roll AS (SELECT qid, count(*) AS n, max(cosine) AS best
+             FROM scored GROUP BY qid)
+    SELECT b.vec_id,
+           coalesce(r.n, 0) AS n_corpus_candidates,
+           r.best AS nearest_corpus_cosine
+    FROM (SELECT vec_id FROM e WHERE vec_id >= (SELECT s FROM sp)) b
+    LEFT JOIN roll r ON r.qid = b.vec_id
+    """,
+)
+def ann_ingest_multiprobe_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest near-neighbor verdicts under Hamming-1 MULTI-PROBE (r9)
+    — the recall lever applied where the 100 TB story needs it most:
+    the daily-ingest screening path. Each batch vector's band rows
+    expand in-expression to their single-bit flips before the band
+    join (the join stays equi on (band_id, band_key) — no theta-join),
+    so a near-duplicate that lands one sign-bit away in every band
+    still gets screened; the md5-first budget applies per probed
+    bucket, bounding work at LSH_BANDS·(band_bits+1)·probe_cap exact
+    cosines per query at any corpus size. radius=0 (the streaming
+    entries' default) remains the historical behavior. Columns:
+    (vec_id, n_corpus_candidates, nearest_corpus_cosine). See
+    operators/similarity.py:ann_candidates_against_index(radius=…)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    batch = emb.filter(F.col("vec_id") >= s)
+    cands = similarity.ann_candidates_against_index(
+        spark,
+        path,
+        batch,
+        corpus_max_id=s - 1,
+        probe_cap=_PROBE_DEMO_CAP,
+        radius=1,
+    )
+    roll = cands.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_corpus_candidates"),
+        F.max("cosine").alias("nearest_corpus_cosine"),
+    )
+    return (
+        batch.select("vec_id")
+        .join(roll, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                "n_corpus_candidates"
+            ),
+            "nearest_corpus_cosine",
+        )
+    )
+
+
 # the two quantizer chains compose in one WITH: the IVF CTEs carry
 # an "iv" prefix (same training rows as ann_ivf_topk), the PQ CTEs
 # are ann_pq_topk's verbatim; the tail restricts the ADC scan to
