@@ -1821,6 +1821,31 @@ def test_ann_index_compact_restores_rebuild_order(spark, tmp_path):
     assert again == want
 
 
+def test_index_maintenance_policy_threshold_semantics(spark):
+    """The report→verb policy table (r9) must be internally consistent:
+    one row per tier, decision == the tier's verb exactly when its
+    metric exceeds its pinned threshold, 'none' otherwise — and the
+    LSH row's metric must equal the coverage report's own overall
+    spill fraction (the policy consumes the report's number, it does
+    not invent one)."""
+    from mapreduce_itwiki_spark.plans import llm_pipeline as LP
+    from mapreduce_itwiki_spark.plans.catalog import queries
+
+    rows = {r.index_tier: r for r in queries()["index_maintenance_policy"](
+        spark, SF_SMALL
+    ).collect()}
+    assert set(rows) == {"lsh", "ivf", "ivfpq"}
+    verbs = {"lsh": "retune_band_bits", "ivf": "retrain_ivf", "ivfpq": "retrain_pq"}
+    for tier, r in rows.items():
+        want = verbs[tier] if r.value > r.threshold else "none"
+        assert r.decision == want, (tier, r)
+    cov = similarity.band_coverage_report(
+        load_table(spark, SF_SMALL, "embeddings"), max_bucket=LP._OCC_CAP
+    ).collect()
+    spill = round(sum(x.spill_rows for x in cov) / sum(x.n_rows for x in cov), 6)
+    assert abs(rows["lsh"].value - spill) < 1e-9
+
+
 def test_multiprobe_topk_superset_and_recall(spark, tmp_path):
     """Multi-probe candidates are a strict superset of single-probe
     candidates (own bucket+shard ⊂ probe set by construction), so
