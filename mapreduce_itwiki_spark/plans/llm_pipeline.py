@@ -3266,6 +3266,7 @@ def ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: monitoring reports into maintenance decisions instead of prose
 _POLICY_SKEW_MAX = 2.0  #: IVF max cell skew before a retrain pays
 _POLICY_MSE_MAX = 0.05  #: corpus-mean PQ reconstruction error ceiling
+_POLICY_CAPPED_MAX = 0.5  #: ingest mean capped fraction before widening the probe
 
 
 @register(
@@ -3291,7 +3292,29 @@ _POLICY_MSE_MAX = 0.05  #: corpus-mean PQ reconstruction error ceiling
              FROM (SELECT vec_id, s, min(d) AS md FROM d2 GROUP BY 1, 2)
              GROUP BY vec_id),
     pqv AS (SELECT round(sum(qi) * 1.0 / (count(*) * 1000000.0), 6)
-                AS value FROM perr)
+                AS value FROM perr),
+    sp AS ({_VEC_SPLIT_SQL}),
+    icorp AS (SELECT vec_id, band_id, band_key,
+                     row_number() OVER (PARTITION BY band_id, band_key
+                       ORDER BY md5(CAST(band_id AS VARCHAR) || ':'
+                                    || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM bands WHERE vec_id < (SELECT s FROM sp)),
+    iqb AS (SELECT vec_id AS qid, band_id, band_key FROM bands
+            WHERE vec_id >= (SELECT s FROM sp)),
+    ipr AS (SELECT q.qid, c.vec_id, min(c.rn) AS best
+            FROM icorp c JOIN iqb q
+              ON c.band_id = q.band_id AND c.band_key = q.band_key
+            WHERE c.vec_id <> q.qid AND c.rn <= {similarity.MAX_BUCKET}
+            GROUP BY q.qid, c.vec_id),
+    iroll AS (SELECT qid,
+                     round(sum(CASE WHEN best > {_PROBE_DEMO_CAP}
+                                    THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                         AS cf
+              FROM ipr GROUP BY qid),
+    ingv AS (SELECT round(avg(coalesce(cf, 0.0)), 6) AS value
+             FROM (SELECT DISTINCT vec_id AS qid FROM e
+                   WHERE vec_id >= (SELECT s FROM sp)) b
+             LEFT JOIN iroll ON iroll.qid = b.qid)
     SELECT 'lsh' AS index_tier, 'spill_fraction' AS metric, value,
            CAST({similarity.OCCUPANCY_TARGET_SPILL} AS DOUBLE) AS threshold,
            CASE WHEN value > {similarity.OCCUPANCY_TARGET_SPILL}
@@ -3307,6 +3330,12 @@ _POLICY_MSE_MAX = 0.05  #: corpus-mean PQ reconstruction error ceiling
            CASE WHEN value > {_POLICY_MSE_MAX}
                 THEN 'retrain_pq' ELSE 'none' END
     FROM pqv
+    UNION ALL
+    SELECT 'lsh_ingest', 'mean_capped_fraction', value,
+           CAST({_POLICY_CAPPED_MAX} AS DOUBLE),
+           CASE WHEN value > {_POLICY_CAPPED_MAX}
+                THEN 'widen_probe' ELSE 'none' END
+    FROM ingv
     """,
 )
 def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,6 +3352,10 @@ def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     * IVFPQ: corpus-mean PQ reconstruction error
       (ivfpq_distortion_report's number, corpus-rolled) >
       {_POLICY_MSE_MAX} → ``retrain_pq`` (ivfpq_index_retrain).
+    * LSH ingest: batch-mean probe capped fraction
+      (probe_coverage_report's number) > {_POLICY_CAPPED_MAX} →
+      ``widen_probe`` (multi-probe radius or a bigger probe_cap — the
+      r9 recall-ladder dials).
 
     Metrics are computed in-DAG from the corpus with the same
     deterministic chains the persisted-index reports use (training is
@@ -3371,6 +3404,46 @@ def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         )
     )
+    from pyspark.sql import Window
+
+    s_split = _vec_split(spark, sf_dir)
+    wp = Window.partitionBy("band_id", "band_key").orderBy(
+        similarity.shard_rank_col(), F.col("vec_id")
+    )
+    icorp = (
+        similarity.banded_rows(emb.filter(F.col("vec_id") < s_split))
+        .select("vec_id", "band_id", "band_key")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= similarity.MAX_BUCKET)
+    )
+    iqb = similarity.banded_rows(
+        emb.filter(F.col("vec_id") >= s_split)
+    ).select(F.col("vec_id").alias("qid"), "band_id", "band_key")
+    ipr = (
+        icorp.join(F.broadcast(iqb), ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.min("rn").alias("best"))
+    )
+    iroll = ipr.groupBy("qid").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("best") > _PROBE_DEMO_CAP, 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cf")
+    )
+    ing = (
+        emb.filter(F.col("vec_id") >= s_split)
+        .select(F.col("vec_id").alias("qid"))
+        .join(iroll, "qid", "left")
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("cf"), F.lit(0.0))), 6).alias(
+                "value"
+            )
+        )
+    )
 
     def verdict(df: DataFrame, tier: str, metric: str, thr: float, verb: str):
         return df.select(
@@ -3394,6 +3467,15 @@ def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(verdict(ivf, "ivf", "max_skew", _POLICY_SKEW_MAX, "retrain_ivf"))
         .unionAll(
             verdict(pq, "ivfpq", "mean_sq_error", _POLICY_MSE_MAX, "retrain_pq")
+        )
+        .unionAll(
+            verdict(
+                ing,
+                "lsh_ingest",
+                "mean_capped_fraction",
+                _POLICY_CAPPED_MAX,
+                "widen_probe",
+            )
         )
     )
 

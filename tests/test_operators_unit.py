@@ -1834,8 +1834,13 @@ def test_index_maintenance_policy_threshold_semantics(spark):
     rows = {r.index_tier: r for r in queries()["index_maintenance_policy"](
         spark, SF_SMALL
     ).collect()}
-    assert set(rows) == {"lsh", "ivf", "ivfpq"}
-    verbs = {"lsh": "retune_band_bits", "ivf": "retrain_ivf", "ivfpq": "retrain_pq"}
+    assert set(rows) == {"lsh", "ivf", "ivfpq", "lsh_ingest"}
+    verbs = {
+        "lsh": "retune_band_bits",
+        "ivf": "retrain_ivf",
+        "ivfpq": "retrain_pq",
+        "lsh_ingest": "widen_probe",
+    }
     for tier, r in rows.items():
         want = verbs[tier] if r.value > r.threshold else "none"
         assert r.decision == want, (tier, r)
