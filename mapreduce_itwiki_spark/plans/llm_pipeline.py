@@ -1334,6 +1334,47 @@ def ann_index_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_multiprobe2_topk",
+    # the radius-2 widening: same Hamming predicate at <= 2 — double
+    # bit-flips reach C(w,2) more buckets per band, still one pruned
+    # IN-list on the Spark side
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    bands AS ({_VEC_BANDS_SQL}),
+    capped AS ({_VEC_CAPPED_SQL}),
+    qb AS (SELECT band_id, band_key, shard FROM capped WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id FROM capped c
+      JOIN qb ON c.band_id = qb.band_id
+             AND ((c.band_key = qb.band_key AND c.shard = qb.shard)
+               OR (c.shard = 0
+                   AND ({_hamming_sql('c.band_key', 'qb.band_key',
+                                      similarity.BAND_BITS)}) <= 2))
+      WHERE c.vec_id <> 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COSINE_SQL} AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_index_multiprobe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 multi-probe from the persisted index (r9) — the next
+    rung of the recall ladder TUNING.md names: own bucket+shard plus
+    shard 0 of every bucket within Hamming 2 (single AND double bit
+    flips — 1 + w + C(w,2) keys per band, still one literal pkey
+    IN-list ⇒ static partition pruning). Candidates are a strict
+    superset of radius 1, so recall is monotone in the radius — the
+    dial trades probed directories for recall with no rebuild. See
+    operators/similarity.py:ann_index_multiprobe_topk(radius=2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ann_index(spark, sf_dir, emb)
+    return similarity.ann_index_multiprobe_topk(
+        spark, path, emb, query_vec_id=0, k=10, radius=2
+    )
+
+
+@register(
     "ann_multiprobe_recall_at_k",
     # the recall half of the multi-probe decision: exact top-10 vs the
     # Hamming-1 candidate top-10 for the first 8 queries — the oracle
