@@ -464,6 +464,17 @@ def choose_band_bits_occupancy(
         emb, widths=widths, max_bucket=max_bucket, sample_mod=sample_mod
     ).collect()
     by_w = {int(r.band_bits): float(r.spill_fraction) for r in trail}
+    if not by_w:
+        # an empty corpus (or a sample_mod that filtered everything)
+        # yields an empty trail — there is nothing to measure, so fail
+        # loudly instead of a KeyError deep in the width loop (ADVICE
+        # r9; ivf_balance_report sets the same empty-input contract)
+        raise ValueError(
+            "choose_band_bits_occupancy: occupancy trail is empty — the"
+            " corpus has no rows (or sample_mod sampled none); build the"
+            f" index at an explicit band_bits (default {BAND_BITS})"
+            " instead of auto_occupancy"
+        )
     for w in sorted(widths):
         if by_w[w] <= target_spill:
             return w
@@ -700,15 +711,18 @@ def ann_candidates_against_index(
     query is ≤ LSH_BANDS·(1+band_bits·radius)·probe_cap exact cosines
     at any corpus size. radius=0 is the historical behavior and the
     streaming entries' default."""
+    if radius not in (0, 1):
+        # validate BEFORE any plan construction (ADVICE r9): a negative
+        # radius must be rejected, not silently treated as 0
+        raise ValueError(
+            "ann_candidates_against_index supports radius 0 or 1 — the"
+            f" in-expression expansion generates single-bit flips only"
+            f" (got {radius!r})"
+        )
     geo_bits, _geo_cap = index_geometry(spark, index_path)
     qb = banded_rows(new_emb, band_bits=geo_bits).select(
         F.col("vec_id").alias("qid"), "band_id", "band_key"
     )
-    if radius > 1:
-        raise ValueError(
-            "ann_candidates_against_index supports radius 0 or 1 — the"
-            " in-expression expansion generates single-bit flips only"
-        )
     if radius >= 1:
         def _flip(i):
             ch = F.substring(F.col("band_key"), i + 1, 1)
@@ -764,13 +778,44 @@ def ann_candidates_against_index(
     )
 
 
+MONITOR_ROW_BUDGET = 500_000  #: target worst-case uncapped-candidate rows
+#: per probe-coverage monitoring run — the dial that makes the sampled
+#: monitor's cost a CONSTANT instead of ∝ batch·occupancy (VERDICT r9
+#: #4: the static mod left the monitor the one superlinear scale row,
+#: 41.7→318 s at sf5z→sf20z).
+
+
+def auto_probe_sample_mod(
+    batch_n: int,
+    max_bucket: int = MAX_BUCKET,
+    budget_rows: int = MONITOR_ROW_BUDGET,
+) -> int:
+    """The query-sample mod that bounds a probe-coverage monitoring run
+    at ``budget_rows`` WORST-CASE uncapped candidate rows — the
+    ``auto_occupancy`` idiom applied to monitoring cost: one query's
+    uncapped shard-0 candidate set is ≤ LSH_BANDS·max_bucket rows by
+    construction (one bucket per band, ≤ max_bucket shard-0 rows each),
+    so sampling 1-in-mod queries with
+    mod = ⌈batch·LSH_BANDS·max_bucket / budget⌉ caps the run's total
+    candidate volume at ``budget_rows`` REGARDLESS of corpus size or
+    batch size — a hard geometric bound, not an estimate. Integer
+    arithmetic (ceil as (x+b−1)//b) so the oracle replays the exact
+    same mod; the error contract is the sampled report's: per-sampled-
+    query rows exact, batch-mean standard error ∝ √(mod/batch)."""
+    if batch_n <= 0:
+        return 1
+    worst = batch_n * LSH_BANDS * max_bucket
+    return max(1, (worst + budget_rows - 1) // budget_rows)
+
+
 def probe_coverage_report(
     spark,
     index_path: str,
     new_emb: DataFrame,
     probe_cap: int = PROBE_CAP,
     corpus_max_id: int | None = None,
-    query_sample_mod: int | None = None,
+    query_sample_mod: int | str | None = None,
+    monitor_row_budget: int = MONITOR_ROW_BUDGET,
 ) -> DataFrame:
     """Per-query budget-exclusion report for the one-sided index probe
     (VERDICT r7 #4 — the monitoring twin of band_coverage_report for
@@ -805,8 +850,21 @@ def probe_coverage_report(
     pays (uncapped shard-0 volume, ~max_bucket/probe_cap× the probe)
     scales by 1/mod; the md5 coin keeps the sampled report
     engine-replayable, so the sampled mode carries the same exact
-    oracle as the full one, filtered by the same coin."""
-    geo_bits, _geo_cap = index_geometry(spark, index_path)
+    oracle as the full one, filtered by the same coin.
+
+    ``query_sample_mod="auto"`` (r10, VERDICT r9 #4) CHOOSES the mod
+    from ``monitor_row_budget`` via :func:`auto_probe_sample_mod` —
+    one bounded count of the batch (cost ∝ batch, the pass the banding
+    pays anyway), then mod = ⌈batch·LSH_BANDS·geo_cap / budget⌉: the
+    monitor's worst-case candidate volume is the BUDGET at any scale,
+    killing the ∝ batch·occupancy growth that made the static-mod
+    monitor the one superlinear scale row at sf20z."""
+    geo_bits, geo_cap = index_geometry(spark, index_path)
+    if query_sample_mod == "auto":
+        batch_n = new_emb.count()
+        query_sample_mod = auto_probe_sample_mod(
+            batch_n, max_bucket=geo_cap, budget_rows=monitor_row_budget
+        )
     if query_sample_mod is not None and query_sample_mod > 1:
         new_emb = new_emb.filter(
             sample_coin(F.col("vec_id"), query_sample_mod)
@@ -1023,8 +1081,15 @@ def ann_index_multiprobe_batch_topk(
     per-qid association rides a broadcast (qid, pkey, shard) probe
     table: shard 0 of every probed bucket plus each query's own shard
     in its home buckets — per-query result-identical to the
-    single-query operator. Columns: (qid, vec_id, label, cosine),
-    per-qid top-k under (cosine desc, vec_id)."""
+    single-query operator for every qid that RESOLVES in ``emb``.
+    A qid in ``queries`` with no matching vec_id contributes no probe
+    rows and is absent from the output (the per-qid top-k has nothing
+    to rank) — the single-query operator returns an empty frame in the
+    same case, so "no rows for that qid" is the consistent contract;
+    callers that need absent queries surfaced left-join ``queries``
+    onto the result (ADVICE r9 documents the choice).
+    Columns: (qid, vec_id, label, cosine), per-qid top-k under
+    (cosine desc, vec_id)."""
     idx = spark.read.parquet(index_path)
     geo_bits, _geo_cap = index_geometry(spark, index_path)
     q_ids = queries.select("qid")
@@ -1403,6 +1468,190 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+IVF_NLIST_GRID = (4, 8, 16)  #: candidate cell counts the IVF occupancy plan
+#: measures — the IVF twin of OCCUPANCY_GRID (VERDICT r9 #5: the LSH tier
+#: sizes geometry from MEASURED occupancy; nlist was still the uniform
+#: corpus-count formula with the balance report only observing after the
+#: fact). Small grid: training cost is one sample pass for the WHOLE grid.
+
+
+def ivf_centroid_grid(
+    emb: DataFrame,
+    nlists: tuple[int, ...] = IVF_NLIST_GRID,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
+) -> DataFrame:
+    """(nlist, cid, cv): quantizer training for EVERY candidate nlist in
+    ONE sample pass — per-width rows EXACTLY equal to
+    ``ivf_centroids(emb, w, sample_mod)`` (unit-pinned), the IVF twin of
+    the LSH widest-prefix trick (:func:`occupancy_spill_trail`).
+
+    Why one pass works: the deterministic seeds NEST — width w's seeds
+    (the w smallest sampled vec_ids; ``vec_id < w`` in full mode) are a
+    prefix of width max(grid)'s, so each training row's distances to
+    ALL max(grid) seeds are computed once, and width w's Lloyd
+    assignment is the argmin over the first w of them (an in-expression
+    HOF filter + explode, no extra scan). The update is the same
+    per-position rounded average, grouped by (nlist, cid) — shuffle
+    carries Σ_w w·dim cells per partition regardless of corpus size."""
+    base = emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
+    top = max(nlists)
+    if sample_mod is not None:
+        base = base.filter(sample_coin(F.col("vec_id"), sample_mod))
+        sel_w = Window.partitionBy(F.lit(1)).orderBy("vec_id")
+        seeds = (
+            base.orderBy("vec_id")
+            .limit(top)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.row_number().over(sel_w).alias("sel"),
+            )
+        )
+    else:
+        seeds = base.filter(F.col("vec_id") < top).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            (F.col("vec_id") + 1).alias("sel"),
+        )
+    grid = F.array(*[F.lit(int(w)) for w in sorted(set(int(n) for n in nlists))])
+    d0 = base.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        "cid",
+        "sel",
+        sq_dist(F.col("v"), F.col("cv")).alias("d"),
+    )
+    d0e = d0.select(
+        "vec_id",
+        "v",
+        "cid",
+        "d",
+        F.explode(F.filter(grid, lambda w: w >= F.col("sel"))).alias("nlist"),
+    )
+    a1 = (
+        d0e.groupBy("nlist", "vec_id")
+        .agg(F.min(F.struct("d", "cid", "v")).alias("m"))
+        .select("nlist", F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
+    )
+    return (
+        a1.select("nlist", "cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("nlist", "cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("val"))
+        .groupBy("nlist", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st.getField("val"),
+            ).alias("cv")
+        )
+    )
+
+
+def ivf_occupancy_trail(
+    emb: DataFrame,
+    nlists: tuple[int, ...] = IVF_NLIST_GRID,
+    max_bucket: int = MAX_BUCKET,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
+    measure_mod: int | None = None,
+) -> DataFrame:
+    """MEASURED cell balance per candidate nlist — the evidence
+    :func:`choose_nlist_occupancy` sizes from (VERDICT r9 #5), one row
+    per grid value: assign the corpus against EVERY width's trained
+    centroids in one broadcast pass (Σ_w w centroid rows ride one
+    broadcast; the per-(nlist, vec_id) argmin is a partial+final
+    min-struct agg) and roll per-cell counts into the same
+    spill/skew metrics the LSH trail reports. ``measure_mod`` makes the
+    measuring pass sublinear (deterministic 1-in-mod md5 row sample,
+    counts scaled by mod — the 100 TB path; unbiased for the hot cells
+    that drive spill). Columns: (nlist, n_rows, n_cells_used,
+    n_dead_cells, max_cell, skew, n_hot_cells, spill_rows,
+    spill_fraction)."""
+    cents = ivf_centroid_grid(emb, nlists=nlists, sample_mod=sample_mod)
+    mbase = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    scale = 1
+    if measure_mod is not None and measure_mod > 1:
+        mbase = mbase.filter(sample_coin(F.col("vec_id"), measure_mod))
+        scale = measure_mod
+    counts = (
+        mbase.crossJoin(F.broadcast(cents))
+        .select(
+            "nlist",
+            "vec_id",
+            "cid",
+            sq_dist(F.col("v"), F.col("cv")).alias("d"),
+        )
+        .groupBy("nlist", "vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .groupBy("nlist", F.col("m.cid").alias("cid"))
+        .agg((F.count(F.lit(1)) * scale).alias("cnt"))
+    )
+    m = F.lit(max_bucket)
+    return (
+        counts.groupBy("nlist")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.max("cnt").alias("max_cell"),
+            F.sum(F.when(F.col("cnt") > m, 1).otherwise(0)).alias(
+                "n_hot_cells"
+            ),
+            F.sum(F.greatest(F.col("cnt") - m, F.lit(0))).alias("spill_rows"),
+        )
+        .select(
+            "nlist",
+            "n_rows",
+            "n_cells_used",
+            (F.col("nlist") - F.col("n_cells_used")).alias("n_dead_cells"),
+            "max_cell",
+            F.round(
+                F.col("max_cell") * F.col("nlist") / F.col("n_rows"), 6
+            ).alias("skew"),
+            "n_hot_cells",
+            "spill_rows",
+            F.round(F.col("spill_rows") / F.col("n_rows"), 6).alias(
+                "spill_fraction"
+            ),
+        )
+    )
+
+
+def choose_nlist_occupancy(
+    emb: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    target_spill: float = OCCUPANCY_TARGET_SPILL,
+    nlists: tuple[int, ...] = IVF_NLIST_GRID,
+    sample_mod: int | None = TRAIN_SAMPLE_MOD,
+    measure_mod: int | None = None,
+) -> int:
+    """The smallest candidate nlist whose MEASURED spill meets the
+    target — grid max if none does; the IVF twin of
+    :func:`choose_band_bits_occupancy` (the formula
+    :func:`auto_nlist` assumes a uniform corpus; this measures the one
+    it has). Driver-side work is one collect of len(nlists) aggregate
+    rows — bounded by the grid, never the corpus."""
+    trail = ivf_occupancy_trail(
+        emb,
+        nlists=nlists,
+        max_bucket=max_bucket,
+        sample_mod=sample_mod,
+        measure_mod=measure_mod,
+    ).collect()
+    by_w = {int(r.nlist): float(r.spill_fraction) for r in trail}
+    if not by_w:
+        raise ValueError(
+            "choose_nlist_occupancy: occupancy trail is empty — the corpus"
+            " has no rows (or the sample coins selected none); build the"
+            f" index at an explicit nlist (default {IVF_NLIST}) instead of"
+            " auto_occupancy"
+        )
+    for w in sorted(nlists):
+        if by_w[w] <= target_spill:
+            return w
+    return max(nlists)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -1496,9 +1745,11 @@ def _pq_meta_geometry(meta) -> tuple[int, int]:
     return int(d.get("pq_m") or PQ_M), int(d.get("pq_sub") or PQ_SUB)
 
 
-def pq_codebooks(sub: DataFrame, sample_mod: int | None = None) -> DataFrame:
+def pq_codebooks(
+    sub: DataFrame, sample_mod: int | None = None, pq_codes: int = PQ_CODES
+) -> DataFrame:
     """(s, cid, cv): per-subspace PQ codebooks — seeds are the
-    subvectors of the PQ_CODES smallest vec_ids, refined by ONE Lloyd
+    subvectors of the ``pq_codes`` smallest vec_ids, refined by ONE Lloyd
     round with per-position means rounded to 6 decimals (the same
     deterministic-training contract as ivf_centroids, so the DuckDB
     oracle replays the identical codebooks).
@@ -1516,13 +1767,13 @@ def pq_codebooks(sub: DataFrame, sample_mod: int | None = None) -> DataFrame:
         # seed ids: the PQ_CODES smallest sampled ids (one tiny global
         # TakeOrdered over the distinct ids, shared by every subspace)
         seed_ids = (
-            sub.select("vec_id").distinct().orderBy("vec_id").limit(PQ_CODES)
+            sub.select("vec_id").distinct().orderBy("vec_id").limit(pq_codes)
         )
         seeds = sub.join(F.broadcast(seed_ids), "vec_id").select(
             "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
         )
     else:
-        seeds = sub.filter(F.col("vec_id") < PQ_CODES).select(
+        seeds = sub.filter(F.col("vec_id") < pq_codes).select(
             "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
         )
     d1 = sub.join(F.broadcast(seeds), "s").select(
@@ -1931,8 +2182,10 @@ def pq_batch_topk(
 def ivf_index_write(
     emb: DataFrame,
     path: str,
-    nlist: int = IVF_NLIST,
+    nlist: int | str = IVF_NLIST,
     sample_mod: int | None = TRAIN_SAMPLE_MOD,
+    occupancy_max_bucket: int = MAX_BUCKET,
+    nlist_grid: tuple[int, ...] = IVF_NLIST_GRID,
 ) -> None:
     """Persist the IVF index: inverted lists as (vec_id, label,
     embedding) rows PARTITIONED BY cid — the exact shape
@@ -1946,7 +2199,24 @@ def ivf_index_write(
     ``sample_mod`` follows the module-wide convention (ADVICE r6):
     ``None`` means full-corpus quantizer training; the DEFAULT is the
     sampled 1-in-``TRAIN_SAMPLE_MOD`` md5 coin — the scale-safe choice,
-    matching ``ivf_topk``'s defaults since the r5 #8 flip."""
+    matching ``ivf_topk``'s defaults since the r5 #8 flip.
+
+    ``nlist="auto_occupancy"`` (r10) sizes the cell count from MEASURED
+    balance instead of a constant or the uniform-corpus formula: the
+    grid trail (:func:`ivf_occupancy_trail`) is evaluated in one sample
+    pass and the smallest nlist whose spill over ``occupancy_max_bucket``
+    meets the target wins — the IVF twin of
+    ``ann_index_write(band_bits="auto_occupancy")``. The CHOSEN integer
+    is what lands in ``_meta``, so every later retrain/query replays
+    the measured geometry."""
+    if nlist == "auto_occupancy":
+        nlist = choose_nlist_occupancy(
+            emb,
+            max_bucket=occupancy_max_bucket,
+            nlists=nlist_grid,
+            sample_mod=sample_mod,
+        )
+    nlist = int(nlist)
     cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
         eager=False
     )
@@ -2014,7 +2284,13 @@ def ivf_balance_report(spark, index_path: str) -> DataFrame:
     )
 
 
-def ivf_index_retrain(spark, index_path: str) -> None:
+def ivf_index_retrain(
+    spark,
+    index_path: str,
+    remeasure_nlist: bool = False,
+    occupancy_max_bucket: int = MAX_BUCKET,
+    nlist_grid: tuple[int, ...] = IVF_NLIST_GRID,
+) -> None:
     """RETRAIN a persisted IVF index on its CURRENT contents — the
     lifecycle verb the balance report triggers (VERDICT r7 #3, the IVF
     twin of :func:`ann_index_compact`'s drift-repair role): re-run
@@ -2031,7 +2307,15 @@ def ivf_index_retrain(spark, index_path: str) -> None:
     cut lineage (Spark refuses to overwrite a path its own plan still
     reads); a cluster deployment stages to a temp prefix and swaps —
     the one full-corpus pass is the honest cost, amortized by how
-    rarely balance drift demands it."""
+    rarely balance drift demands it.
+
+    ``remeasure_nlist=True`` (r10, VERDICT r9 #5): instead of replaying
+    the stored nlist, RE-MEASURE it over the index's CURRENT membership
+    (``ivf_index_write(nlist="auto_occupancy")``) — the
+    ``retrain_ivf`` policy verb's full form: the drift that triggered
+    the retrain (skewed/hot cells) is exactly what a frozen nlist can't
+    fix, so the rebuild sizes its geometry from the rows it has now;
+    ``_meta`` records the measured value for the next cycle."""
     import os
 
     meta_path = os.path.join(index_path, "_meta", "_SUCCESS")
@@ -2043,7 +2327,14 @@ def ivf_index_retrain(spark, index_path: str) -> None:
     rows = (
         spark.read.parquet(f"{index_path}/lists").drop("cid").localCheckpoint()
     )
-    ivf_index_write(rows, index_path, nlist=nlist, sample_mod=sample_mod)
+    ivf_index_write(
+        rows,
+        index_path,
+        nlist="auto_occupancy" if remeasure_nlist else nlist,
+        sample_mod=sample_mod,
+        occupancy_max_bucket=occupancy_max_bucket,
+        nlist_grid=nlist_grid,
+    )
 
 
 def ivf_index_topk(
@@ -2491,6 +2782,9 @@ def ivfpq_index_write(
     nlist: int = IVF_NLIST,
     sample_mod: int | None = TRAIN_SAMPLE_MOD,
     by_residual: bool = False,
+    pq_m: int = PQ_M,
+    pq_sub: int = PQ_SUB,
+    pq_codes: int = PQ_CODES,
 ) -> None:
     """Persist the IVF-PQ composite index — the half of the 100 TB
     story :func:`ivfpq_topk`'s docstring promises ("at scale the codes
@@ -2541,8 +2835,10 @@ def ivfpq_index_write(
         )
     else:
         base = emb.select("vec_id", "embedding")
-    sub = _pq_sub_rows(base)
-    books = pq_codebooks(sub, sample_mod=sample_mod).localCheckpoint(eager=False)
+    sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
+    books = pq_codebooks(
+        sub, sample_mod=sample_mod, pq_codes=pq_codes
+    ).localCheckpoint(eager=False)
     # dense per-subspace code ids: the oracle-visible codebook keys stay
     # the raw seed cids; the STORED code is their per-s rank, a
     # bijection — what makes the byte-width claim true without leaking
@@ -2575,7 +2871,7 @@ def ivfpq_index_write(
         f"{path}/codes"
     )
     meta = spark.createDataFrame(
-        [(nlist, sample_mod, by_residual, PQ_M, PQ_SUB, PQ_CODES)],
+        [(nlist, sample_mod, by_residual, pq_m, pq_sub, pq_codes)],
         "nlist int, sample_mod int, by_residual boolean, pq_m int,"
         " pq_sub int, pq_codes int",
     )
@@ -2679,12 +2975,19 @@ def ivfpq_index_retrain(spark, index_path: str, emb: DataFrame) -> None:
         .localCheckpoint()
     )
     rows = emb.join(ids, "vec_id", "left_semi")
+    # PQ geometry replays from the sidecar too (ADVICE r9): an index
+    # built under different module constants retrains at ITS stored
+    # pq_m/pq_sub/pq_codes, so "rebuild-equal to the original build"
+    # holds across constant changes, not just for same-era indexes
     ivfpq_index_write(
         rows,
         index_path,
         nlist=int(md["nlist"]),
         sample_mod=md.get("sample_mod"),
         by_residual=bool(md["by_residual"]),
+        pq_m=int(md.get("pq_m") or PQ_M),
+        pq_sub=int(md.get("pq_sub") or PQ_SUB),
+        pq_codes=int(md.get("pq_codes") or PQ_CODES),
     )
 
 

@@ -3521,6 +3521,443 @@ def index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_OCC_CAP = 64  #: demo per-cell cap for the IVF occupancy plan —
+#: small enough that every driver scale exercises a genuine decision
+#: (sf0.01 measures 0.488/0.084/0.012 over the (4, 8, 16) grid and
+#: chooses 8; sf0.1 exceeds the target everywhere and takes the
+#: grid-max floor honestly); a production deployment uses MAX_BUCKET
+
+
+def _ivf_occ_trail_sql() -> str:
+    """DuckDB twin of similarity.ivf_occupancy_trail (full-corpus
+    measurement): one ``_ivf_train_ctes`` chain per candidate nlist —
+    training sampled by the same md5 coin, assignment exact — rolled
+    into the per-width balance metrics. The grid and the cap come from
+    the same constants as the Spark side, so the two can never disagree
+    on the decision inputs."""
+    chains = ",\n    ".join(
+        _ivf_train_ctes(sampled=True, prefix=f"g{w}", nlist=w)
+        for w in similarity.IVF_NLIST_GRID
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {w} AS nlist, cid, count(*) AS cnt"
+        f" FROM g{w}lists GROUP BY cid"
+        for w in similarity.IVF_NLIST_GRID
+    )
+    return f"""
+    {chains},
+    gcnt AS ({arms}),
+    trail AS (
+      SELECT nlist,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_cells_used,
+             nlist - count(*) AS n_dead_cells,
+             CAST(max(cnt) AS BIGINT) AS max_cell,
+             round(max(cnt) * nlist * 1.0 / sum(cnt), 6) AS skew,
+             CAST(sum(CASE WHEN cnt > {_IVF_OCC_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hot_cells,
+             CAST(sum(greatest(cnt - {_IVF_OCC_CAP}, 0)) AS BIGINT)
+                 AS spill_rows,
+             round(sum(greatest(cnt - {_IVF_OCC_CAP}, 0)) * 1.0 / sum(cnt), 6)
+                 AS spill_fraction
+      FROM gcnt GROUP BY nlist),
+    ivch AS (SELECT coalesce(
+                 min(CASE WHEN spill_fraction <= {similarity.OCCUPANCY_TARGET_SPILL}
+                          THEN nlist END),
+                 {max(similarity.IVF_NLIST_GRID)}) AS w FROM trail)
+    """
+
+
+@register(
+    "ann_ivf_occupancy_plan",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_occ_trail_sql()}
+    SELECT nlist, n_rows, n_cells_used, n_dead_cells, max_cell, skew,
+           n_hot_cells, spill_rows, spill_fraction,
+           nlist = (SELECT w FROM ivch) AS chosen
+    FROM trail
+    """,
+)
+def ann_ivf_occupancy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCCUPANCY-MEASURED nlist (VERDICT r9 #5 — the IVF twin of
+    ann_geometry_occupancy_plan): quantizers for EVERY candidate nlist
+    train in ONE sample pass (the deterministic seeds nest, so each
+    training row's distances to the widest grid's seeds are computed
+    once and width w's assignment is the argmin over the first w — the
+    widest-prefix idiom applied to k-means), the full corpus is
+    assigned against all widths in one broadcast pass, and the smallest
+    nlist whose MEASURED spill over the demo cap meets the target is
+    marked chosen — grid max if none does (the honest floor; the
+    uniform-corpus formula auto_nlist never checks). The per-width
+    trained centroids are EXACTLY ivf_centroids at that width
+    (unit-pinned), so the oracle replays each width with the proven
+    training chain. Columns: (nlist, n_rows, n_cells_used,
+    n_dead_cells, max_cell, skew, n_hot_cells, spill_rows,
+    spill_fraction, chosen). See
+    operators/similarity.py:ivf_centroid_grid / ivf_occupancy_trail /
+    choose_nlist_occupancy."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trail = similarity.ivf_occupancy_trail(emb, max_bucket=_IVF_OCC_CAP)
+    chosen_w = F.min(
+        F.when(
+            F.col("spill_fraction") <= similarity.OCCUPANCY_TARGET_SPILL,
+            F.col("nlist"),
+        )
+    ).over(Window.partitionBy(F.lit(1)))
+    return trail.withColumn(
+        "chosen",
+        F.col("nlist")
+        == F.coalesce(chosen_w, F.lit(max(similarity.IVF_NLIST_GRID))),
+    )
+
+
+def _ivf_retrain_phase_sql(phase: str, nlist_sql: str, prefix: str) -> str:
+    """One balance-summary arm of the retrain-measured oracle: cell
+    counts at ``nlist_sql`` (a literal or the ivch scalar subquery),
+    selected from the per-width count CTEs by the same decision value."""
+    arms = " UNION ALL ".join(
+        f"SELECT cid, cnt FROM gcnt WHERE nlist = {w} AND ({nlist_sql}) = {w}"
+        for w in similarity.IVF_NLIST_GRID
+    )
+    return f"""
+    {prefix}c AS ({arms}),
+    {prefix}r AS (SELECT '{phase}' AS phase,
+             CAST(({nlist_sql}) AS INTEGER) AS nlist,
+             CAST(max(cnt) AS BIGINT) AS max_cell,
+             round(max(cnt) * ({nlist_sql}) * 1.0 / sum(cnt), 6) AS max_skew,
+             CAST(sum(greatest(cnt - {_IVF_OCC_CAP}, 0)) AS BIGINT)
+                 AS spill_rows,
+             round(sum(greatest(cnt - {_IVF_OCC_CAP}, 0)) * 1.0 / sum(cnt), 6)
+                 AS spill_fraction
+      FROM {prefix}c)
+    """
+
+
+@register(
+    "ann_ivf_index_retrain_measured",
+    # before = balance at the deliberately-undersized build nlist
+    # (grid min); after = balance at the nlist the occupancy trail
+    # chooses — the oracle derives the choice itself, so a drifting
+    # grid/cap/threshold breaks parity loudly
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_ivf_occ_trail_sql()},
+    {_ivf_retrain_phase_sql("before", str(min(similarity.IVF_NLIST_GRID)), "bf")},
+    {_ivf_retrain_phase_sql("after", "(SELECT w FROM ivch)", "af")}
+    SELECT * FROM bfr UNION ALL SELECT * FROM afr
+    """,
+)
+def ann_ivf_index_retrain_measured(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRAIN AT THE MEASURED NLIST — the lifecycle demo VERDICT r9 #5
+    asked for: BUILD the persisted IVF index at a deliberately
+    undersized nlist (grid min — the 'geometry the corpus outgrew'
+    state), read its balance, then execute
+    ``ivf_index_retrain(remeasure_nlist=True)`` — the ``retrain_ivf``
+    policy verb's full form, which re-measures nlist over the index's
+    CURRENT membership via the occupancy trail and rebuilds at the
+    chosen value — and read the balance again. Always-rebuild
+    lifecycle entry (the documented cost class of the retrain family).
+    Columns: (phase, nlist, max_cell, max_skew, spill_rows,
+    spill_fraction) — before at grid-min, after at the measured
+    choice, both replayed exactly by the oracle. See
+    operators/similarity.py:ivf_index_retrain(remeasure_nlist=True)."""
+    import hashlib
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{similarity.IVF_NLIST_GRID}"
+        f":{_IVF_OCC_CAP}:retrain_meas".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(
+        repo_root, "spark-warehouse", f"ivf_retrain_meas_{tag}_{key}"
+    )
+    similarity.ivf_index_write(
+        emb, path, nlist=min(similarity.IVF_NLIST_GRID)
+    )
+
+    def summarize(phase: str) -> DataFrame:
+        meta = spark.read.parquet(f"{path}/_meta").take(1)[0]
+        counts = (
+            spark.read.parquet(f"{path}/lists")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cap = F.lit(_IVF_OCC_CAP)
+        return counts.agg(
+            F.max("cnt").alias("max_cell"),
+            F.round(
+                F.max("cnt") * F.lit(int(meta.nlist)) / F.sum("cnt"), 6
+            ).alias("max_skew"),
+            F.sum(F.greatest(F.col("cnt") - cap, F.lit(0))).alias(
+                "spill_rows"
+            ),
+            F.round(
+                F.sum(F.greatest(F.col("cnt") - cap, F.lit(0)))
+                / F.sum("cnt"),
+                6,
+            ).alias("spill_fraction"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(int(meta.nlist)).alias("nlist"),
+            "max_cell",
+            "max_skew",
+            "spill_rows",
+            "spill_fraction",
+        )
+
+    before = summarize("before")
+    before = before.localCheckpoint()  # materialize BEFORE the rewrite
+    similarity.ivf_index_retrain(
+        spark, path, remeasure_nlist=True, occupancy_max_bucket=_IVF_OCC_CAP
+    )
+    return before.unionAll(summarize("after"))
+
+
+@register(
+    "ann_policy_retune_loop",
+    # both phases' spill come from the SAME occupancy trail the chooser
+    # reads: before = the module-default width's row, after = the
+    # chosen width's row; the decision re-applies the policy threshold
+    oracle=f"""
+    WITH {_occ_trail_sql()},
+    ch AS (SELECT coalesce(
+               min(CASE WHEN spill_fraction <= {similarity.OCCUPANCY_TARGET_SPILL}
+                        THEN band_bits END),
+               {max(similarity.OCCUPANCY_GRID)}) AS w FROM trail)
+    SELECT 'before' AS phase, band_bits, spill_fraction,
+           CASE WHEN spill_fraction > {similarity.OCCUPANCY_TARGET_SPILL}
+                THEN 'retune_band_bits' ELSE 'none' END AS decision
+    FROM trail WHERE band_bits = {similarity.BAND_BITS}
+    UNION ALL
+    SELECT 'after', band_bits, spill_fraction,
+           CASE WHEN spill_fraction > {similarity.OCCUPANCY_TARGET_SPILL}
+                THEN 'retune_band_bits' ELSE 'none' END
+    FROM trail WHERE band_bits = (SELECT w FROM ch)
+    """,
+)
+def ann_policy_retune_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLICY LOOP CLOSED END TO END (VERDICT r9 #6): report → verb
+    → re-measured report. Phase 'before' measures the LSH spill at the
+    module-default geometry and applies the policy threshold (the
+    index_maintenance_policy 'lsh' row's decision); the entry then
+    EXECUTES the ``retune_band_bits`` verb — rebuild the persisted
+    index at ``band_bits="auto_occupancy"`` under the demo cap
+    (skipped when the on-disk geometry already matches, the
+    retune-on-drift semantics) — and phase 'after' re-measures the
+    spill at the geometry read back from the ``_geometry`` sidecar of
+    the index the verb wrote. At every driver scale the before row
+    decides 'retune_band_bits' and the after row crosses back under
+    the threshold (or lands on the grid-max floor honestly — the
+    decision column says which). Columns: (phase, band_bits,
+    spill_fraction, decision)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def spill_row(phase: str, bits: int) -> DataFrame:
+        cov = similarity.band_coverage_report(
+            emb, max_bucket=_OCC_CAP, band_bits=bits
+        )
+        return cov.agg(
+            F.round(F.sum("spill_rows") / F.sum("n_rows"), 6).alias(
+                "spill_fraction"
+            ),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(bits).alias("band_bits"),
+            "spill_fraction",
+            F.when(
+                F.col("spill_fraction") > similarity.OCCUPANCY_TARGET_SPILL,
+                F.lit("retune_band_bits"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("decision"),
+        )
+
+    before = spill_row("before", similarity.BAND_BITS)
+    # execute the verb: the same persisted occupancy index the
+    # ann_index_occupancy_topk entry queries (shared artifact, shared
+    # rebuild-on-drift rule)
+    w = similarity.choose_band_bits_occupancy(emb, max_bucket=_OCC_CAP)
+    path = _ann_index_path(sf_dir) + f"_occ{_OCC_CAP}"
+    if (
+        not os.path.exists(os.path.join(path, "_geometry", "_SUCCESS"))
+        or similarity.index_geometry(spark, path) != (w, _OCC_CAP)
+    ):
+        similarity.ann_index_write(emb, path, max_bucket=_OCC_CAP, band_bits=w)
+    wb, _cap = similarity.index_geometry(spark, path)
+    return before.unionAll(spill_row("after", wb))
+
+
+_PROBE_WIDE_CAP = 4 * _PROBE_DEMO_CAP  #: the cap-widening rung of the
+#: recall ladder exercised in-catalog (VERDICT r9 #3): 4× the demo
+#: budget, the same 512 → 2048 ratio TUNING.md measured at sf20z
+#: (ingest nearest-found 0.464 → 0.844 at occupancy bits × radius 1)
+
+
+@register(
+    "ann_ingest_capped_verdicts",
+    # the multiprobe ingest-verdict oracle at the WIDE cap — rn bound
+    # is the only difference, so a drifting cap constant breaks parity
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    qb AS (SELECT vec_id, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)),
+    cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+             FROM corp c JOIN qb q
+               ON c.band_id = q.band_id
+              AND ({_hamming_sql('c.band_key', 'q.band_key',
+                                 similarity.BAND_BITS)}) <= 1
+             WHERE c.rn <= {_PROBE_WIDE_CAP} AND c.vec_id <> q.vec_id),
+    scored AS (SELECT cand.qid,
+                      round(list_dot_product(cv.v, qv.v) /
+                            (sqrt(list_dot_product(cv.v, cv.v)) *
+                             sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+               FROM cand JOIN e cv ON cv.vec_id = cand.cid
+                         JOIN e qv ON qv.vec_id = cand.qid),
+    roll AS (SELECT qid, count(*) AS n, max(cosine) AS best
+             FROM scored GROUP BY qid)
+    SELECT b.vec_id,
+           coalesce(r.n, 0) AS n_corpus_candidates,
+           r.best AS nearest_corpus_cosine
+    FROM (SELECT vec_id FROM e WHERE vec_id >= (SELECT s FROM sp)) b
+    LEFT JOIN roll r ON r.qid = b.vec_id
+    """,
+)
+def ann_ingest_capped_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest verdicts at a NON-DEFAULT probe cap — the THIRD dial of
+    the recall ladder exercised in-catalog (VERDICT r9 #3: bits and
+    radius had oracle-checked entries; the cap rung lived only in
+    TUNING.md): same Hamming-1 multi-probe screening as
+    ann_ingest_multiprobe_verdicts but with each probed bucket's
+    md5-first budget widened 4× ({_PROBE_WIDE_CAP} vs the demo
+    {_PROBE_DEMO_CAP}; 2048 vs 512 at the production constants, the
+    rung TUNING.md measured at 0.844 ingest nearest-found at sf20z).
+    Work bound: ≤ LSH_BANDS·(band_bits+1)·{_PROBE_WIDE_CAP} exact
+    cosines per query at any corpus size — budget-bounded and
+    corpus-size-independent like every rung of the ladder. Columns:
+    (vec_id, n_corpus_candidates, nearest_corpus_cosine). See
+    operators/similarity.py:ann_candidates_against_index(probe_cap=…)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    batch = emb.filter(F.col("vec_id") >= s)
+    cands = similarity.ann_candidates_against_index(
+        spark,
+        path,
+        batch,
+        corpus_max_id=s - 1,
+        probe_cap=_PROBE_WIDE_CAP,
+        radius=1,
+    )
+    roll = cands.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_corpus_candidates"),
+        F.max("cosine").alias("nearest_corpus_cosine"),
+    )
+    return (
+        batch.select("vec_id")
+        .join(roll, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                "n_corpus_candidates"
+            ),
+            "nearest_corpus_cosine",
+        )
+    )
+
+
+_PROBE_MONITOR_BUDGET = similarity.MONITOR_ROW_BUDGET  #: worst-case
+#: uncapped-candidate row budget for the auto-mod monitoring entry —
+#: the module default; at sf0.01 (125-query batch, cap 4096) it
+#: derives mod = 5, so the auto path is genuinely exercised
+
+
+@register(
+    "ann_probe_coverage_budget",
+    # the sampled-coverage oracle with the MOD ITSELF derived in SQL
+    # from the same integer formula (ceil as (x+b-1)//b) — the error
+    # contract in SQL: the coin mod is the worst-case-volume budget
+    # bound, and sampled rows are EXACTLY the full report's rows for
+    # the coin-selected qids
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    bm AS (SELECT greatest(1,
+               (count(*) * {similarity.LSH_BANDS * similarity.MAX_BUCKET}
+                + {_PROBE_MONITOR_BUDGET} - 1) // {_PROBE_MONITOR_BUDGET})
+               AS md
+           FROM e WHERE vec_id >= (SELECT s FROM sp)),
+    qb AS (SELECT vec_id AS qid, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)
+             AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 % (SELECT md FROM bm) = 0),
+    pr AS (SELECT q.qid, c.vec_id, min(c.rn) AS best
+           FROM corp c JOIN qb q
+             ON c.band_id = q.band_id AND c.band_key = q.band_key
+           WHERE c.vec_id <> q.qid AND c.rn <= {similarity.MAX_BUCKET}
+           GROUP BY q.qid, c.vec_id),
+    roll AS (SELECT qid, count(*) AS nu,
+                    CAST(sum(CASE WHEN best <= {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                    CAST(sum(CASE WHEN best > {_PROBE_DEMO_CAP}
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nx
+             FROM pr GROUP BY qid)
+    SELECT b.qid,
+           coalesce(r.nu, 0) AS n_candidates_uncapped,
+           coalesce(r.nc, 0) AS n_candidates,
+           coalesce(r.nx, 0) AS n_capped_out,
+           CASE WHEN coalesce(r.nu, 0) = 0 THEN 0.0
+                ELSE round(r.nx * 1.0 / r.nu, 6) END AS capped_fraction
+    FROM (SELECT DISTINCT qid FROM qb) b
+    LEFT JOIN roll r ON r.qid = b.qid
+    """,
+)
+def ann_probe_coverage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-TARGETED probe-coverage monitoring (VERDICT r9 #4 — the
+    auto_occupancy idiom applied to monitoring cost, killing the one
+    superlinear scale row): instead of a static query-sample mod, the
+    mod is CHOSEN from a worst-case row budget —
+    mod = ⌈batch·LSH_BANDS·max_bucket / {_PROBE_MONITOR_BUDGET}⌉ —
+    so the monitor's uncapped candidate volume is bounded by the
+    budget at ANY batch size and ANY corpus occupancy (one query's
+    uncapped set is ≤ LSH_BANDS·max_bucket rows by construction; the
+    bound is geometric, not estimated). Per-sampled-query rows stay
+    EXACT; the batch-mean capped fraction is a simple-random-sample
+    estimate with standard error ∝ √(mod/batch) — the error contract
+    the oracle states by replaying the same integer mod formula and
+    the same md5 coin. See
+    operators/similarity.py:auto_probe_sample_mod /
+    probe_coverage_report(query_sample_mod="auto")."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    return similarity.probe_coverage_report(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") >= s),
+        probe_cap=_PROBE_DEMO_CAP,
+        corpus_max_id=s - 1,
+        query_sample_mod="auto",
+        monitor_row_budget=_PROBE_MONITOR_BUDGET,
+    )
+
+
 @register(
     "embedding_int8_quantize",
     # quantized code = floor(x/scale + 0.5): explicit half-up instead

@@ -1451,17 +1451,21 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set_agg",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-building aggregate; sort_array makes the set deterministic
-    for hashing (collect_set order is otherwise partition-dependent)."""
+    """Array-building aggregate; sort_array makes the set deterministic and
+    array_join serializes it to a scalar string — every registered query's
+    output columns must be scalar (the driver harness canonicalizes results
+    through a pandas lexsort that cannot hash list/dict cells)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 

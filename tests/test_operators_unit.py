@@ -1881,9 +1881,24 @@ def test_multiprobe_topk_superset_and_recall(spark, tmp_path):
         ).collect()
     }
     assert len(multi & want) >= len(single & want)
-    # the key property: every single-probe RESULT the exact set liked
-    # stays reachable (candidates only widen, ranking is exact cosine)
-    assert single & want <= multi | single  # sanity, never violated
+    # the key property (ADVICE r9 — the old form was tautological):
+    # the single-probe CANDIDATE set is a subset of the multi-probe
+    # one (own bucket+shard ⊂ probe set by construction). k beyond any
+    # candidate count makes the top-k return the whole candidate set.
+    single_cand = {
+        r.vec_id
+        for r in similarity.ann_index_topk(
+            spark, path, emb, query_vec_id=0, k=10**6
+        ).collect()
+    }
+    multi_cand = {
+        r.vec_id
+        for r in similarity.ann_index_multiprobe_topk(
+            spark, path, emb, query_vec_id=0, k=10**6, radius=1
+        ).collect()
+    }
+    assert single_cand <= multi_cand
+    assert multi <= multi_cand and single <= single_cand
     # neighbor generation: w+1 keys at radius 1, w(w-1)/2 more at 2
     ks = similarity.neighbor_band_keys("0101", radius=1)
     assert len(ks) == 5 and "0101" in ks and "1101" in ks

@@ -182,6 +182,31 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_composite_top_level_output_columns(spark):
+    """GLOBAL output-schema gate (VERDICT r9 #1): the driver harness
+    canonicalizes every query's result through a pandas lexsort, which
+    raises `unhashable type` on list/dict cells — so NO registered
+    query may emit an ArrayType/MapType/StructType column at top level
+    (collect_set_agg was the one offender; it now array_joins). The
+    check is analysis-only (df.schema never executes the plan), so the
+    whole catalog sweeps in one cheap pass; eager-on-build entries
+    (streaming drains, sink roundtrips) execute once at sf0.001, the
+    same cost the parity suite already pays."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in sorted(catalog.queries().items()):
+        df = fn(spark, SF_SMALL)
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_partitioned_query_prunes_at_plan_time(spark):
     """partitioned_events_prune: the type filter must surface as a
     PartitionFilter on the scan (directory prune), never a pushed data
