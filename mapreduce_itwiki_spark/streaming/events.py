@@ -1142,6 +1142,53 @@ def _ann_ingest_oracle() -> str:
 register("streaming_ann_ingest", oracle=_ann_ingest_oracle())(ann_ingest_stream)
 
 
+def make_ivfpq_probe_append(
+    spark: SparkSession,
+    idx: str,
+    out: str,
+    done_dir: str,
+    corpus: DataFrame,
+    corpus_max_id: int,
+):
+    """The IVFPQ ingest foreachBatch callback as a testable factory
+    (VERDICT r9 #7 — the redelivery contract must be unit-pinnable,
+    like ``_make_upsert_merge``): per (batch_df, batch_id),
+
+    * VERDICTS are written by batch_id-partitioned DYNAMIC OVERWRITE
+      (ADVICE r8's idempotence rule): a redelivered batch replaces its
+      own verdict partition, never duplicating rows under another
+      batch's.
+    * the CODE-TABLE append (blind ``mode("append")`` into the cid
+      partitions) is guarded by the done-marker written LAST: a
+      redelivered batch whose marker exists is a no-op, and a crash
+      between append and marker replays the batch whole — verdict
+      overwrite absorbs the replay, and the append re-runs only if it
+      never completed (at-least-once storage append + idempotent
+      verdicts = exactly-once observable state once the marker lands).
+    """
+    from ..operators import similarity as S
+
+    def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(done_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        verdicts = S.ivfpq_probe_batch(
+            spark, idx, bdf, corpus, corpus_max_id=corpus_max_id
+        )
+        (
+            verdicts.withColumnRenamed("qid", "vec_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        S.ivfpq_index_append(spark, idx, bdf)
+        open(marker, "w").close()
+
+    return probe_and_append
+
+
 def ivfpq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming vector ingest against the persisted IVF-PQ index —
     the COMPRESSED-tier twin of ann_ingest_stream, and the shape a
@@ -1187,28 +1234,9 @@ def ivfpq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done_dir = os.path.join(base, "done")
     os.makedirs(done_dir, exist_ok=True)
-
-    def probe_and_append(bdf: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(done_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return
-        verdicts = S.ivfpq_probe_batch(
-            spark, idx, bdf, corpus, corpus_max_id=s - 1
-        )
-        # verdict idempotence (ADVICE r8): same batch_id-partitioned
-        # dynamic overwrite as ann_ingest_stream — a retried batch
-        # replaces its verdict rows; the marker still guards the
-        # blind code-table append below.
-        (
-            verdicts.withColumnRenamed("qid", "vec_id")
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out)
-        )
-        S.ivfpq_index_append(spark, idx, bdf)
-        open(marker, "w").close()
+    probe_and_append = make_ivfpq_probe_append(
+        spark, idx, out, done_dir, corpus, corpus_max_id=s - 1
+    )
 
     q = (
         stream.writeStream.foreachBatch(probe_and_append)

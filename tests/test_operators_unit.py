@@ -2306,3 +2306,118 @@ def test_auto_nlist_scales_with_corpus(spark):
     assert similarity.auto_nlist(10**6) == 245
     for n in (10**5, 10**6, 10**8):
         assert n / similarity.auto_nlist(n) <= cap
+
+
+def test_ivf_centroid_grid_matches_ivf_centroids(spark):
+    """The one-pass grid training must reproduce ivf_centroids EXACTLY
+    at every candidate width, in both training modes — the nested-seed
+    claim ann_ivf_occupancy_plan's oracle rests on (r10)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for mode in (similarity.TRAIN_SAMPLE_MOD, None):
+        grid = {
+            (int(r.nlist), int(r.cid)): tuple(r.cv)
+            for r in similarity.ivf_centroid_grid(
+                emb, sample_mod=mode
+            ).collect()
+        }
+        for w in similarity.IVF_NLIST_GRID:
+            solo = {
+                (w, int(r.cid)): tuple(r.cv)
+                for r in similarity.ivf_centroids(
+                    emb, w, sample_mod=mode
+                ).collect()
+            }
+            got = {k: v for k, v in grid.items() if k[0] == w}
+            assert got == solo, (mode, w)
+
+
+def test_choose_nlist_occupancy_properties(spark):
+    """Chooser: smallest grid width under the spill target; grid max
+    when none qualifies; loud ValueError on an empty corpus (the
+    choose_band_bits_occupancy contract, ADVICE r9)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    trail = {
+        int(r.nlist): float(r.spill_fraction)
+        for r in similarity.ivf_occupancy_trail(emb, max_bucket=64).collect()
+    }
+    want = next(
+        (w for w in sorted(similarity.IVF_NLIST_GRID) if trail[w] <= 0.35),
+        max(similarity.IVF_NLIST_GRID),
+    )
+    assert similarity.choose_nlist_occupancy(emb, max_bucket=64) == want
+    # a cap of 1 makes every width fail → the honest grid-max floor
+    assert similarity.choose_nlist_occupancy(emb, max_bucket=1) == max(
+        similarity.IVF_NLIST_GRID
+    )
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="occupancy trail is empty"):
+        similarity.choose_nlist_occupancy(empty)
+    with pytest.raises(ValueError, match="occupancy trail is empty"):
+        similarity.choose_band_bits_occupancy(empty)
+
+
+def test_ivf_index_auto_occupancy_lifecycle(spark, tmp_path):
+    """ivf_index_write(nlist='auto_occupancy') persists the MEASURED
+    nlist in _meta, and ivf_index_retrain(remeasure_nlist=True)
+    re-measures over current membership — the retrain_ivf policy
+    verb's full form (VERDICT r9 #5)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf_auto")
+    similarity.ivf_index_write(
+        emb, path, nlist="auto_occupancy", occupancy_max_bucket=64
+    )
+    meta = spark.read.parquet(f"{path}/_meta").take(1)[0]
+    want = similarity.choose_nlist_occupancy(emb, max_bucket=64)
+    assert int(meta.nlist) == want
+    n_cents = spark.read.parquet(f"{path}/_centroids").count()
+    assert n_cents == want
+    # undersized rebuild, then remeasured retrain returns to the
+    # measured geometry
+    similarity.ivf_index_write(emb, path, nlist=min(similarity.IVF_NLIST_GRID))
+    similarity.ivf_index_retrain(
+        spark, path, remeasure_nlist=True, occupancy_max_bucket=64
+    )
+    meta2 = spark.read.parquet(f"{path}/_meta").take(1)[0]
+    assert int(meta2.nlist) == want
+
+
+def test_auto_probe_sample_mod_budget_bound():
+    """The derived mod is a HARD worst-case bound: sampled queries ×
+    LSH_BANDS × max_bucket never exceeds the budget (expected count
+    batch/mod; the geometric per-query worst case is the contract)."""
+    B = similarity.MONITOR_ROW_BUDGET
+    for batch, cap in ((0, 4096), (1, 4096), (125, 4096), (10**7, 4096),
+                       (10**9, 128), (3, 1)):
+        mod = similarity.auto_probe_sample_mod(batch, max_bucket=cap)
+        assert mod >= 1
+        worst = batch * similarity.LSH_BANDS * cap
+        assert worst / mod <= B or mod == 1 and worst <= B, (batch, cap, mod)
+        if mod > 1:  # never over-sample: mod-1 would blow the budget
+            assert worst / (mod - 1) > B
+
+
+def test_candidates_radius_validation(spark, tmp_path):
+    """radius outside {0, 1} is rejected at function entry (ADVICE r9:
+    a negative radius must never be silently treated as 0)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(8)
+    path = str(tmp_path / "ann_rv")
+    similarity.ann_index_write(emb, path)
+    for bad in (-1, 2, 3):
+        with pytest.raises(ValueError, match="radius 0 or 1"):
+            similarity.ann_candidates_against_index(
+                spark, path, emb, radius=bad
+            )
+
+
+def test_ivfpq_retrain_replays_stored_pq_geometry(spark, tmp_path):
+    """An IVFPQ index built at NON-default PQ geometry must retrain at
+    its STORED pq_m/pq_sub/pq_codes (ADVICE r9): meta and code widths
+    survive a retrain even though the module constants differ."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfpq_geo")
+    similarity.ivfpq_index_write(emb, path, pq_m=4, pq_sub=16, pq_codes=4)
+    similarity.ivfpq_index_retrain(spark, path, emb)
+    meta = spark.read.parquet(f"{path}/_meta").take(1)[0]
+    assert (int(meta.pq_m), int(meta.pq_sub), int(meta.pq_codes)) == (4, 16, 4)
+    row = spark.read.parquet(f"{path}/codes").take(1)[0]
+    assert len(row.codes) == 4  # pq_m code bytes, not the module PQ_M

@@ -194,3 +194,79 @@ def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
     assert sorted(r.event_id for r in landed.select("event_id").collect()) == sorted(
         r.event_id for r in src.select("event_id").collect()
     )
+
+
+def test_ivfpq_ingest_redelivery_exactly_once(spark, tmp_path):
+    """The IVFPQ ingest callback must be EXACTLY-ONCE for BOTH outputs
+    under a redelivered (batch_df, batch_id) pair (VERDICT r9 #7 — the
+    IVF-PQ twin of the LSH-tier assertion): verdict rows are
+    batch_id-partitioned dynamic overwrites (a replay replaces its own
+    partition) and the code-table append is guarded by the done-marker
+    written last (a replay is a no-op). Verdicts must also survive a
+    marker-deleted replay (crash before the marker landed) without
+    duplicating — the overwrite absorbs it."""
+    import os
+
+    from mapreduce_itwiki_spark.operators import similarity as S
+    from mapreduce_itwiki_spark.streaming.events import make_ivfpq_probe_append
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    s = 3 * top // 4
+    corpus = emb.filter(F.col("vec_id") < s)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    done = str(tmp_path / "done")
+    os.makedirs(done)
+    S.ivfpq_index_write(corpus, idx)
+    cb = make_ivfpq_probe_append(spark, idx, out, done, corpus, corpus_max_id=s - 1)
+    batch = emb.filter(F.col("vec_id") >= s).select("vec_id", "embedding")
+    halves = [
+        batch.filter(F.col("vec_id") % 2 == 0),
+        batch.filter(F.col("vec_id") % 2 == 1),
+    ]
+    cb(halves[0], 0)
+    cb(halves[1], 1)
+
+    def verdicts():
+        return sorted(
+            (r.batch_id, r.vec_id, r.n_corpus_candidates,
+             r.nearest_corpus_cosine)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    def codes():
+        return sorted(
+            (r.vec_id, r.cid, tuple(r.codes))
+            for r in spark.read.parquet(f"{idx}/codes").collect()
+        )
+
+    first_v, first_c = verdicts(), codes()
+    # every corpus + batch vector coded exactly once already
+    assert len(first_c) == emb.count()
+    assert len({v for v, _, _ in first_c}) == len(first_c)
+
+    cb(halves[0], 0)  # redelivered after completion: marker no-op
+    cb(halves[1], 1)
+    assert verdicts() == first_v
+    assert codes() == first_c
+
+    # crash window: marker lost AFTER verdicts landed but BEFORE the
+    # append ran — the replayed batch must overwrite (not duplicate)
+    # its verdict partition; the append re-runs by design, so pin only
+    # the verdict side here and the no-duplicate invariant above for
+    # the marker-guarded path
+    os.remove(os.path.join(done, "batch-1"))
+    import shutil
+
+    # roll the code table back to the pre-replay state the crash left
+    # (append had not run): drop half-1's code rows
+    kept = (
+        spark.read.parquet(f"{idx}/codes")
+        .filter(~((F.col("vec_id") >= s) & (F.col("vec_id") % 2 == 1)))
+        .localCheckpoint()
+    )
+    shutil.rmtree(f"{idx}/codes")
+    kept.write.mode("overwrite").partitionBy("cid").parquet(f"{idx}/codes")
+    cb(halves[1], 1)
+    assert verdicts() == first_v
+    assert codes() == first_c
