@@ -111,6 +111,18 @@ HEADLINE = [
     "ann_probe_coverage_sampled",
     "ann_ivfpq_index_retrain",
     "index_maintenance_policy",
+    # round 17 additions (driver round 10): the IVF occupancy plan
+    # (grid-trained in one sample pass), the retrain-at-measured-nlist
+    # lifecycle (always rebuilds twice: undersized build + remeasured
+    # retrain — the honest verb cost), the end-to-end LSH policy loop
+    # (report → rebuild-at-measured → re-measured report; amortized
+    # index), the wide-cap ingest screening (the recall ladder's third
+    # dial), and the budget-targeted monitor (worst-case-bounded mod)
+    "ann_ivf_occupancy_plan",
+    "ann_ivf_index_retrain_measured",
+    "ann_policy_retune_loop",
+    "ann_ingest_capped_verdicts",
+    "ann_probe_coverage_budget",
 ]
 
 

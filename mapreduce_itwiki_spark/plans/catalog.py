@@ -268,9 +268,68 @@ _R9_ROTATION: tuple[str, ...] = (
     "python_datasource_pushdown",
 )
 
-_PRIORITY = tuple(n for n in _PRIORITY if n not in set(_R9_ROTATION))[
-    :12
-] + _R9_ROTATION
+# --- round-10 rotation: 38 picks — the 37 entries never driver-checked
+# across r01…r09 (VERDICT r9 #2's list plus this round's 5 new
+# occupancy/cap/budget/loop entries) + collect_set_agg RE-PINNED
+# (VERDICT r9 #1: its r9 record is `err` — the array-column driver
+# crash — so the scalar-serialization fix must land in
+# CORRECTNESS_r10.json). After this round the cumulative driver-checked
+# set is the ENTIRE live catalog (280 green + these 37 = 317).
+# Rotated out but still judge-swept at sf0.001 — r9's 38 (list above).
+_R10_ROTATION: tuple[str, ...] = (
+    # the r9 multiprobe/occupancy flagships VERDICT #2 led with (6)
+    "ann_index_occupancy_topk",
+    "ann_index_multiprobe_topk",
+    "ann_index_multiprobe_batch_topk",
+    "ann_index_multiprobe2_topk",
+    "ann_multiprobe_recall_at_k",
+    "ann_ingest_multiprobe_verdicts",
+    # ⊕ this round's new occupancy-nlist / probe-cap / monitor-budget /
+    # policy-loop entries (5)
+    "ann_ivf_occupancy_plan",
+    "ann_ivf_index_retrain_measured",
+    "ann_policy_retune_loop",
+    "ann_ingest_capped_verdicts",
+    "ann_probe_coverage_budget",
+    # the driver-red r9 row, re-pinned with the scalar fix (1)
+    "collect_set_agg",
+    # engine-surface / relational tail (VERDICT-named everyday ops) (13)
+    "schema_evolution_merge",
+    "union_by_name_drift",
+    "parameterized_sql_topk",
+    "cached_scan_reuse",
+    "zorder_cluster_stats",
+    "weighted_sample_topk",
+    "skyline_pareto_parts",
+    "except_all_suppkeys",
+    "intersect_all_suppkeys",
+    "map_key_counts",
+    "grouped_arrow_agg",
+    "explode_outer_matches",
+    "value_histogram_fixed_bins",
+    # ⊕ statistics / ML-adjacent analytics (6)
+    "kaplan_meier_churn",
+    "bootstrap_mean_ci",
+    "ols_trend_per_user",
+    "ols_residual_metrics",
+    "value_quantile_rank",
+    "profile_table_stats",
+    # ⊕ events / time-series analytics (5)
+    "seasonal_hour_anomaly",
+    "event_interarrival_stats",
+    "ewma_user_value",
+    "incremental_agg_merge",
+    "source_reputation_filter",
+    # sources / streaming tail (2)
+    "python_datasource_sink",
+    "streaming_seasonal_anomaly",
+)
+
+_PRIORITY = tuple(
+    n
+    for n in _PRIORITY
+    if n not in set(_R9_ROTATION) and n not in set(_R10_ROTATION)
+)[:12] + _R10_ROTATION
 
 
 def _prioritized(mapping: dict[str, "str | QueryFn"]) -> dict:

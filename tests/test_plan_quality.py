@@ -166,6 +166,11 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark):
         "dedup_connected_components",
         "bpe_train_merges",  # training loop collects per round on build
         "bpe_train_encode",
+        # r10 lifecycle entries: building them RUNS the index writes
+        # (undersized build + remeasured retrain; retune verb) — the
+        # final select is a tiny union of aggregate rows
+        "ann_ivf_index_retrain_measured",
+        "ann_policy_retune_loop",
     }
     offenders = {}
     for name in sorted(catalog.queries()):
