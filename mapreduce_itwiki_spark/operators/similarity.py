@@ -702,21 +702,27 @@ def ann_candidates_against_index(
     batch-partitioning-invariant even while the same stream appends to
     the index (appended rows all carry higher ids).
 
-    ``radius`` (r9) turns on Hamming multi-probe for the ingest path:
-    each query band row expands IN-EXPRESSION to its bit-flip
-    neighbors (radius 1 ⇒ band_bits extra keys per band) before the
-    band join, so a near-duplicate one sign-bit away in every band —
-    the clustered-corpus miss — still gets a verdict. The budget rule
-    is unchanged (md5-first ``probe_cap`` per PROBED bucket): work per
-    query is ≤ LSH_BANDS·(1+band_bits·radius)·probe_cap exact cosines
-    at any corpus size. radius=0 is the historical behavior and the
-    streaming entries' default."""
-    if radius not in (0, 1):
+    ``radius`` (r9; radius 2 added r10) turns on Hamming multi-probe
+    for the ingest path: each query band row expands IN-EXPRESSION to
+    its bit-flip neighbors (radius 1 ⇒ band_bits extra keys per band;
+    radius 2 adds the band_bits·(band_bits−1)/2 two-bit flips) before
+    the band join, so a near-duplicate one or two sign-bits away in
+    every band — the clustered-corpus miss — still gets a verdict. The
+    budget rule is unchanged (md5-first ``probe_cap`` per PROBED
+    bucket): work per query is ≤ LSH_BANDS·n_probes·probe_cap exact
+    cosines at any corpus size. radius=0 is the historical behavior
+    and the streaming entries' default. Prune-or-scan: the
+    driver-derived pkey IN-list prunes only while it names < half the
+    LSH_BANDS·2^bits keyspace — a radius-2 probe of a large batch can
+    saturate it, where the honest plan is the plain scan the budget
+    already bounds (the IN-list would cost plan size + per-row eval
+    without pruning anything)."""
+    if radius not in (0, 1, 2):
         # validate BEFORE any plan construction (ADVICE r9): a negative
         # radius must be rejected, not silently treated as 0
         raise ValueError(
-            "ann_candidates_against_index supports radius 0 or 1 — the"
-            f" in-expression expansion generates single-bit flips only"
+            "ann_candidates_against_index supports radius 0, 1 or 2 —"
+            f" the in-expression expansion generates bit flips only"
             f" (got {radius!r})"
         )
     geo_bits, _geo_cap = index_geometry(spark, index_path)
@@ -724,25 +730,46 @@ def ann_candidates_against_index(
         F.col("vec_id").alias("qid"), "band_id", "band_key"
     )
     if radius >= 1:
-        def _flip(i):
-            ch = F.substring(F.col("band_key"), i + 1, 1)
-            return F.concat(
-                F.substring(F.col("band_key"), 1, i),
-                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
-                F.substring(F.col("band_key"), i + 2, geo_bits - i - 1),
-            )
+        def _seg(a, b):  # 1-indexed substring [a, b] of the band key
+            return F.substring(F.col("band_key"), a, b - a + 1)
 
-        nbrs = F.array(F.col("band_key"), *[_flip(i) for i in range(geo_bits)])
+        def _not(i):  # flipped character at 1-indexed position i
+            ch = F.substring(F.col("band_key"), i, 1)
+            return F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+
+        def _flip(*pos):  # band key with the given positions flipped
+            parts, prev = [], 0
+            for p in sorted(pos):
+                if p - 1 > prev:
+                    parts.append(_seg(prev + 1, p - 1))
+                parts.append(_not(p))
+                prev = p
+            if prev < geo_bits:
+                parts.append(_seg(prev + 1, geo_bits))
+            return F.concat(*parts)
+
+        nbrs = [F.col("band_key")]
+        nbrs += [_flip(i + 1) for i in range(geo_bits)]
+        if radius >= 2:
+            nbrs += [
+                _flip(i + 1, j + 1)
+                for i in range(geo_bits)
+                for j in range(i + 1, geo_bits)
+            ]
         qb = qb.select(
-            "qid", "band_id", F.explode(nbrs).alias("band_key")
+            "qid", "band_id", F.explode(F.array(*nbrs)).alias("band_key")
         ).distinct()
     touched = qb.select("band_id", "band_key").distinct().collect()
     pkeys = sorted(f"{r.band_id}_{r.band_key}" for r in touched) or ["__none__"]
-    idx = (
-        spark.read.parquet(index_path)
-        .filter(F.col("pkey").isin(pkeys))
-        .filter(F.col("shard") == 0)
-    )
+    idx = spark.read.parquet(index_path)
+    # prune-or-scan: the probe IN-list is static partition pruning ONLY
+    # while it names a minority of the keyspace — a radius-2 probe of a
+    # large batch can touch most of LSH_BANDS·2^bits partitions, where
+    # a 10^4-literal IN-list costs more (plan size + per-row eval) than
+    # the full scan it no longer prunes
+    if len(pkeys) < LSH_BANDS * (2**geo_bits) // 2:
+        idx = idx.filter(F.col("pkey").isin(pkeys))
+    idx = idx.filter(F.col("shard") == 0)
     if corpus_max_id is not None:
         idx = idx.filter(F.col("vec_id") <= corpus_max_id)
     wp = Window.partitionBy("band_id", "band_key").orderBy(
@@ -2941,7 +2968,14 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     )
 
 
-def ivfpq_index_retrain(spark, index_path: str, emb: DataFrame) -> None:
+def ivfpq_index_retrain(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    remeasure_nlist: bool = False,
+    occupancy_max_bucket: int = MAX_BUCKET,
+    nlist_grid: tuple[int, ...] = IVF_NLIST_GRID,
+) -> None:
     """RETRAIN a persisted IVF-PQ index on its CURRENT membership —
     completing the compressed tier's lifecycle (VERDICT r8 #5: LSH has
     build/append/compact, IVF has build/append/retrain/balance; IVFPQ
@@ -2966,7 +3000,14 @@ def ivfpq_index_retrain(spark, index_path: str, emb: DataFrame) -> None:
     Locally the membership list passes through an eager localCheckpoint
     to cut lineage before the code table is overwritten (the
     :func:`ivf_index_retrain` idiom); a cluster deployment stages to a
-    temp prefix and swaps."""
+    temp prefix and swaps.
+
+    ``remeasure_nlist=True`` (r10, the IVF twin): the coarse-quantizer
+    cell count is RE-MEASURED over the current membership's floats via
+    the occupancy trail instead of replayed from ``_meta`` — the
+    ``retrain_pq`` policy verb at a measured geometry; the PQ widths
+    still replay from the sidecar (code geometry is a storage-format
+    contract, cell count is a balance dial)."""
     m = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
     md = m.asDict()
     ids = (
@@ -2975,6 +3016,14 @@ def ivfpq_index_retrain(spark, index_path: str, emb: DataFrame) -> None:
         .localCheckpoint()
     )
     rows = emb.join(ids, "vec_id", "left_semi")
+    nlist = int(md["nlist"])
+    if remeasure_nlist:
+        nlist = choose_nlist_occupancy(
+            rows,
+            max_bucket=occupancy_max_bucket,
+            nlists=nlist_grid,
+            sample_mod=md.get("sample_mod"),
+        )
     # PQ geometry replays from the sidecar too (ADVICE r9): an index
     # built under different module constants retrains at ITS stored
     # pq_m/pq_sub/pq_codes, so "rebuild-equal to the original build"
@@ -2982,7 +3031,7 @@ def ivfpq_index_retrain(spark, index_path: str, emb: DataFrame) -> None:
     ivfpq_index_write(
         rows,
         index_path,
-        nlist=int(md["nlist"]),
+        nlist=nlist,
         sample_mod=md.get("sample_mod"),
         by_residual=bool(md["by_residual"]),
         pq_m=int(md.get("pq_m") or PQ_M),

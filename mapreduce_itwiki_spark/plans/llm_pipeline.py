@@ -3880,6 +3880,83 @@ def ann_ingest_capped_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ingest_multiprobe2_verdicts",
+    # the ingest-verdict oracle under the Hamming-2 predicate — the
+    # radius dial's last rung on the ingest path
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_BITS_SQL} AS bits FROM embeddings),
+    sp AS ({_VEC_SPLIT_SQL}),
+    bands AS ({_VEC_BANDS_SQL}),
+    corp AS ({_VEC_CORP_CAPPED_SQL}),
+    qb AS (SELECT vec_id, band_id, band_key FROM bands
+           WHERE vec_id >= (SELECT s FROM sp)),
+    cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+             FROM corp c JOIN qb q
+               ON c.band_id = q.band_id
+              AND ({_hamming_sql('c.band_key', 'q.band_key',
+                                 similarity.BAND_BITS)}) <= 2
+             WHERE c.rn <= {_PROBE_DEMO_CAP} AND c.vec_id <> q.vec_id),
+    scored AS (SELECT cand.qid,
+                      round(list_dot_product(cv.v, qv.v) /
+                            (sqrt(list_dot_product(cv.v, cv.v)) *
+                             sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+               FROM cand JOIN e cv ON cv.vec_id = cand.cid
+                         JOIN e qv ON qv.vec_id = cand.qid),
+    roll AS (SELECT qid, count(*) AS n, max(cosine) AS best
+             FROM scored GROUP BY qid)
+    SELECT b.vec_id,
+           coalesce(r.n, 0) AS n_corpus_candidates,
+           r.best AS nearest_corpus_cosine
+    FROM (SELECT vec_id FROM e WHERE vec_id >= (SELECT s FROM sp)) b
+    LEFT JOIN roll r ON r.qid = b.vec_id
+    """,
+)
+def ann_ingest_multiprobe2_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest screening under Hamming-2 multi-probe (r10 — the radius
+    dial's LAST rung, completing the ladder grid bits × radius × cap):
+    each batch vector's band rows expand in-expression to ALL one- and
+    two-bit flips before the equi band join — 1 + b + b(b−1)/2 probes
+    per band at b band bits. The budget rule is unchanged (md5-first
+    ``probe_cap`` per probed bucket), so work per query stays
+    corpus-size-independent; what grows is the probe count, and past
+    half the keyspace the driver-side IN-list hands over to the plain
+    budget-bounded scan (the prune-or-scan rule — at the demo 4-bit
+    geometry a radius-2 probe touches 11 of 16 keys per band, so this
+    entry exercises exactly that handover). Columns: (vec_id,
+    n_corpus_candidates, nearest_corpus_cosine). See
+    operators/similarity.py:ann_candidates_against_index(radius=2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, s = _ensure_ann_incr_index(spark, sf_dir, emb)
+    batch = emb.filter(F.col("vec_id") >= s)
+    cands = similarity.ann_candidates_against_index(
+        spark,
+        path,
+        batch,
+        corpus_max_id=s - 1,
+        probe_cap=_PROBE_DEMO_CAP,
+        radius=2,
+    )
+    roll = cands.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_corpus_candidates"),
+        F.max("cosine").alias("nearest_corpus_cosine"),
+    )
+    return (
+        batch.select("vec_id")
+        .join(roll, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).alias(
+                "n_corpus_candidates"
+            ),
+            "nearest_corpus_cosine",
+        )
+    )
+
+
 _PROBE_MONITOR_BUDGET = similarity.MONITOR_ROW_BUDGET  #: worst-case
 #: uncapped-candidate row budget for the auto-mod monitoring entry —
 #: the module default; at sf0.01 (125-query batch, cap 4096) it

@@ -2396,17 +2396,30 @@ def test_auto_probe_sample_mod_budget_bound():
             assert worst / (mod - 1) > B
 
 
-def test_candidates_radius_validation(spark, tmp_path):
-    """radius outside {0, 1} is rejected at function entry (ADVICE r9:
-    a negative radius must never be silently treated as 0)."""
-    emb = load_table(spark, SF_SMALL, "embeddings").limit(8)
+def test_candidates_radius_validation_and_supersets(spark, tmp_path):
+    """radius outside {0, 1, 2} is rejected at function entry (ADVICE
+    r9: a negative radius must never be silently treated as 0), and
+    the candidate sets NEST: radius 0 ⊆ 1 ⊆ 2 (each probe set is a
+    strict superset by construction)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
     path = str(tmp_path / "ann_rv")
-    similarity.ann_index_write(emb, path)
-    for bad in (-1, 2, 3):
-        with pytest.raises(ValueError, match="radius 0 or 1"):
+    similarity.ann_index_write(emb, path, max_bucket=20, band_bits=6)
+    for bad in (-1, 3):
+        with pytest.raises(ValueError, match="radius 0, 1 or 2"):
             similarity.ann_candidates_against_index(
                 spark, path, emb, radius=bad
             )
+    batch = emb.filter(F.col("vec_id") >= 400)
+    sets = {}
+    for r in (0, 1, 2):
+        sets[r] = {
+            (x.qid, x.cand_vec_id)
+            for x in similarity.ann_candidates_against_index(
+                spark, path, batch, corpus_max_id=399, radius=r
+            ).collect()
+        }
+    assert sets[0] <= sets[1] <= sets[2]
+    assert len(sets[2]) > len(sets[1]) > len(sets[0])
 
 
 def test_ivfpq_retrain_replays_stored_pq_geometry(spark, tmp_path):
@@ -2421,3 +2434,24 @@ def test_ivfpq_retrain_replays_stored_pq_geometry(spark, tmp_path):
     assert (int(meta.pq_m), int(meta.pq_sub), int(meta.pq_codes)) == (4, 16, 4)
     row = spark.read.parquet(f"{path}/codes").take(1)[0]
     assert len(row.codes) == 4  # pq_m code bytes, not the module PQ_M
+
+
+def test_ivfpq_retrain_remeasure_nlist(spark, tmp_path):
+    """ivfpq_index_retrain(remeasure_nlist=True): the coarse cell
+    count is re-measured over current membership (the IVF-tier rule
+    applied to the compressed tier, r10) while PQ geometry still
+    replays from _meta."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfpq_rm")
+    similarity.ivfpq_index_write(emb, path, nlist=4)
+    similarity.ivfpq_index_retrain(
+        spark, path, emb, remeasure_nlist=True, occupancy_max_bucket=64
+    )
+    want = similarity.choose_nlist_occupancy(emb, max_bucket=64)
+    meta = spark.read.parquet(f"{path}/_meta").take(1)[0]
+    assert int(meta.nlist) == want != 4
+    assert spark.read.parquet(f"{path}/_centroids").count() == want
+    assert (int(meta.pq_m), int(meta.pq_sub)) == (
+        similarity.PQ_M,
+        similarity.PQ_SUB,
+    )
