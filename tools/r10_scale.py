@@ -126,10 +126,11 @@ def main() -> None:
             .localCheckpoint()
         )
         res["capladder"] = {"band_bits": chosen, "n_queries": exact.count()}
-        for cap in (S.PROBE_CAP, 4 * S.PROBE_CAP):
+        radii = (1, 2) if "radius2" in steps else (1,)
+        for cap, radius in [(c, r) for r in radii for c in (S.PROBE_CAP, 4 * S.PROBE_CAP)]:
             t0 = time.time()
             cands = S.ann_candidates_against_index(
-                spark, path, q, corpus_max_id=s - 1, probe_cap=cap, radius=1
+                spark, path, q, corpus_max_id=s - 1, probe_cap=cap, radius=radius
             )
             best = cands.groupBy("qid").agg(F.max("cosine").alias("probe_best"))
             agg = (
@@ -150,12 +151,12 @@ def main() -> None:
             )
             row = {
                 "probe_cap": cap,
-                "radius": 1,
+                "radius": radius,
                 "found": float(agg.found),
                 "mean_probe_best": float(agg.mean_probe_best),
                 "sec": round(time.time() - t0, 2),
             }
-            res["capladder"][f"cap{cap}"] = row
+            res["capladder"][f"cap{cap}" + (f"_r{radius}" if radius != 1 else "")] = row
             print("CAPLADDER", json.dumps(row), flush=True)
 
     if "ivfocc" in steps:
