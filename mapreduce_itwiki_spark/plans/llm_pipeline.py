@@ -3614,6 +3614,77 @@ def ann_ivf_occupancy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_elbow_inertia",
+    # per-width inertia from the SAME per-width training chains the
+    # occupancy plan uses; per-vector minima integerized (the perr
+    # idiom) before the roll-up so no double-sum order can drift
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {",".join(_ivf_train_ctes(sampled=True, prefix=f"g{w}", nlist=w)
+              for w in similarity.IVF_NLIST_GRID)},
+    qi AS ({" UNION ALL ".join(
+        f"SELECT {w} AS nlist, vec_id,"
+        f" CAST(round(min(d) * 1000000.0) AS BIGINT) AS q"
+        f" FROM g{w}d2 GROUP BY vec_id"
+        for w in similarity.IVF_NLIST_GRID)}),
+    roll AS (SELECT nlist, count(*) AS n_points,
+                    round(sum(q) / 1000000.0, 4) AS inertia
+             FROM qi GROUP BY nlist)
+    SELECT nlist, n_points, inertia,
+           round(inertia / n_points, 6) AS mean_sq_dist,
+           round(coalesce(lag(inertia) OVER (ORDER BY nlist) - inertia,
+                          0.0), 4) AS gain_vs_prev
+    FROM roll
+    """,
+)
+def kmeans_elbow_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS ELBOW CURVE in one pass (r10): per-k clustering inertia
+    (Σ min-distance²) for every k in the nlist grid — the classic
+    choose-k diagnostic, priced at ONE grid training
+    (:func:`ivf_centroid_grid`'s nested-seed pass) + ONE full-corpus
+    broadcast assignment instead of |grid| independent k-means runs.
+    Per-vector minima integerize to 1e-6 units before the sum (the
+    distortion-report idiom), so the curve is exact on both engines.
+    The gain_vs_prev column is the elbow signal: where it collapses,
+    extra cells stop paying. Columns: (nlist, n_points, inertia,
+    mean_sq_dist, gain_vs_prev)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroid_grid(emb)
+    mbase = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    qi = (
+        mbase.crossJoin(F.broadcast(cents))
+        .select(
+            "nlist",
+            "vec_id",
+            similarity.sq_dist(F.col("v"), F.col("cv")).alias("d"),
+        )
+        .groupBy("nlist", "vec_id")
+        .agg(
+            F.round(F.min("d") * 1000000.0, 0).cast("long").alias("q")
+        )
+    )
+    roll = qi.groupBy("nlist").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("q") / 1000000.0, 4).alias("inertia"),
+    )
+    wl = Window.partitionBy(F.lit(1)).orderBy("nlist")
+    return roll.select(
+        "nlist",
+        "n_points",
+        "inertia",
+        F.round(F.col("inertia") / F.col("n_points"), 6).alias("mean_sq_dist"),
+        F.round(
+            F.coalesce(
+                F.lag("inertia").over(wl) - F.col("inertia"), F.lit(0.0)
+            ),
+            4,
+        ).alias("gain_vs_prev"),
+    )
+
+
 def _ivf_retrain_phase_sql(phase: str, nlist_sql: str, prefix: str) -> str:
     """One balance-summary arm of the retrain-measured oracle: cell
     counts at ``nlist_sql`` (a literal or the ivch scalar subquery),

@@ -473,3 +473,56 @@ def wiki_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.trim(F.col("page_to")) != "")
     )
     return pairs.groupBy("page_to").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "degree_distribution_log2",
+    # in-degree histogram of the link graph on log2 buckets — the
+    # structural summary every graph pipeline prints before choosing a
+    # partitioning (skew lives in the top buckets)
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT token AS page_to, doc_id AS page_from
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE trim(token) <> ''),
+    deg AS (SELECT page_to, count(*) AS d FROM pairs GROUP BY page_to)
+    SELECT CAST(floor(log2(d)) AS BIGINT) AS log2_bucket,
+           count(*) AS n_targets,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg,
+           CAST(sum(d) AS BIGINT) AS edges_in_bucket
+    FROM deg GROUP BY 1
+    """,
+)
+def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the wiki link graph on log2 buckets
+    (r10 — the linkgraph family's structural summary): the O8+O10
+    pipeline's per-target counts rolled into a power-of-two histogram.
+    This is the number a 100 TB graph job reads FIRST: the top bucket's
+    max_deg is the skew the salted twin exists for, and
+    edges_in_bucket says how much of the shuffle the hot targets own.
+    log2 on integer counts is exact on both engines (no summation
+    drift — every column is a count). Plan: the distinct-pairs
+    partial+final dedup, a per-target count, then a 30-ish-row
+    histogram agg. Columns: (log2_bucket, n_targets, min_deg, max_deg,
+    edges_in_bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("page_from"),
+            F.explode(F.split(F.col("text"), " ")).alias("page_to"),
+        )
+        .filter(F.trim(F.col("page_to")) != "")
+        .dropDuplicates(["page_to", "page_from"])
+    )
+    deg = pairs.groupBy("page_to").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_targets"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.sum("d").cast("long").alias("edges_in_bucket"),
+    )

@@ -3987,3 +3987,287 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         wau.join(dau, wau.d == F.col("dau_d"))
         .select("d", "dau", "wau")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    # all-integer CUSUM: D_i = n_u·cumsum_i(vi) − i·total_u (vi = value
+    # in 1e-6 units) is exact on both engines — no double accumulation
+    # order can drift — and only the REPORTED peak divides back to
+    # value units at the output boundary
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 1000000) AS BIGINT) AS vi
+               FROM events),
+    c AS (SELECT user_id, event_id,
+                 sum(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(vi) OVER (PARTITION BY user_id) AS total,
+                 ts
+          FROM v),
+    d AS (SELECT user_id, event_id, n, ts,
+                 abs(n * cum - i * total) AS absd
+          FROM c),
+    r AS (SELECT user_id, event_id, n, absd,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY absd DESC, ts, event_id) AS rn
+          FROM d)
+    SELECT user_id, event_id AS cp_event_id,
+           CAST(n AS BIGINT) AS n_events,
+           round(absd / (n * 1000000.0), 6) AS peak_dev
+    FROM r WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint: the event where the cumulative
+    deviation from the user's mean value peaks — the standard
+    level-shift detector. Exactness trick: with vi = round(value·1e6)
+    the statistic D_i = n·cumsum_i(vi) − i·total is INTEGER, so the
+    argmax can never flip on summation-order ulp drift (the rational
+    form of Σ(v − mean) without ever materializing the mean). Plan:
+    two window passes over (user, ts)-sorted rows (one shuffle), a
+    rank, and a filter — no self-join, scales as one sort per user
+    partition. Columns: (user_id, cp_event_id, n_events, peak_dev)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("vi"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id")
+    c = v.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("vi").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("vi").over(wa).alias("total"),
+    )
+    d = c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total")).alias(
+            "absd"
+        ),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("absd").desc(), "ts", "event_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event_id"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("absd") / (F.col("n") * 1000000.0), 6).alias(
+                "peak_dev"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "ntile_quartile_profile",
+    oracle="""
+    WITH q AS (SELECT o_orderpriority, o_totalprice,
+                      ntile(4) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey)
+                          AS quartile
+               FROM orders)
+    SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / (count(*) * 100.0), 4) AS avg_price
+    FROM q GROUP BY 1, 2
+    """,
+)
+def ntile_quartile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() quartile profile of order value per priority — the one
+    ranking window the battery elsewhere didn't cover. Deterministic
+    tie-break (o_orderkey) so both engines bucket identically; the
+    per-bucket average goes through integer cents (sum of
+    round(price·100) over an exact BIGINT) so no summation-order drift.
+    Scale note: ntile is a per-partition total order — fine here
+    (priorities bound the partition count and TPC-H order values
+    distribute evenly); an unpartitioned global ntile at 100 TB should
+    be a percent_rank range-bucketing instead (range partitioning
+    scales, single-task windows don't). Columns: (o_orderpriority,
+    quartile, n, lo, hi, avg_price)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    q = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return q.groupBy("o_orderpriority", F.col("quartile").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * 100.0),
+            4,
+        ).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "weighted_median_price",
+    # the classic cum-weight rule, all-integer: wi = round(qty·100),
+    # pick the first price (in (price, orderkey, linenumber) order)
+    # whose running weight reaches half the group total
+    oracle="""
+    WITH w AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS wi
+               FROM lineitem),
+    c AS (SELECT l_returnflag, l_extendedprice,
+                 sum(wi) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(wi) OVER (PARTITION BY l_returnflag) AS tw
+          FROM w),
+    p AS (SELECT l_returnflag, l_extendedprice, tw,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cw, l_extendedprice) AS rn
+          FROM c WHERE 2 * cw >= tw)
+    SELECT l_returnflag,
+           round(l_extendedprice, 2) AS weighted_median_price,
+           CAST(tw AS BIGINT) AS total_weight_cents
+    FROM p WHERE rn = 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no built-in aggregate covers: sort the group by price,
+    take the first row whose cumulative weight reaches half the total.
+    Weights integerize to BIGINT cents so the running sum (the only
+    accumulation) is exact on both engines. Plan: one window sort per
+    group + a rank — the same one-shuffle shape as any per-group
+    cumsum; at 100 TB the returnflag partitioning is coarse, so a real
+    deployment sub-partitions by (flag, price-range) and merges the
+    per-range cum totals — the token_budget_head shard idiom. Columns:
+    (l_returnflag, weighted_median_price, total_weight_cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wi"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wa = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wi").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wi").over(wa).alias("tw"),
+    ).filter(2 * F.col("cw") >= F.col("tw"))
+    wr = Window.partitionBy("l_returnflag").orderBy("cw", "l_extendedprice")
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice"), 2).alias("weighted_median_price"),
+            F.col("tw").cast("long").alias("total_weight_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS edge,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges —
+    the everyday data-engineering check a warehouse runs before
+    publishing: per edge, child row count and orphan count (children
+    whose key has no parent) via LEFT ANTI joins. Plan: each edge is
+    one anti join — broadcast for the bounded dims (nation), shuffle
+    hash for the fact-to-fact edges — plus a count; nothing quadratic,
+    every edge independently parallel. Columns: (edge, n_child,
+    n_orphans)."""
+    tabs = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "lineitem", "part", "supplier", "nation")
+    }
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = (
+            tabs[child]
+            .join(
+                tabs[parent].select(F.col(pkey).alias(ckey)),
+                ckey,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = tabs[child].agg(F.count(F.lit(1)).alias("n_child"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("edge"), "n_child", "n_orphans"
+        )
+
+    rows = [
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
