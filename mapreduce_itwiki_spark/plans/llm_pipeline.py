@@ -3615,6 +3615,57 @@ def ann_ivf_occupancy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    fs AS (SELECT s, min(doc_id) AS first_doc FROM tok GROUP BY s)
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN fs.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fs.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty_fraction
+    FROM tok t JOIN fs ON fs.s = t.s
+    GROUP BY t.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY (r10): the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id)
+    is this document — the curation signal behind "how much new text
+    does each source actually add" (a near-zero novelty tail is what
+    incremental dedup later removes). Plan: the codegen shingle rows,
+    one shuffle to first-seen per shingle (partial+final MIN — the
+    map-side combine does the heavy lifting on repeated grams), one
+    join back, one per-doc roll-up; at 100 TB this is the same cost
+    class as the exact-dedup pass and the natural pre-pass before it.
+    Columns: (doc_id, n_shingles, n_novel, novelty_fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.shingle_rows(docs, distinct=True)
+    fs = tok.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tok.join(fs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                        0
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_fraction"),
+        )
+    )
+
+
+@register(
     "kmeans_elbow_inertia",
     # per-width inertia from the SAME per-width training chains the
     # occupancy plan uses; per-vector minima integerized (the perr

@@ -4271,3 +4271,86 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --------------------------------------------------------------------------
+@register(
+    "null_safe_join_counts",
+    # <=> (IS NOT DISTINCT FROM): the join where NULL meets NULL and
+    # matches — the semantics a plain equi-join silently drops rows on
+    oracle="""
+    WITH o AS (SELECT nullif(o_orderstatus, 'O') AS sk, o_orderkey
+               FROM orders),
+    dim AS (SELECT DISTINCT nullif(o_orderstatus, 'O') AS sk,
+                   coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS label
+            FROM orders)
+    SELECT dim.label, count(o.o_orderkey) AS n_orders
+    FROM o JOIN dim ON o.sk IS NOT DISTINCT FROM dim.sk
+    GROUP BY dim.label
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the one
+    join predicate the catalog's join battery didn't cover: the open
+    status is nulled out on both sides, and the null-safe condition
+    still matches NULL to NULL (a plain `=` would silently drop every
+    open order from the join). Spark plans eqNullSafe as a HASH join
+    (null-safe keys hash like values — no nested loop), which is the
+    100 TB point: null-keyed rows co-locate like any other key.
+    Columns: (label, n_orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("sk"), "o_orderkey"
+    )
+    dim = (
+        orders.select(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("sk")
+        )
+        .distinct()
+        .select(
+            "sk", F.coalesce(F.col("sk"), F.lit("OPEN")).alias("label")
+        )
+    )
+    return (
+        o.join(dim, o["sk"].eqNullSafe(dim["sk"]))
+        .groupBy("label")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "decimal_exact_aggregation",
+    # DECIMAL-typed sums are EXACT (integer arithmetic under the hood)
+    # — the accounting-grade aggregation double columns can't give;
+    # output re-cast to rounded DOUBLE only at the boundary so the two
+    # engines' decimal display scales can't hash-differ
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS sum_discounted,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_exact_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decimal aggregation (r10): prices cast to DECIMAL(18,2)
+    before summing, so the group totals are integer-exact regardless of
+    row order — the accounting-grade contract every double-typed sum in
+    the catalog handles by in-query rounding instead. The product
+    column exercises decimal×decimal widening (scale 4). Plan shape is
+    the ordinary partial+final hash agg; decimal sums stay inside
+    whole-stage codegen (Spark's Decimal128 arithmetic), so exactness
+    costs no plan change. Columns: (l_returnflag, sum_price,
+    sum_discounted, n)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(dp).cast("double"), 2).alias("sum_price"),
+        F.round(F.sum(dp * dd).cast("double"), 4).alias("sum_discounted"),
+        F.count(F.lit(1)).alias("n"),
+    )
