@@ -4198,6 +4198,117 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "weighted_median_price_sharded",
+    # identical semantics to weighted_median_price (provably: the price
+    # bucketization is monotone in the window order, so carry-in +
+    # within-bucket cumsum equals the global cumsum at every row of the
+    # chosen bucket) — the oracle IS the global rule
+    oracle="""
+    WITH w AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS wi
+               FROM lineitem),
+    c AS (SELECT l_returnflag, l_extendedprice,
+                 sum(wi) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(wi) OVER (PARTITION BY l_returnflag) AS tw
+          FROM w),
+    p AS (SELECT l_returnflag, l_extendedprice, tw,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cw, l_extendedprice) AS rn
+          FROM c WHERE 2 * cw >= tw)
+    SELECT l_returnflag,
+           round(l_extendedprice, 2) AS weighted_median_price,
+           CAST(tw AS BIGINT) AS total_weight_cents
+    FROM p WHERE rn = 1
+    """,
+)
+def weighted_median_price_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale form of weighted_median_price — same answer,
+    no per-flag total sort. weighted_median_price's one caveat is that
+    its cum-weight window is a 3-partition total order (30 M rows sort
+    on 3 tasks at sf5). This twin replaces the big sort with the
+    two-phase range-bucket rule:
+
+      1. bucket every row by floor(price_cents / W) and hash-aggregate
+         per-bucket weight totals (map-side partial agg; the shuffle is
+         flags × ~1000 buckets, not the corpus);
+      2. a window over that TINY bucket table finds, per flag, the
+         first bucket whose cumulative weight reaches half the total,
+         plus the exact carry-in weight of all earlier buckets;
+      3. a broadcast semi-join prunes the corpus to ONLY the chosen
+         bucket per flag (~1/1000 of the rows), and the original
+         cum-weight rule runs inside it with the carry-in added — bit
+         identical to the global rule because bucketing is monotone in
+         the (price, orderkey, linenumber) window order.
+
+    At 100 TB the sorted fraction shrinks with the bucket width dial
+    (or recurses: re-bucket the chosen bucket) while phases 1–2 stay
+    one scan + one tiny shuffle. Columns: (l_returnflag,
+    weighted_median_price, total_weight_cents)."""
+    W_CENTS = 10_000  # $100-wide price buckets → ~1000 buckets per flag
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wi"),
+        F.floor(
+            F.round(F.col("l_extendedprice") * 100).cast("long") / W_CENTS
+        ).alias("pb"),
+    )
+    bw = w.groupBy("l_returnflag", "pb").agg(F.sum("wi").alias("bw"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bw.select(
+        "l_returnflag",
+        "pb",
+        "bw",
+        F.sum("bw").over(wcum).alias("cbw"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    first_bucket = Window.partitionBy("l_returnflag").orderBy("pb")
+    chosen = (
+        cum.filter(2 * F.col("cbw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(first_bucket))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "pb",
+            (F.col("cbw") - F.col("bw")).alias("carry"),
+            "tw",
+        )
+    )
+    cand = w.join(F.broadcast(chosen), ["l_returnflag", "pb"])
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = cand.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("carry") + F.sum("wi").over(wo)).alias("cw"),
+        "tw",
+    ).filter(2 * F.col("cw") >= F.col("tw"))
+    wr = Window.partitionBy("l_returnflag").orderBy("cw", "l_extendedprice")
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice"), 2).alias("weighted_median_price"),
+            F.col("tw").cast("long").alias("total_weight_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "fk_integrity_audit",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS edge,

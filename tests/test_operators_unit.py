@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from mapreduce_itwiki_spark.operators import dedup, multimodal, similarity
 from mapreduce_itwiki_spark.sources.parquet import load_table
 
-from conftest import SF_SMALL
+from conftest import SF_ORACLE, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -2455,3 +2455,22 @@ def test_ivfpq_retrain_remeasure_nlist(spark, tmp_path):
         similarity.PQ_M,
         similarity.PQ_SUB,
     )
+
+
+def test_weighted_median_sharded_equals_unsharded(spark):
+    """weighted_median_price_sharded is bit-identical to the global
+    cum-weight rule: the price bucketization is monotone in the window
+    order, so carry-in + within-bucket cumsum equals the global cumsum
+    at every row of the chosen bucket (the shared oracle proves the
+    same against DuckDB; this pins the Spark twins against each other,
+    including the exact total_weight_cents)."""
+    from mapreduce_itwiki_spark.plans import catalog
+
+    qs = catalog.queries()
+    for sf in (SF_SMALL, SF_ORACLE):
+        a = sorted(tuple(r) for r in qs["weighted_median_price"](spark, sf).collect())
+        b = sorted(
+            tuple(r)
+            for r in qs["weighted_median_price_sharded"](spark, sf).collect()
+        )
+        assert a == b and len(a) == 3
