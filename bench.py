@@ -131,6 +131,10 @@ HEADLINE = [
     # the production-scale twin: range-bucketed two-phase rule, no
     # per-flag total sort (sf5tab 18.3 -> 3.7 s)
     "weighted_median_price_sharded",
+    # round 10 third batch: dense-grid regularization and the
+    # grid-bucketed spatial nearest-neighbor join
+    "timeseries_gap_fill",
+    "grid_nearest_supplier",
 ]
 
 

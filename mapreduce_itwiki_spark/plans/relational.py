@@ -4465,3 +4465,281 @@ def decimal_exact_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dp * dd).cast("double"), 4).alias("sum_discounted"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "timeseries_gap_fill",
+    # the hour grid is generated from the observed span (sequence /
+    # generate_series), so empty hours surface as rows; averages go
+    # through integer cents before the one rounded division, and the
+    # forward-fill is last_value(IGNORE NULLS) on both engines
+    oracle="""
+    WITH h AS (SELECT event_type,
+                      CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    agg AS (SELECT event_type, hour_id, count(*) AS n, sum(vc) AS s
+            FROM h GROUP BY 1, 2),
+    span AS (SELECT min(hour_id) AS h0, max(hour_id) AS h1 FROM h),
+    grid AS (SELECT t.event_type, g.hour_id
+             FROM (SELECT DISTINCT event_type FROM h) t,
+                  (SELECT unnest(generate_series(h0, h1)) AS hour_id
+                   FROM span) g),
+    f AS (SELECT g.event_type, g.hour_id,
+                 coalesce(a.n, 0) AS n_events,
+                 round(CAST(a.s AS DOUBLE) / (100.0 * a.n), 4) AS avg_obs
+          FROM grid g LEFT JOIN agg a USING (event_type, hour_id))
+    SELECT event_type, hour_id, n_events,
+           last_value(avg_obs IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_value_ffill
+    FROM f
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense per-type hourly grid over the
+    observed span, zero-filled counts, and forward-filled hourly
+    averages — the regularization step every downstream
+    window/forecast/anomaly operator assumes and the one shape the
+    battery's time-series family didn't yet cover (hours with NO events
+    simply don't exist as rows until something generates them).
+
+    Plan: hourly hash agg (map-side combined), a 1-row span aggregate
+    broadcast under the distinct-types frame, sequence()+explode to
+    mint the grid (types x hours rows — KEYS, not data; at 100 TB the
+    grid is still |types| x |hours|, independent of event count), left
+    join the hourly agg back, then one per-type window for the
+    last(ignorenulls) forward fill. Averages are exact integer cents
+    until a single rounded division; hours before the first observation
+    stay NULL on both engines. Columns: (event_type, hour_id, n_events,
+    avg_value_ffill)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_id = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    h = ev.select(
+        "event_type",
+        hour_id.alias("hour_id"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    agg = h.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+    )
+    span = h.agg(F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1"))
+    grid = (
+        h.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id"),
+        )
+    )
+    f = grid.join(agg, ["event_type", "hour_id"], "left").select(
+        "event_type",
+        "hour_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 4).alias(
+            "avg_obs"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return f.select(
+        "event_type",
+        "hour_id",
+        "n_events",
+        F.last("avg_obs", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "grid_nearest_supplier",
+    # coordinates are md5-coin integer microdegrees (the engine-portable
+    # recipe), distance is exact BIGINT squared euclidean, and the
+    # eligibility rule (chebyshev < CELL) makes the 3x3-neighborhood
+    # join provably complete — the oracle can therefore use the naive
+    # quadratic form and must match bit for bit
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                 ('0x' || substr(md5('lat:' || c_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 180000000 AS lat,
+                 ('0x' || substr(md5('lon:' || c_custkey::VARCHAR), 1, 15))::BIGINT
+                   % 360000000 AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 ('0x' || substr(md5('slat:' || s_suppkey::VARCHAR), 1, 15))::BIGINT
+                   % 180000000 AS lat,
+                 ('0x' || substr(md5('slon:' || s_suppkey::VARCHAR), 1, 15))::BIGINT
+                   % 360000000 AS lon
+          FROM supplier),
+    pairs AS (SELECT c.c_custkey, s.s_suppkey,
+                     (c.lat - s.lat) * (c.lat - s.lat)
+                       + (c.lon - s.lon) * (c.lon - s.lon) AS dist2,
+                     row_number() OVER (PARTITION BY c.c_custkey
+                                        ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                                               + (c.lon - s.lon) * (c.lon - s.lon),
+                                                 s.s_suppkey) AS rn
+              FROM c JOIN s
+                ON abs(c.lat - s.lat) < 10000000
+               AND abs(c.lon - s.lon) < 10000000)
+    SELECT c_custkey, s_suppkey, dist2
+    FROM pairs WHERE rn = 1
+    """,
+)
+def grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join: each customer's
+    nearest supplier among those within one cell width (chebyshev
+    < CELL microdegrees) on a synthetic integer plane — the standard
+    way to do a spatial join without a cross product. Coordinates are
+    md5-coin microdegrees in [0, 180M) x [0, 360M) (planar, no
+    wraparound — documented simplification); distances are exact BIGINT
+    squared euclidean, so there is no float in the ranking at all.
+
+    Plan: both sides bucket to CELL-wide grid cells with integer
+    division; the SMALL side (suppliers) explodes to its 3x3 cell
+    neighborhood and broadcasts, so the join is an equi-join on
+    (cx, cy) — candidates per customer are bounded by cell occupancy,
+    never by corpus size. Completeness is provable, not sampled: if
+    |dlat| < CELL then the cell indices differ by at most 1 (floor is
+    monotone), so every eligible supplier lands in the neighborhood.
+    At 100 TB both sides shuffle-partition by cell instead of the
+    broadcast, same plan shape; skewed cells shard exactly like the LSH
+    bucket caps. Columns: (c_custkey, s_suppkey, dist2)."""
+    CELL = 10_000_000  # 10-degree cells in microdegrees
+
+    def coin(prefix: str, key: F.Column, mod: int) -> F.Column:
+        cell = F.concat(F.lit(prefix), key.cast("string"))
+        return (
+            F.conv(F.substring(F.md5(cell), 1, 15), 16, 10).cast("long") % mod
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coin("lat:", F.col("c_custkey"), 180_000_000).alias("lat"),
+        coin("lon:", F.col("c_custkey"), 360_000_000).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coin("slat:", F.col("s_suppkey"), 180_000_000).alias("lat"),
+        coin("slon:", F.col("s_suppkey"), 360_000_000).alias("lon"),
+    )
+    cust = cust.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(f"lat DIV {CELL}").alias("cx"),
+        F.expr(f"lon DIV {CELL}").alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    scand = (
+        supp.select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            offsets,
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.expr(f"s_lat DIV {CELL}") + F.col("o.dx")).alias("cx"),
+            (F.expr(f"s_lon DIV {CELL}") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    cand = cust.join(F.broadcast(scand), ["cx", "cy"]).filter(
+        (F.abs(F.col("lat") - F.col("s_lat")) < CELL)
+        & (F.abs(F.col("lon") - F.col("s_lon")) < CELL)
+    )
+    dlat = F.col("lat") - F.col("s_lat")
+    dlon = F.col("lon") - F.col("s_lon")
+    ranked = cand.select(
+        "c_custkey",
+        "s_suppkey",
+        (dlat * dlat + dlon * dlon).alias("dist2"),
+    )
+    wr = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        ranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "dist2")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "rolling_hour_peak",
+    # a RANGE frame over integer epoch seconds — the event-time sliding
+    # window in batch form; peers (equal timestamps) are in-frame on
+    # both engines, sums are BIGINT cents
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS es,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    r AS (SELECT user_id,
+                 sum(vc) OVER (PARTITION BY user_id ORDER BY es
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS roll_cents,
+                 count(*) OVER (PARTITION BY user_id ORDER BY es
+                                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS roll_n
+          FROM e)
+    SELECT user_id,
+           max(roll_cents) AS peak_hour_cents,
+           CAST(max(roll_n) AS BIGINT) AS peak_hour_events
+    FROM r GROUP BY user_id
+    """,
+)
+def rolling_hour_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user peak trailing-hour load via a RANGE window frame over
+    integer epoch seconds — the event-time sliding window expressed in
+    batch (`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`), the one
+    window-frame kind (value-range rather than row-count) the battery's
+    window family didn't yet exercise. Peers — events sharing a
+    timestamp — are all in-frame by RANGE semantics, identically on
+    both engines; sums are BIGINT cents so the peak is exact.
+
+    Plan: one shuffle on user_id, one sort per partition, both rolling
+    aggregates computed in the same window pass, then an ordinary hash
+    agg for the per-user max — no self-join (the naive form is
+    events x events ON ts BETWEEN), no explode-per-second. At 100 TB
+    it scales as any per-user cumsum; a single hot user shards by time
+    range exactly like the sharded weighted median. Columns: (user_id,
+    peak_hour_cents, peak_hour_events)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    r = e.select(
+        "user_id",
+        F.sum("vc").over(w).alias("roll_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("roll_cents").alias("peak_hour_cents"),
+        F.max("roll_n").cast("long").alias("peak_hour_events"),
+    )
