@@ -135,6 +135,11 @@ HEADLINE = [
     # grid-bucketed spatial nearest-neighbor join
     "timeseries_gap_fill",
     "grid_nearest_supplier",
+    # round 10 fourth batch: SCD2 derivation and the SHARDED sweep-line
+    # (the unsharded twin stays out of the bench on purpose — its
+    # |types|-partition sort is the documented anti-cost)
+    "scd2_user_segments",
+    "max_concurrent_sessions_sharded",
 ]
 
 

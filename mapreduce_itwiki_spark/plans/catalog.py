@@ -324,6 +324,16 @@ _R10_ROTATION: tuple[str, ...] = (
     "python_datasource_sink",
     "streaming_seasonal_anomaly",
 )
+# r11 rotation should lead with the 14 entries created AFTER this
+# rotation froze (never driver-checked once CORRECTNESS_r10 lands):
+# ann_ingest_multiprobe2_verdicts, doc_ngram_novelty,
+# kmeans_elbow_inertia, degree_distribution_log2, cusum_changepoint,
+# ntile_quartile_profile, weighted_median_price,
+# weighted_median_price_sharded, fk_integrity_audit,
+# null_safe_join_counts, decimal_exact_aggregation,
+# timeseries_gap_fill, grid_nearest_supplier, rolling_hour_peak,
+# max_concurrent_sessions, max_concurrent_sessions_sharded,
+# scd2_user_segments.
 
 _PRIORITY = tuple(
     n

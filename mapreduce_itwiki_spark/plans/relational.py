@@ -4743,3 +4743,272 @@ def rolling_hour_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("roll_cents").alias("peak_hour_cents"),
         F.max("roll_n").cast("long").alias("peak_hour_events"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "max_concurrent_sessions",
+    # the sweep line: every interval becomes (+1 at start, -1 at end),
+    # one ordered running sum per type gives concurrency at every
+    # boundary; ends sort before starts at the same instant (delta
+    # ascending) = half-open [start, end) on both engines, all-integer
+    oracle="""
+    WITH iv AS (SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS t0,
+                       CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS t1
+                FROM events),
+    pts AS (SELECT event_type, t0 AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, t1 AS t, -1 AS delta FROM iv),
+    sweep AS (SELECT event_type, t, delta,
+                     sum(delta) OVER (PARTITION BY event_type
+                                      ORDER BY t, delta
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+              FROM pts),
+    peak AS (SELECT event_type, t AS peak_at_us, conc,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY conc DESC, t, delta) AS rn
+             FROM sweep)
+    SELECT event_type,
+           CAST(conc AS BIGINT) AS peak_concurrency,
+           peak_at_us
+    FROM peak WHERE rn = 1
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type by sweep line — each
+    event opens a 30-minute half-open interval [ts, ts+30min); the
+    answer is the classic +1/-1 boundary-point running sum, NOT the
+    naive interval self-join (events x events ON overlap), which is
+    quadratic in the hot window. Ends sort before starts at the same
+    microsecond (delta ascending under the window order), which IS the
+    half-open convention; everything is integer microseconds so the
+    peak and its first-reached timestamp are exact on both engines.
+
+    Plan: a 2x explode (union of start/end points), one shuffle on
+    event_type, one in-partition ordered cumsum, then a rank for the
+    earliest peak — linear in events, same shape at 100 TB (a single
+    hot type sub-shards by time range with per-range carry-in, exactly
+    the sharded-weighted-median idiom). Columns: (event_type,
+    peak_concurrency, peak_at_us)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "event_type",
+        us.alias("t0"),
+        (us + F.lit(1_800_000_000)).alias("t1"),
+    )
+    pts = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    wsweep = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = pts.select(
+        "event_type",
+        "t",
+        "delta",
+        F.sum("delta").over(wsweep).alias("conc"),
+    )
+    wpeak = Window.partitionBy("event_type").orderBy(
+        F.col("conc").desc(), "t", "delta"
+    )
+    return (
+        sweep.withColumn("rn", F.row_number().over(wpeak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("conc").cast("long").alias("peak_concurrency"),
+            F.col("t").alias("peak_at_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_segments",
+    # SCD type-2 derivation: collapse consecutive repeats with a
+    # lag()-change flag, open validity intervals with lead(); the final
+    # rollup keeps the output bounded while the interval math stays the
+    # audited core. The last (open-ended) segment of each user is
+    # excluded from dwell time — stated, not implied.
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+               FROM events),
+    chg AS (SELECT user_id, event_type, us, event_id,
+                   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS is_change
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    seg AS (SELECT user_id, event_type, us AS valid_from_us,
+                   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     AS valid_to_us
+            FROM chg WHERE is_change = 1)
+    SELECT user_id, event_type,
+           count(*) AS n_segments,
+           coalesce(sum(valid_to_us - valid_from_us), 0) AS total_dwell_us
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) derivation from a change
+    log: per user, the event_type attribute's validity intervals —
+    consecutive repeats collapse via a lag() change flag, then lead()
+    on the surviving change rows opens [valid_from, valid_to) for each
+    segment (the standard SCD2 build every warehouse runs on CDC
+    input). The registered output rolls the interval table up to
+    (user, value) segment counts + total dwell so the result stays
+    bounded; each user's final open-ended segment contributes a
+    segment count but no dwell (NULL lead → excluded by the SUM,
+    coalesced to 0 — the stated convention).
+
+    Plan: two windows over the same (user_id, time) sort — Spark
+    executes both in ONE shuffle + sort since the partitioning and
+    ordering agree — then a hash agg; linear at any scale, and the
+    change-collapse means state is per-user O(changes), not O(events).
+    Columns: (user_id, event_type, n_segments, total_dwell_us)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    worder = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(worder).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = (
+        chg.filter(F.col("is_change") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(wlead).alias("valid_to_us"),
+        )
+    )
+    return seg.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.coalesce(
+            F.sum(F.col("valid_to_us") - F.col("valid_from_us")), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_dwell_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "max_concurrent_sessions_sharded",
+    # identical semantics to max_concurrent_sessions (provably: hourly
+    # bucketing is monotone in the (t, delta) sweep order within a
+    # type, so carry-in + within-bucket cumsum equals the global
+    # running sum at every boundary point) — the oracle IS the global
+    # sweep
+    oracle="""
+    WITH iv AS (SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS t0,
+                       CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS t1
+                FROM events),
+    pts AS (SELECT event_type, t0 AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, t1 AS t, -1 AS delta FROM iv),
+    sweep AS (SELECT event_type, t, delta,
+                     sum(delta) OVER (PARTITION BY event_type
+                                      ORDER BY t, delta
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+              FROM pts),
+    peak AS (SELECT event_type, t AS peak_at_us, conc,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY conc DESC, t, delta) AS rn
+             FROM sweep)
+    SELECT event_type,
+           CAST(conc AS BIGINT) AS peak_concurrency,
+           peak_at_us
+    FROM peak WHERE rn = 1
+    """,
+)
+def max_concurrent_sessions_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale twin of max_concurrent_sessions — same
+    answer, no per-type total sort. The plain sweep's running sum is
+    one ordered window per event_type: |types| partitions no matter the
+    corpus. This twin shards the sweep by hour bucket:
+
+      1. per (type, hour) boundary-point delta totals — a map-side
+         combined hash agg to a TINY table;
+      2. a window over that table gives each bucket its carry-in (the
+         concurrency entering the hour);
+      3. the per-point running sum runs WITHIN each (type, hour)
+         partition — types x hours parallelism — with the carry-in
+         added, bit-identical to the global sweep because hourly
+         bucketing is monotone in the (t, delta) order;
+      4. the per-type peak is an ordinary hash-agg argmax over bucket
+         peaks (max of a (conc, -t, -delta) struct, so the
+         earliest-peak tie rule survives the merge).
+
+    Columns: (event_type, peak_concurrency, peak_at_us)."""
+    BUCKET_US = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "event_type",
+        us.alias("t0"),
+        (us + F.lit(1_800_000_000)).alias("t1"),
+    )
+    pts = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("b", F.expr(f"t DIV {BUCKET_US}"))
+    bsum = pts.groupBy("event_type", "b").agg(F.sum("delta").alias("bd"))
+    wcarry = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bsum.select(
+        "event_type",
+        "b",
+        F.coalesce(F.sum("bd").over(wcarry), F.lit(0)).alias("carry"),
+    )
+    wlocal = (
+        Window.partitionBy("event_type", "b")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = pts.join(F.broadcast(carry), ["event_type", "b"]).select(
+        "event_type",
+        "t",
+        "delta",
+        (F.col("carry") + F.sum("delta").over(wlocal)).alias("conc"),
+    )
+    best = sweep.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("conc"), (-F.col("t")).alias("nt"), (-F.col("delta")).alias("nd")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.conc").cast("long").alias("peak_concurrency"),
+        (-F.col("m.nt")).alias("peak_at_us"),
+    )
