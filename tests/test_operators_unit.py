@@ -2474,3 +2474,88 @@ def test_weighted_median_sharded_equals_unsharded(spark):
             for r in qs["weighted_median_price_sharded"](spark, sf).collect()
         )
         assert a == b and len(a) == 3
+
+
+def test_sharded_twins_on_adversarial_data(spark, tmp_path):
+    """The sharded twins must equal their global-rule originals on data
+    the fixed testdata can't produce: prices exactly ON bucket
+    boundaries, runs of equal prices straddling the half-weight point,
+    2*cw == tw landing exactly on a row, events at identical
+    timestamps, and interval ends aligned to the hour-bucket edges.
+    Bucket monotonicity proves equality; this pins it against
+    regressions in the carry-in / tie-break plumbing."""
+    import datetime
+
+    from mapreduce_itwiki_spark.plans import catalog
+
+    qs = catalog.queries()
+
+    # --- weighted median: boundary + tie torture table -------------
+    rows = []
+    # flag A: every price a multiple of $100 (bucket boundary), equal
+    # prices repeated, weights chosen so 2*cw == tw exactly mid-run
+    for i, (price, qty) in enumerate(
+        [(100.0, 1.0), (100.0, 1.0), (200.0, 2.0), (300.0, 4.0), (300.0, 4.0)]
+    ):
+        rows.append(("A", price, i + 1, 1, qty))
+    # flag B: single row; flag C: all rows one price, huge weights
+    rows.append(("B", 12345.67, 100, 1, 7.25))
+    for i in range(6):
+        rows.append(("C", 9999.99, 200 + i, 1, 50.0))
+    # flag E: 2*cw == tw EXACTLY on the first row (the >= knife edge,
+    # hit in both the row rule and the bucket-choice rule)
+    rows.append(("E", 100.0, 500, 1, 1.0))
+    rows.append(("E", 200.0, 501, 1, 1.0))
+    # flag D: seeded pseudo-random grid with many exact repeats
+    for i in range(400):
+        price = [100.0, 150.0, 199.99, 200.0, 200.01, 5000.0][(i * 7) % 6]
+        qty = [0.5, 1.0, 2.5, 10.0][(i * 13) % 4]
+        rows.append(("D", price, 1000 + i, (i % 3) + 1, qty))
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_orderkey long, "
+        "l_linenumber int, l_quantity double",
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+    a = sorted(tuple(r) for r in qs["weighted_median_price"](spark, sf).collect())
+    b = sorted(
+        tuple(r) for r in qs["weighted_median_price_sharded"](spark, sf).collect()
+    )
+    assert a == b and len(a) == 5
+    assert [r for r in a if r[0] == "E"][0][1] == 100.0
+
+    # --- sweep line: tie + bucket-edge torture events --------------
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    ev = []
+    eid = 0
+
+    def add(minute_offset, etype, n=1):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            ev.append(
+                (eid, base + datetime.timedelta(minutes=minute_offset), eid % 7, etype, 1.0, "{}")
+            )
+
+    add(0, "x", 5)          # 5 intervals opening at the exact hour edge
+    add(30, "x", 3)         # opening exactly when the first five END
+    add(30.0, "x")          # more ties at the same boundary instant
+    add(90, "x", 4)         # next bucket, ends at 120 = bucket edge
+    add(0, "y")             # singleton type
+    for i in range(200):    # seeded grid: 15-min lattice → massive ties
+        add(15 * ((i * 11) % 16), "z")
+    edf = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    edf.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    c = sorted(
+        tuple(r) for r in qs["max_concurrent_sessions"](spark, sf).collect()
+    )
+    d = sorted(
+        tuple(r)
+        for r in qs["max_concurrent_sessions_sharded"](spark, sf).collect()
+    )
+    assert c == d and len(c) == 3
