@@ -4501,10 +4501,12 @@ def decimal_exact_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill: a dense per-type hourly grid over the
     observed span, zero-filled counts, and forward-filled hourly
-    averages — the regularization step every downstream
-    window/forecast/anomaly operator assumes and the one shape the
-    battery's time-series family didn't yet cover (hours with NO events
-    simply don't exist as rows until something generates them).
+    averages. `date_spine_gapfill` covers the literal-spine +
+    zero-fill half; this entry adds the other half of regularization:
+    the spine derived FROM the data (min/max span aggregate, so no
+    hand-maintained range), per-group grids, and forward fill via
+    last(ignorenulls) — the carry-forward rule downstream
+    window/forecast/anomaly operators assume.
 
     Plan: hourly hash agg (map-side combined), a 1-row span aggregate
     broadcast under the distinct-types frame, sequence()+explode to
@@ -4707,12 +4709,15 @@ def grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_hour_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user peak trailing-hour load via a RANGE window frame over
-    integer epoch seconds — the event-time sliding window expressed in
-    batch (`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`), the one
-    window-frame kind (value-range rather than row-count) the battery's
-    window family didn't yet exercise. Peers — events sharing a
-    timestamp — are all in-frame by RANGE semantics, identically on
-    both engines; sums are BIGINT cents so the peak is exact.
+    integer epoch seconds (`RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    ROW`). `window_range_frame` (training_data.py) already exercises
+    the trailing-sum RANGE frame itself; what this entry adds is the
+    PEAK question asked of it — two rolling aggregates (sum + count)
+    in one window pass, then a per-user max rollup, the "peak
+    concurrent load" shape capacity planning asks for. Peers — events
+    sharing a timestamp — are all in-frame by RANGE semantics,
+    identically on both engines; sums are BIGINT cents so the peak is
+    exact.
 
     Plan: one shuffle on user_id, one sort per partition, both rolling
     aggregates computed in the same window pass, then an ordinary hash
@@ -4862,7 +4867,9 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive repeats collapse via a lag() change flag, then lead()
     on the surviving change rows opens [valid_from, valid_to) for each
     segment (the standard SCD2 build every warehouse runs on CDC
-    input). The registered output rolls the interval table up to
+    input). The complementary half of `scd2_segment_upsert`: that
+    entry MAINTAINS an existing SCD2 table under a merge batch; this
+    one DERIVES the segments from the raw log in the first place. The registered output rolls the interval table up to
     (user, value) segment counts + total dwell so the result stays
     bounded; each user's final open-ended segment contributes a
     segment count but no dwell (NULL lead → excluded by the SUM,
