@@ -71,6 +71,25 @@ def get_spark(app_name: str = "mapreduce_itwiki_spark", cpus: int | str | None =
             ).strip(),
         )
         .config("spark.ui.enabled", "false")
+        # Local-mode JVM-suicide guard (r10): the virtualization host
+        # shows multi-second CPU-steal stalls (TUNING.md). One stalled
+        # heartbeat makes HeartbeatReceiver ask the executor to
+        # re-register, and in local mode that re-registration can NEVER
+        # succeed — BlockManagerMasterEndpoint verifies executor
+        # liveness against the CoarseGrainedScheduler endpoint, which
+        # does not exist in local mode — so every subsequent heartbeat
+        # fails ("Cannot find endpoint: spark://CoarseGrainedScheduler@
+        # …") and after spark.executor.heartbeat.maxFailures (default
+        # 60, ≈10 min at the 10 s interval) the executor System.exit()s
+        # the SHARED driver JVM mid-run. Observed killing 3 of 4 full
+        # test-suite runs at round-10 start, each ~10 min in at a
+        # different test. In a single-JVM local run "the driver is
+        # unreachable, give up" is never the right conclusion, so the
+        # failure cap is effectively disabled and the RPC ask timeout
+        # is sized to ride out steal bursts. Cluster deployments keep
+        # their own defaults — these only bind in this local profile.
+        .config("spark.executor.heartbeat.maxFailures", "100000")
+        .config("spark.network.timeout", "600s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
