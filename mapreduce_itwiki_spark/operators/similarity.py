@@ -56,6 +56,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
+from ..functions.inline import values_df
 
 NUM_HYPERPLANES = 16  #: sign bits per vector
 LSH_BANDS = 4  #: disjoint bands; candidates share >=1 full band
@@ -567,7 +568,8 @@ def ann_index_write(
     sharded_band_rows(emb, max_bucket=max_bucket, band_bits=band_bits).withColumn(
         "pkey", F.concat_ws("_", F.col("band_id"), F.col("band_key"))
     ).write.mode("overwrite").partitionBy("pkey").parquet(path)
-    geo = emb.sparkSession.createDataFrame(
+    geo = values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        emb.sparkSession,
         [(int(band_bits), LSH_BANDS, int(max_bucket))],
         "band_bits int, lsh_bands int, max_bucket int",
     )
@@ -1142,10 +1144,16 @@ def ann_index_multiprobe_batch_topk(
     rows = [(q, p, 0) for q, p in probe_pairs] + [
         (r.qid, r.pkey, r.shard) for r in own_rows
     ]
-    probes = spark.createDataFrame(
+    # JVM inline table (r10): createDataFrame on a Python list is a
+    # Python-RDD scan — every action re-pays a Python worker round
+    # trip; values_df parses one VALUES text server-side instead. The
+    # rows are set-deduplicated driver-side, so the old .distinct()
+    # exchange was pure cost.
+    probes = values_df(
+        spark,
         sorted(set(rows)) or [(None, "__none__", -1)],
         "qid long, pkey string, shard long",
-    ).distinct()
+    )
     cand = (
         idx.filter(F.col("pkey").isin(pkeys))  # static partition pruning
         .join(F.broadcast(probes), ["pkey", "shard"])
@@ -1216,7 +1224,8 @@ def ann_index_batch_topk(
         .select("qid", "pkey", "shard")
         .collect()
     )
-    probes = spark.createDataFrame(
+    probes = values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        spark,
         [(r.qid, r.pkey, r.shard) for r in probe_rows] or [(None, "__none__", -1)],
         "qid long, pkey string, shard long",
     )
@@ -1456,12 +1465,18 @@ def ivf_centroids(
         c0 = base.filter(F.col("vec_id") < nlist).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    # argmin as a MIN over (d, cid, v) structs (r10, the pq_codebooks /
+    # ivf_centroid_grid idiom replacing the row_number window): the
+    # min partial-aggregates MAP-SIDE, so the exchange carries ONE row
+    # per training vector instead of nlist rows + a per-partition sort
+    # — same (d, cid) argmin, v never participates in the comparison
+    # (cid is unique within a group)
     a1 = (
         base.crossJoin(F.broadcast(c0))
         .select("vec_id", "cid", "v", sq_dist(F.col("v"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid", "v")).alias("m"))
+        .select(F.col("m.cid").alias("cid"), F.col("m.v").alias("v"))
     )
     return (
         a1.select("cid", F.posexplode("v").alias("pos0", "val"))
@@ -1480,18 +1495,20 @@ def ivf_centroids(
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Inverted-list assignment: (vec_id, cid) — each vector to its
     nearest centroid (rounded distance, cid tie-break). Broadcast
-    centroids + windowed argmin partitioned by vec_id: one map-heavy
-    stage, shuffle ∝ corpus rows × 1 (the argmin window), never a
-    corpus×corpus join. At 100 TB this output IS the index: persist it
-    partitioned by cid so a query scans only its nprobe cells."""
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    centroids + a MIN over (d, cid) structs (r10 — lexicographic struct
+    comparison equals the old row_number-over-(d, cid) window): one
+    map-heavy stage whose argmin partial-aggregates MAP-SIDE, so the
+    exchange carries one slim row per vector instead of nlist rows plus
+    a per-partition sort; never a corpus×corpus join. At 100 TB this
+    output IS the index: persist it partitioned by cid so a query scans
+    only its nprobe cells."""
     return (
         emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
         .crossJoin(F.broadcast(centroids))
         .select("vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
     )
 
 
@@ -2255,8 +2272,8 @@ def ivf_index_write(
     # training-parameter sidecar (r8): what ivf_index_retrain replays —
     # a retrain must use the SAME nlist/sample coin the original build
     # chose, or "retrain" silently becomes "re-geometry"
-    meta = emb.sparkSession.createDataFrame(
-        [(int(nlist), sample_mod)], "nlist int, sample_mod int"
+    meta = values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        emb.sparkSession, [(int(nlist), sample_mod)], "nlist int, sample_mod int"
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
@@ -2897,7 +2914,8 @@ def ivfpq_index_write(
     codes.join(lists, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(
         f"{path}/codes"
     )
-    meta = spark.createDataFrame(
+    meta = values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        spark,
         [(nlist, sample_mod, by_residual, pq_m, pq_sub, pq_codes)],
         "nlist int, sample_mod int, by_residual boolean, pq_m int,"
         " pq_sub int, pq_codes int",
@@ -3410,8 +3428,8 @@ def ivfpq_index_topk(
             for cid in cids
             for s in range(pq_m)
         ]
-        qsub = spark.createDataFrame(
-            qsub_rows, "pcell bigint, s int, qsv array<double>"
+        qsub = values_df(  # JVM inline table, not a Python-RDD scan (r10)
+            spark, qsub_rows, "pcell bigint, s int, qsv array<double>"
         )
         dt = qsub.join(books, "s").select(
             "pcell",
@@ -3430,7 +3448,7 @@ def ivfpq_index_topk(
         qsub_rows = [
             (s, qv[s * pq_sub : (s + 1) * pq_sub]) for s in range(pq_m)
         ]
-        qsub = spark.createDataFrame(qsub_rows, "s int, qsv array<double>")
+        qsub = values_df(spark, qsub_rows, "s int, qsv array<double>")
         dt = qsub.join(books, "s").select(
             "s",
             "code",

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.inline import values_df
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -2179,7 +2180,8 @@ def observed_metrics_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.mode("overwrite").format("noop").save()
     m = obs.get
-    return spark.createDataFrame(
+    return values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        spark,
         [
             (
                 int(m["n_rows"]),

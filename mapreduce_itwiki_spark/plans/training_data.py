@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
+from ..functions.inline import values_df
 from ..sources.parquet import load_table
 from .catalog import register
 
@@ -1540,7 +1541,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     merges = train_bpe(docs, BPE_TRAIN_ROUNDS)
-    return spark.createDataFrame(
+    return values_df(  # JVM inline table, not a Python-RDD scan (r10)
+        spark,
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, left_sym string, right_sym string, pair_count long",
     )

@@ -54,6 +54,7 @@ def get_profiled_spark():
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        .config("spark.eventLog.compress", "false")
     )
     s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -74,12 +75,28 @@ def main() -> None:
     wall = time.perf_counter() - t0
     spark.stop()
 
-    logs = glob.glob(f"{EVDIR}/*")
+    logs = []
+    for p in glob.glob(f"{EVDIR}/*"):
+        if os.path.isdir(p):  # Spark 4 rolling event-log directory
+            logs.extend(
+                q for q in glob.glob(f"{p}/*") if os.path.isfile(q)
+            )
+        else:
+            logs.append(p)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     for lg in logs:
-        with open(lg) as f:
+        if os.path.basename(lg).startswith("appstatus"):
+            continue
+        opener = open
+        if lg.endswith(".zstd"):
+            import zstandard
+
+            opener = lambda p: zstandard.open(p, "rt")  # noqa: E731
+        with opener(lg) as f:
             for line in f:
+                if isinstance(line, bytes):
+                    line = line.decode("utf-8", "replace")
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
@@ -120,6 +137,10 @@ def main() -> None:
               f"stages={v['nstages']}")
     print(f"(gap = wall - sum-job = {wall - total_ms/1000:.3f}s of"
           " driver-side time between jobs)")
+    print("\nslowest stages (whole session incl. warmups):")
+    for sid, s in sorted(stages.items(), key=lambda kv: -kv[1]["ms"])[:14]:
+        print(f"stage {sid:4d}  {s['ms']/1000:7.3f}s  tasks={s['ntasks']:4d}"
+              f"  {s['name']}")
 
 
 if __name__ == "__main__":
