@@ -565,9 +565,14 @@ def ann_index_write(
         band_bits = choose_band_bits_occupancy(emb, max_bucket=max_bucket)
     if band_bits is None:
         band_bits = BAND_BITS
+    # cluster by pkey before the partitioned write (guide §6,
+    # rebalance-before-write; see minhash_index_write): one file per
+    # partition directory instead of one per (task × directory)
     sharded_band_rows(emb, max_bucket=max_bucket, band_bits=band_bits).withColumn(
         "pkey", F.concat_ws("_", F.col("band_id"), F.col("band_key"))
-    ).write.mode("overwrite").partitionBy("pkey").parquet(path)
+    ).repartition(F.col("pkey")).write.mode("overwrite").partitionBy(
+        "pkey"
+    ).parquet(path)
     geo = values_df(  # JVM inline table, not a Python-RDD scan (r10)
         emb.sparkSession,
         [(int(band_bits), LSH_BANDS, int(max_bucket))],
@@ -2266,9 +2271,12 @@ def ivf_index_write(
     )
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     lists = ivf_assign(emb, cents)
-    emb.join(lists, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/lists"
-    )
+    # cluster by cid before the partitioned write (guide §6): one file
+    # per cell directory instead of one per (task × cell); nlist is the
+    # parallelism dial (auto_nlist grows it with the corpus)
+    emb.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{path}/lists")
     # training-parameter sidecar (r8): what ivf_index_retrain replays —
     # a retrain must use the SAME nlist/sample coin the original build
     # chose, or "retrain" silently becomes "re-geometry"
@@ -2911,9 +2919,10 @@ def ivfpq_index_write(
             lambda st: st.getField("code"),
         ).alias("codes")
     )
-    codes.join(lists, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/codes"
-    )
+    # clustered partitioned write (guide §6; see ivf_index_write)
+    codes.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{path}/codes")
     meta = values_df(  # JVM inline table, not a Python-RDD scan (r10)
         spark,
         [(nlist, sample_mod, by_residual, pq_m, pq_sub, pq_codes)],
