@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..functions.inline import values_df
+from ..functions.par import run_concurrent
 
 NUM_HYPERPLANES = 16  #: sign bits per vector
 LSH_BANDS = 4  #: disjoint bands; candidates share >=1 full band
@@ -2266,17 +2267,25 @@ def ivf_index_write(
             sample_mod=sample_mod,
         )
     nlist = int(nlist)
+    # eager checkpoint: the training subtree runs ONCE, and the two
+    # independent writes below can then overlap (guide §2.6) without
+    # racing a lazy materialization
     cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
-        eager=False
+        eager=True
     )
-    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     lists = ivf_assign(emb, cents)
-    # cluster by cid before the partitioned write (guide §6): one file
-    # per cell directory instead of one per (task × cell); nlist is the
-    # parallelism dial (auto_nlist grows it with the corpus)
-    emb.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{path}/lists")
+    run_concurrent(
+        lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
+        # cluster by cid before the partitioned write (guide §6): one
+        # file per cell directory instead of one per (task × cell);
+        # nlist is the parallelism dial (auto_nlist grows it with the
+        # corpus)
+        lambda: emb.join(lists, "vec_id")
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists"),
+    )
     # training-parameter sidecar (r8): what ivf_index_retrain replays —
     # a retrain must use the SAME nlist/sample coin the original build
     # chose, or "retrain" silently becomes "re-geometry"
@@ -2868,10 +2877,13 @@ def ivfpq_index_write(
     persisted query path is result-identical to the in-DAG one and
     shares its DuckDB oracle."""
     spark = emb.sparkSession
+    # eager checkpoint so the independent writes below can overlap
+    # (guide §2.6) without racing a lazy materialization (a lazy
+    # checkpoint "forced" via count() measured SLOWER — the count is an
+    # extra pass, not a materializer)
     cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
-        eager=False
+        eager=True
     )
-    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     lists = ivf_assign(emb, cents)
     if by_residual:
         base = (
@@ -2890,7 +2902,7 @@ def ivfpq_index_write(
     sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
     books = pq_codebooks(
         sub, sample_mod=sample_mod, pq_codes=pq_codes
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # dense per-subspace code ids: the oracle-visible codebook keys stay
     # the raw seed cids; the STORED code is their per-s rank, a
     # bijection — what makes the byte-width claim true without leaking
@@ -2899,7 +2911,6 @@ def ivfpq_index_write(
     books_disk = books.withColumn(
         "code", (F.row_number().over(wb) - 1).cast("tinyint")
     )
-    books_disk.write.mode("overwrite").parquet(f"{path}/_codebooks")
     enc = (
         sub.join(F.broadcast(books_disk), "s")
         .select(
@@ -2919,10 +2930,19 @@ def ivfpq_index_write(
             lambda st: st.getField("code"),
         ).alias("codes")
     )
-    # clustered partitioned write (guide §6; see ivf_index_write)
-    codes.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{path}/codes")
+    run_concurrent(
+        lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
+        lambda: books_disk.write.mode("overwrite").parquet(
+            f"{path}/_codebooks"
+        ),
+        # clustered partitioned write (guide §6; see ivf_index_write)
+        lambda: codes.join(lists, "vec_id")
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/codes"),
+    )
+    # _meta stays LAST — it is the build-completion marker (ADVICE r7)
     meta = values_df(  # JVM inline table, not a Python-RDD scan (r10)
         spark,
         [(nlist, sample_mod, by_residual, pq_m, pq_sub, pq_codes)],
