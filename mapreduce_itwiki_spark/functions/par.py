@@ -17,6 +17,22 @@ from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 
 
+def fanout(df, *cols: str):
+    """Gated repartition before CPU-heavy per-row compute (the
+    ``dedup._fanout`` idiom, shared): when the upstream source arrives
+    as fewer splits than ``defaultParallelism`` — the normal state of a
+    few-MB local parquet scan, where hashing would otherwise run on ONE
+    task — repartition to the session parallelism; when the input is
+    already split at least that wide (a real at-scale scan), the
+    exchange is pure cost and is skipped."""
+    from pyspark.sql import functions as F
+
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def run_concurrent(*thunks: Callable[[], object]) -> list[object]:
     """Run the given zero-arg actions concurrently; return their
     results in order; raise the first exception (after all complete or

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..functions.inline import values_df
-from ..functions.par import run_concurrent
+from ..functions.par import fanout, run_concurrent
 
 NUM_HYPERPLANES = 16  #: sign bits per vector
 LSH_BANDS = 4  #: disjoint bands; candidates share >=1 full band
@@ -353,8 +353,19 @@ def bucket_bits_hof(vec: Column, n_planes: int, dim: int = 64) -> Column:
     occupancy grid) don't blow up whole-stage codegen: the trail
     entry's compile cost dropped ~4× when this replaced the per-plane
     expression chain."""
-    planes = F.lit(
-        [[float(x) for x in hyperplane(j, dim)] for j in range(n_planes)]
+    # one server-side parse of the whole plane matrix (r10): F.lit of a
+    # nested 64×64 Python list walks py4j element by element — measured
+    # 4-6 s of DRIVER time per plan construction; the identical literal
+    # as SQL text parses in milliseconds (the const_dot_sql lesson)
+    planes = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"{float(x)!r}D" for x in hyperplane(j, dim))
+            + ")"
+            for j in range(n_planes)
+        )
+        + ")"
     )
     v = vectors.as_double(vec)
     return F.array_join(
@@ -405,7 +416,11 @@ def occupancy_spill_trail(
         base = base.filter(sample_coin(F.col("vec_id"), sample_mod))
         scale = sample_mod
     n_planes = LSH_BANDS * max(widths)
-    bits = base.select(
+    # fan the scan out before the widest-grid hashing (r10): locally a
+    # few-MB parquet corpus arrives as ONE split, so the whole
+    # 64-plane pass ran on one task; at scale the gate skips the
+    # exchange (see functions/par.py:fanout)
+    bits = fanout(base, "vec_id").select(
         bucket_bits_hof(F.col("embedding"), n_planes, dim=dim).alias("bits")
     )
     pairs = F.array(

@@ -3885,16 +3885,52 @@ def ann_policy_retune_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE measured trail feeds the whole loop (r10 — exactly the shape
+    # the oracle always had: both phases' spill are rows of the same
+    # trail CTE). The old form paid three corpus passes — a
+    # band_coverage_report per phase plus choose_band_bits_occupancy's
+    # own trail — for numbers the single trail already contains: width
+    # w's per-band keys are the same planes band_coverage_report hashes
+    # (widest-prefix identity, unit-pinned), and the before/after spill
+    # is the trail's band-rolled spill_fraction at BAND_BITS / at the
+    # chosen width. The checkpoint materializes the pass once; the
+    # returned rows still recompute from the corpus on every call.
+    trail = similarity.occupancy_spill_trail(
+        emb,
+        # BAND_BITS is in the default grid today; the union keeps the
+        # before-phase row present even if the grid ever drops it
+        widths=tuple(
+            sorted(set(similarity.OCCUPANCY_GRID) | {similarity.BAND_BITS})
+        ),
+        max_bucket=_OCC_CAP,
+    ).localCheckpoint(eager=True)
+    by_w = {int(r.band_bits): float(r.spill_fraction) for r in trail.collect()}
+    if not by_w:
+        raise ValueError(
+            "ann_policy_retune_loop: occupancy trail is empty — the corpus"
+            " has no rows"
+        )
+    w = next(
+        (
+            wx
+            for wx in sorted(similarity.OCCUPANCY_GRID)
+            if by_w[wx] <= similarity.OCCUPANCY_TARGET_SPILL
+        ),
+        max(similarity.OCCUPANCY_GRID),
+    )
+    # execute the verb: the same persisted occupancy index the
+    # ann_index_occupancy_topk entry queries (shared artifact, shared
+    # rebuild-on-drift rule)
+    path = _ann_index_path(sf_dir) + f"_occ{_OCC_CAP}"
+    if (
+        not os.path.exists(os.path.join(path, "_geometry", "_SUCCESS"))
+        or similarity.index_geometry(spark, path) != (w, _OCC_CAP)
+    ):
+        similarity.ann_index_write(emb, path, max_bucket=_OCC_CAP, band_bits=w)
+    wb, _cap = similarity.index_geometry(spark, path)
 
     def spill_row(phase: str, bits: int) -> DataFrame:
-        cov = similarity.band_coverage_report(
-            emb, max_bucket=_OCC_CAP, band_bits=bits
-        )
-        return cov.agg(
-            F.round(F.sum("spill_rows") / F.sum("n_rows"), 6).alias(
-                "spill_fraction"
-            ),
-        ).select(
+        return trail.filter(F.col("band_bits") == bits).select(
             F.lit(phase).alias("phase"),
             F.lit(bits).alias("band_bits"),
             "spill_fraction",
@@ -3906,19 +3942,9 @@ def ann_policy_retune_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
 
-    before = spill_row("before", similarity.BAND_BITS)
-    # execute the verb: the same persisted occupancy index the
-    # ann_index_occupancy_topk entry queries (shared artifact, shared
-    # rebuild-on-drift rule)
-    w = similarity.choose_band_bits_occupancy(emb, max_bucket=_OCC_CAP)
-    path = _ann_index_path(sf_dir) + f"_occ{_OCC_CAP}"
-    if (
-        not os.path.exists(os.path.join(path, "_geometry", "_SUCCESS"))
-        or similarity.index_geometry(spark, path) != (w, _OCC_CAP)
-    ):
-        similarity.ann_index_write(emb, path, max_bucket=_OCC_CAP, band_bits=w)
-    wb, _cap = similarity.index_geometry(spark, path)
-    return before.unionAll(spill_row("after", wb))
+    return spill_row("before", similarity.BAND_BITS).unionAll(
+        spill_row("after", wb)
+    )
 
 
 _PROBE_WIDE_CAP = 4 * _PROBE_DEMO_CAP  #: the cap-widening rung of the
