@@ -809,6 +809,15 @@ def ann_candidates_against_index(
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
+        # pin the scoring parallelism (r10): the pair list is BYTES-slim
+        # so AQE's 64 MB advisory coalesces it to 1-2 partitions, but
+        # each row still costs three 64-dim dot products downstream —
+        # measured 3.5 s on 2 tasks for what 32 run in a fraction. An
+        # explicit width survives AQE; the exchange itself is trivial
+        # at any scale (two longs per row).
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("qid"), F.col("vec_id")
+        )
     )
     cand_emb = idx.select(
         "vec_id", vectors.as_double(F.col("embedding")).alias("cv")
