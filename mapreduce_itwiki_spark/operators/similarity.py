@@ -464,6 +464,73 @@ def occupancy_spill_trail(
     )
 
 
+def occupancy_band_trail(
+    emb: DataFrame,
+    widths: tuple[int, ...] = OCCUPANCY_GRID,
+    max_bucket: int = MAX_BUCKET,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-(width, band) coverage rows from the SAME one-pass grid
+    measurement as :func:`occupancy_spill_trail` (r10): sign bits
+    hashed once at the widest width, every narrower band key a
+    substring, rolled to (band_bits, band_id) instead of band_bits —
+    each width's rows are EXACTLY ``band_coverage_report(emb,
+    max_bucket, band_bits=w)`` (same planes by the widest-prefix
+    identity, same aggregates), so a consumer that needs both the
+    grid-wide choice AND the chosen width's per-band coverage pays ONE
+    corpus pass instead of two. Columns: band_coverage_report's, plus
+    the leading ``band_bits``."""
+    base = emb.select("vec_id", "embedding")
+    n_planes = LSH_BANDS * max(widths)
+    bits = fanout(base, "vec_id").select(
+        bucket_bits_hof(F.col("embedding"), n_planes, dim=dim).alias("bits")
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("w"),
+                F.lit(b).alias("band_id"),
+                F.substring("bits", b * w + 1, w).alias("band_key"),
+            )
+            for w in widths
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bc = (
+        bits.select(F.explode(pairs).alias("p"))
+        .select("p.w", "p.band_id", "p.band_key")
+        .groupBy("w", "band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.lit(max_bucket)
+    return (
+        bc.groupBy("w", "band_id")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("cnt") > m, 1).otherwise(0)).alias(
+                "n_hot_buckets"
+            ),
+            F.sum(F.floor((F.col("cnt") + m - 1) / m).cast("long")).alias(
+                "n_shards"
+            ),
+            F.sum(F.greatest(F.col("cnt") - m, F.lit(0))).alias("spill_rows"),
+        )
+        .select(
+            F.col("w").alias("band_bits"),
+            "band_id",
+            "n_rows",
+            "n_buckets",
+            "n_hot_buckets",
+            "n_shards",
+            "spill_rows",
+            F.round(F.col("spill_rows") / F.col("n_rows"), 6).alias(
+                "spill_fraction"
+            ),
+        )
+    )
+
+
 def choose_band_bits_occupancy(
     emb: DataFrame,
     max_bucket: int = MAX_BUCKET,
@@ -2901,15 +2968,21 @@ def ivfpq_index_write(
     persisted query path is result-identical to the in-DAG one and
     shares its DuckDB oracle."""
     spark = emb.sparkSession
-    # eager checkpoint so the independent writes below can overlap
-    # (guide §2.6) without racing a lazy materialization (a lazy
-    # checkpoint "forced" via count() measured SLOWER — the count is an
-    # extra pass, not a materializer)
-    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
-        eager=True
-    )
-    lists = ivf_assign(emb, cents)
+    # Eager checkpoints so the writes below can overlap (guide §2.6)
+    # without racing a lazy materialization (a lazy checkpoint "forced"
+    # via count() measured SLOWER — the count is an extra pass, not a
+    # materializer). In non-residual mode the two quantizer trainings
+    # are independent, so their materialization jobs ALSO overlap from
+    # the thread pool; residual PQ training depends on the centroids
+    # and stays sequential.
+    def _train_cents() -> DataFrame:
+        return ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+            eager=True
+        )
+
     if by_residual:
+        cents = _train_cents()
+        lists = ivf_assign(emb, cents)
         base = (
             emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
             .join(lists, "vec_id")
@@ -2921,12 +2994,20 @@ def ivfpq_index_write(
                 ),
             )
         )
+        sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
+        books = pq_codebooks(
+            sub, sample_mod=sample_mod, pq_codes=pq_codes
+        ).localCheckpoint(eager=True)
     else:
         base = emb.select("vec_id", "embedding")
-    sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
-    books = pq_codebooks(
-        sub, sample_mod=sample_mod, pq_codes=pq_codes
-    ).localCheckpoint(eager=True)
+        sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
+        cents, books = run_concurrent(
+            _train_cents,
+            lambda: pq_codebooks(
+                sub, sample_mod=sample_mod, pq_codes=pq_codes
+            ).localCheckpoint(eager=True),
+        )
+        lists = ivf_assign(emb, cents)
     # dense per-subspace code ids: the oracle-visible codebook keys stay
     # the raw seed cids; the STORED code is their per-s rank, a
     # bijection — what makes the byte-width claim true without leaking

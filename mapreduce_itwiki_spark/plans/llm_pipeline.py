@@ -2888,11 +2888,47 @@ def ann_lsh_coverage_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves 0.643 spill; this chooses 14-bit and reports 0.280 ≤ the
     0.35 target). The oracle recomputes the choice from the same trail,
     so a drifting threshold or grid breaks parity loudly. Demo cap;
-    same two-hash-agg plan shape as ann_lsh_coverage_report —
-    full-corpus safe."""
+    full-corpus safe.
+
+    r10: choice and coverage now come from ONE per-(width, band) trail
+    pass (:func:`similarity.occupancy_band_trail` — the oracle always
+    derived both from the same trail CTE): the checkpointed per-band
+    rows roll to the per-width spill in-engine (same round expression
+    as the chooser), the width is picked driver-side from those
+    grid-bounded rows, and the returned coverage rows are the chosen
+    width's slice of the same trail — two corpus passes → one."""
     emb = load_table(spark, sf_dir, "embeddings")
-    w = similarity.choose_band_bits_occupancy(emb, max_bucket=_OCC_CAP)
-    return similarity.band_coverage_report(emb, max_bucket=_OCC_CAP, band_bits=w)
+    trail = similarity.occupancy_band_trail(
+        emb, max_bucket=_OCC_CAP
+    ).localCheckpoint(eager=True)
+    roll = (
+        trail.groupBy("band_bits")
+        .agg(F.round(F.sum("spill_rows") / F.sum("n_rows"), 6).alias("sf"))
+        .collect()
+    )
+    by_w = {int(r.band_bits): float(r.sf) for r in roll}
+    if not by_w:
+        raise ValueError(
+            "ann_lsh_coverage_occupancy: occupancy trail is empty — the"
+            " corpus has no rows"
+        )
+    w = next(
+        (
+            wx
+            for wx in sorted(similarity.OCCUPANCY_GRID)
+            if by_w[wx] <= similarity.OCCUPANCY_TARGET_SPILL
+        ),
+        max(similarity.OCCUPANCY_GRID),
+    )
+    return trail.filter(F.col("band_bits") == w).select(
+        "band_id",
+        "n_rows",
+        "n_buckets",
+        "n_hot_buckets",
+        "n_shards",
+        "spill_rows",
+        "spill_fraction",
+    )
 
 
 def _occ_topk_branches() -> str:

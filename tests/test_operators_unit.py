@@ -2559,3 +2559,102 @@ def test_sharded_twins_on_adversarial_data(spark, tmp_path):
         for r in qs["max_concurrent_sessions_sharded"](spark, sf).collect()
     )
     assert c == d and len(c) == 3
+
+
+# --- r10 optimization internals -------------------------------------------
+
+
+def test_values_df_equals_createdataframe(spark):
+    """values_df (the JVM inline-table replacement for list-based
+    createDataFrame — optimization r10) must be value- and
+    type-identical to what it replaced, across every literal shape the
+    call sites use: NULLs, strings needing escapes, booleans, and
+    array<double> with repr-exact floats."""
+    from mapreduce_itwiki_spark.functions.inline import values_df
+
+    cases = [
+        ([(8, None)], "nlist int, sample_mod int"),
+        ([(None, "__none__", -1)], "qid long, pkey string, shard long"),
+        ([(1, "0_0101", 0), (2, "1_1110", 3)], "qid long, pkey string, shard long"),
+        ([(0, [1.5, -2.25e-17, 0.1])], "s int, qsv array<double>"),
+        ([("it's a \\ test",)], "t string"),
+    ]
+    for rows, schema in cases:
+        got = [tuple(r) for r in values_df(spark, rows, schema).collect()]
+        want = [tuple(r) for r in spark.createDataFrame(rows, schema).collect()]
+        assert got == want, (schema, got, want)
+        assert (
+            values_df(spark, rows, schema).schema.simpleString()
+            == spark.createDataFrame(rows, schema).schema.simpleString()
+        )
+    assert values_df(spark, [], "a int, b string").count() == 0
+
+
+def test_occupancy_band_trail_matches_coverage_report(spark):
+    """occupancy_band_trail's per-width slices (the one-pass grid
+    measurement ann_lsh_coverage_occupancy now reads — optimization
+    r10) must equal band_coverage_report run independently at each
+    width: same planes by the widest-prefix identity, same
+    aggregates."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cap = 8
+    trail = {
+        (r.band_bits, r.band_id): r
+        for r in similarity.occupancy_band_trail(
+            emb, widths=(4, 6), max_bucket=cap
+        ).collect()
+    }
+    for w in (4, 6):
+        for r in similarity.band_coverage_report(
+            emb, max_bucket=cap, band_bits=w
+        ).collect():
+            t = trail[(w, r.band_id)]
+            assert (
+                t.n_rows,
+                t.n_buckets,
+                t.n_hot_buckets,
+                t.n_shards,
+                t.spill_rows,
+                t.spill_fraction,
+            ) == (
+                r.n_rows,
+                r.n_buckets,
+                r.n_hot_buckets,
+                r.n_shards,
+                r.spill_rows,
+                r.spill_fraction,
+            ), (w, r.band_id)
+
+
+def test_ivf_assign_matches_window_argmin(spark):
+    """ivf_assign's MIN-over-(d, cid)-struct argmin (optimization r10)
+    must reproduce the row_number-window form it replaced, including
+    the cid tie-break."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = similarity.ivf_centroids(emb, 4, sample_mod=4).localCheckpoint()
+    got = {
+        r.vec_id: r.cid for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    from mapreduce_itwiki_spark.functions import vectors
+
+    want = {
+        r.vec_id: r.cid
+        for r in (
+            emb.select(
+                "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+            )
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                similarity.sq_dist(F.col("v"), F.col("cv")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        ).collect()
+    }
+    assert got == want
