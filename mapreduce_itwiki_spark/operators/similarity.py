@@ -731,7 +731,10 @@ def ann_index_append(
             F.concat_ws("_", F.col("band_id"), F.col("band_key")).alias("pkey"),
         )
     )
-    appended.write.mode("append").partitionBy("pkey").parquet(index_path)
+    # clustered append (guide §6; see ann_index_write)
+    appended.repartition(F.col("pkey")).write.mode("append").partitionBy(
+        "pkey"
+    ).parquet(index_path)
 
 
 PROBE_CAP = 512  #: per-(band, bucket) candidate budget for one-sided
@@ -2634,7 +2637,10 @@ def ivf_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     corpus."""
     cents = spark.read.parquet(f"{index_path}/_centroids")
     lists = ivf_assign(new_emb, cents)
-    new_emb.join(lists, "vec_id").write.mode("append").partitionBy("cid").parquet(
+    # clustered append (guide §6; see ivf_index_write)
+    new_emb.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(
         f"{index_path}/lists"
     )
 
@@ -3115,9 +3121,10 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
             lambda st: st.getField("code"),
         ).alias("codes")
     )
-    codes.join(lists, "vec_id").write.mode("append").partitionBy("cid").parquet(
-        f"{index_path}/codes"
-    )
+    # clustered append (guide §6; see ivf_index_write)
+    codes.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(f"{index_path}/codes")
 
 
 def ivfpq_index_retrain(
