@@ -1697,6 +1697,7 @@ def ivf_occupancy_trail(
     max_bucket: int = MAX_BUCKET,
     sample_mod: int | None = TRAIN_SAMPLE_MOD,
     measure_mod: int | None = None,
+    cents_grid: DataFrame | None = None,
 ) -> DataFrame:
     """MEASURED cell balance per candidate nlist — the evidence
     :func:`choose_nlist_occupancy` sizes from (VERDICT r9 #5), one row
@@ -1710,7 +1711,14 @@ def ivf_occupancy_trail(
     that drive spill). Columns: (nlist, n_rows, n_cells_used,
     n_dead_cells, max_cell, skew, n_hot_cells, spill_rows,
     spill_fraction)."""
-    cents = ivf_centroid_grid(emb, nlists=nlists, sample_mod=sample_mod)
+    # ``cents_grid`` (r10): a caller that will also BUILD at the chosen
+    # width passes its (checkpointed) grid so the chosen width's
+    # centroids are trained once, not twice
+    cents = (
+        cents_grid
+        if cents_grid is not None
+        else ivf_centroid_grid(emb, nlists=nlists, sample_mod=sample_mod)
+    )
     mbase = emb.select(
         "vec_id", vectors.as_double(F.col("embedding")).alias("v")
     )
@@ -1768,6 +1776,7 @@ def choose_nlist_occupancy(
     nlists: tuple[int, ...] = IVF_NLIST_GRID,
     sample_mod: int | None = TRAIN_SAMPLE_MOD,
     measure_mod: int | None = None,
+    cents_grid: DataFrame | None = None,
 ) -> int:
     """The smallest candidate nlist whose MEASURED spill meets the
     target — grid max if none does; the IVF twin of
@@ -1781,6 +1790,7 @@ def choose_nlist_occupancy(
         max_bucket=max_bucket,
         sample_mod=sample_mod,
         measure_mod=measure_mod,
+        cents_grid=cents_grid,
     ).collect()
     by_w = {int(r.nlist): float(r.spill_fraction) for r in trail}
     if not by_w:
@@ -2353,20 +2363,32 @@ def ivf_index_write(
     ``ann_index_write(band_bits="auto_occupancy")``. The CHOSEN integer
     is what lands in ``_meta``, so every later retrain/query replays
     the measured geometry."""
+    cents = None
     if nlist == "auto_occupancy":
+        # train the WHOLE grid once (checkpointed — Σ_w w rows), choose
+        # from the measured trail, and reuse the chosen width's rows as
+        # the build's centroids: grid width-w rows are EXACTLY
+        # ivf_centroids(emb, w, sample_mod) (unit-pinned), so the old
+        # second training of the chosen width was pure re-computation
+        grid = ivf_centroid_grid(
+            emb, nlists=nlist_grid, sample_mod=sample_mod
+        ).localCheckpoint(eager=True)
         nlist = choose_nlist_occupancy(
             emb,
             max_bucket=occupancy_max_bucket,
             nlists=nlist_grid,
             sample_mod=sample_mod,
+            cents_grid=grid,
         )
+        cents = grid.filter(F.col("nlist") == int(nlist)).select("cid", "cv")
     nlist = int(nlist)
     # eager checkpoint: the training subtree runs ONCE, and the two
     # independent writes below can then overlap (guide §2.6) without
     # racing a lazy materialization
-    cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
-        eager=True
-    )
+    if cents is None:
+        cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
+            eager=True
+        )
     lists = ivf_assign(emb, cents)
     run_concurrent(
         lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
