@@ -33,6 +33,35 @@ def fanout(df, *cols: str):
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def salted_by_partition(df, part_col: str, salt_src: str, n_dirs: int):
+    """Cluster rows for a ``partitionBy(part_col)`` write — the
+    rebalance-before-write move (guide §6) made SKEW-SAFE (guide §2.5,
+    VERDICT r10 #1): ``repartition(part_col)`` alone puts ALL rows of a
+    partition value in ONE task, so a hot value — a degenerate band
+    bucket on a near-duplicate-heavy corpus, a dense IVF cell on
+    clustered embeddings — serializes that directory's entire write at
+    100 TB. A deterministic salt (``pmod(xxhash64(salt_src), k)``; never
+    rand(), which duplicates/loses rows under fetch-failure re-runs,
+    SPARK-38388) joins the clustering key so each value's rows spread
+    over up to ``k`` tasks.
+
+    ``k = defaultParallelism / n_dirs`` (min 1) sizes the split to the
+    over-subscription factor: total write tasks stay ≈ one wave of the
+    cluster and the file count stays ≈ n_dirs × k — locally (32 cores,
+    256 dirs) k=1 and the write is byte-identical to the unsalted form;
+    on a 4 000-slot cluster writing 256 directories k≈15, so even a
+    directory holding a third of the corpus is written by ~15 tasks
+    instead of 1. ``n_dirs`` is a performance dial, not a correctness
+    input — an estimate (e.g. the module-default nlist for an appended
+    index) only shifts k."""
+    from pyspark.sql import functions as F
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    k = max(1, par // max(1, int(n_dirs)))
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(k))
+    return df.repartition(F.col(part_col), salt)
+
+
 def run_concurrent(*thunks: Callable[[], object]) -> list[object]:
     """Run the given zero-arg actions concurrently; return their
     results in order; raise the first exception (after all complete or

@@ -641,12 +641,17 @@ def minhash_index_write(docs: DataFrame, path: str) -> None:
     # small files and a 5.9 s commit at sf0.1; clustered, the write is
     # one file per pkey (256 total) and 2.6 s. At 100 TB the same move
     # is what keeps files near target size; MINHASH_INDEX_PARTS is the
-    # parallelism/fan dial.
-    rows.withColumn(
+    # parallelism/fan dial. Salted by doc_id (r11, guide §2.5) so a
+    # hot pkey — every shard of a degenerate band bucket hashes to the
+    # SAME pkey — cannot serialize its directory's write to one task.
+    from ..functions.par import salted_by_partition
+
+    keyed = rows.withColumn(
         "pkey", _minhash_pkey(F.col("band_id"), F.col("band_key"))
-    ).repartition(F.col("pkey")).write.mode("overwrite").partitionBy(
-        "pkey"
-    ).parquet(path)
+    )
+    salted_by_partition(
+        keyed, "pkey", "doc_id", n_dirs=(NUM_HASHES // BAND_ROWS) * MINHASH_INDEX_PARTS
+    ).write.mode("overwrite").partitionBy("pkey").parquet(path)
 
 
 def neardup_candidates_against_index(

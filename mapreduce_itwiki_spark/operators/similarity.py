@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..functions.inline import values_df
-from ..functions.par import fanout, run_concurrent
+from ..functions.par import fanout, run_concurrent, salted_by_partition
 
 NUM_HYPERPLANES = 16  #: sign bits per vector
 LSH_BANDS = 4  #: disjoint bands; candidates share >=1 full band
@@ -649,13 +649,15 @@ def ann_index_write(
     if band_bits is None:
         band_bits = BAND_BITS
     # cluster by pkey before the partitioned write (guide §6,
-    # rebalance-before-write; see minhash_index_write): one file per
-    # partition directory instead of one per (task × directory)
-    sharded_band_rows(emb, max_bucket=max_bucket, band_bits=band_bits).withColumn(
-        "pkey", F.concat_ws("_", F.col("band_id"), F.col("band_key"))
-    ).repartition(F.col("pkey")).write.mode("overwrite").partitionBy(
-        "pkey"
-    ).parquet(path)
+    # rebalance-before-write; see minhash_index_write), salted by
+    # vec_id (r11, guide §2.5) so one hot band bucket cannot serialize
+    # its directory's write onto a single task at scale
+    keyed = sharded_band_rows(
+        emb, max_bucket=max_bucket, band_bits=band_bits
+    ).withColumn("pkey", F.concat_ws("_", F.col("band_id"), F.col("band_key")))
+    salted_by_partition(
+        keyed, "pkey", "vec_id", n_dirs=LSH_BANDS * (2 ** int(band_bits))
+    ).write.mode("overwrite").partitionBy("pkey").parquet(path)
     geo = values_df(  # JVM inline table, not a Python-RDD scan (r10)
         emb.sparkSession,
         [(int(band_bits), LSH_BANDS, int(max_bucket))],
@@ -731,10 +733,11 @@ def ann_index_append(
             F.concat_ws("_", F.col("band_id"), F.col("band_key")).alias("pkey"),
         )
     )
-    # clustered append (guide §6; see ann_index_write)
-    appended.repartition(F.col("pkey")).write.mode("append").partitionBy(
-        "pkey"
-    ).parquet(index_path)
+    # clustered append (guide §6; see ann_index_write), vec_id-salted
+    # (r11, guide §2.5) against a hot-bucket batch
+    salted_by_partition(
+        appended, "pkey", "vec_id", n_dirs=LSH_BANDS * (2 ** int(geo_bits))
+    ).write.mode("append").partitionBy("pkey").parquet(index_path)
 
 
 PROBE_CAP = 512  #: per-(band, bucket) candidate budget for one-sided
@@ -1889,6 +1892,61 @@ def _pq_sub_rows(
     )
 
 
+def _pq_encode_rows(scored: DataFrame, pq_m: int = PQ_M) -> DataFrame:
+    """(vec_id, s, cid): per-subspace PQ code assignments from scored
+    (vec_id, s, cid, d) candidate rows in ONE exchange (r11, guide
+    §2.4). The per-(vec_id, s) argmin used to pay its own shuffle and
+    every downstream per-vector aggregate (ADC sums, code arrays) paid
+    a SECOND one — HashPartitioning(vec_id, s) does not satisfy a
+    groupBy keyed on vec_id. Pivoting the bounded pq_m subspaces into
+    MIN(STRUCT) aggregates of a single groupBy(vec_id)
+    partial-aggregates map-side, and the output stays hash-partitioned
+    by vec_id — which DOES satisfy every downstream aggregate keyed on
+    vec_id or (qid, vec_id), so the ADC sum runs partition-local with
+    no further exchange. Row-identical to the old shape (the argmin
+    struct is unique per (vec_id, s))."""
+    mins = [
+        F.min(F.when(F.col("s") == i, F.struct("d", "cid"))).alias(f"m{i}")
+        for i in range(int(pq_m))
+    ]
+    return (
+        scored.groupBy("vec_id")
+        .agg(*mins)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.col(f"m{i}.cid") for i in range(int(pq_m))])
+            ).alias("s", "cid"),
+        )
+    )
+
+
+def _pq_encode_codes(sub: DataFrame, books: DataFrame, pq_m: int) -> DataFrame:
+    """(vec_id, codes): PQ-encode subspace rows against a codebook
+    table carrying dense ``code`` ids — in ONE exchange (r11, guide
+    §2.4). Each subspace's argmin is a ``MIN(STRUCT(d, cid, code))``
+    pivoted per s (pq_m is a bounded storage-format constant), so one
+    ``groupBy(vec_id)`` partial-aggregates everything map-side and the
+    codes array is assembled positionally — bit-identical to the old
+    groupBy(vec_id, s) argmin + sorted collect_list, which paid a
+    second shuffle of the same per-vector rows."""
+    scored = sub.join(F.broadcast(books), "s").select(
+        "vec_id",
+        "s",
+        "code",
+        "cid",
+        sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    mins = [
+        F.min(F.when(F.col("s") == i, F.struct("d", "cid", "code"))).alias(f"m{i}")
+        for i in range(int(pq_m))
+    ]
+    return scored.groupBy("vec_id").agg(*mins).select(
+        "vec_id",
+        F.array(*[F.col(f"m{i}.code") for i in range(int(pq_m))]).alias("codes"),
+    )
+
+
 def _pq_meta_geometry(meta) -> tuple[int, int]:
     """(pq_m, pq_sub) recorded in a persisted IVFPQ index's ``_meta``
     sidecar row — every query/append/report path decodes with the
@@ -1989,11 +2047,9 @@ def pq_topk(
     d2 = sub.join(F.broadcast(books), "s").select(
         "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
     )
-    enc = (
-        d2.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
-    )
+    # one-exchange encode; the ADC sum below then runs partition-local
+    # (r11, guide §2.4; see _pq_encode_rows)
+    enc = _pq_encode_rows(d2)
     # ADC distance table: PQ_M × PQ_CODES cells, integerized then
     # broadcast — the per-subspace distances are already on a 1e-6
     # decimal grid, so ×1e6 + round lands every cell on an exact BIGINT
@@ -2279,11 +2335,9 @@ def pq_batch_topk(
     d2 = sub.join(F.broadcast(books), "s").select(
         "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
     )
-    enc = (
-        d2.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
-    )
+    # one-exchange encode; the per-(qid, vec_id) ADC sum then runs
+    # partition-local (r11, guide §2.4; see _pq_encode_rows)
+    enc = _pq_encode_rows(d2)
     dt = (
         sub.join(F.broadcast(q_ids), sub["vec_id"] == q_ids["qid"])
         .select("qid", "s", F.col("sv").alias("qsv"))
@@ -2384,7 +2438,9 @@ def ivf_index_write(
     nlist = int(nlist)
     # eager checkpoint: the training subtree runs ONCE, and the two
     # independent writes below can then overlap (guide §2.6) without
-    # racing a lazy materialization
+    # racing a lazy materialization (r11 A/B: train-and-write +
+    # read-back saves the checkpoint action but serializes the tiny
+    # _centroids write ahead of the lists write — slower, rejected)
     if cents is None:
         cents = ivf_centroids(emb, nlist, sample_mod=sample_mod).localCheckpoint(
             eager=True
@@ -2395,9 +2451,12 @@ def ivf_index_write(
         # cluster by cid before the partitioned write (guide §6): one
         # file per cell directory instead of one per (task × cell);
         # nlist is the parallelism dial (auto_nlist grows it with the
-        # corpus)
-        lambda: emb.join(lists, "vec_id")
-        .repartition(F.col("cid"))
+        # corpus). vec_id-salted (r11, guide §2.5): a dense IVF cell —
+        # clustered embeddings put most of a corpus in few cells — no
+        # longer serializes its directory's write onto one task.
+        lambda: salted_by_partition(
+            emb.join(lists, "vec_id"), "cid", "vec_id", n_dirs=nlist
+        )
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/lists"),
@@ -2659,12 +2718,14 @@ def ivf_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     corpus."""
     cents = spark.read.parquet(f"{index_path}/_centroids")
     lists = ivf_assign(new_emb, cents)
-    # clustered append (guide §6; see ivf_index_write)
-    new_emb.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(
-        f"{index_path}/lists"
-    )
+    # clustered append (guide §6; see ivf_index_write), vec_id-salted
+    # (r11, guide §2.5). n_dirs is a parallelism estimate only — the
+    # module-default nlist stands in for the stored cell count so the
+    # append adds no extra read/count action; a retuned index only
+    # shifts the salt width, never correctness.
+    salted_by_partition(
+        new_emb.join(lists, "vec_id"), "cid", "vec_id", n_dirs=IVF_NLIST
+    ).write.mode("append").partitionBy("cid").parquet(f"{index_path}/lists")
 
 
 def incremental_parity_report(
@@ -2883,12 +2944,12 @@ def ivfpq_topk(
     # to the PQ encode/scan (at scale: read the probed cid partitions
     # of the persisted code table instead)
     subc = sub.join(cellcand.select("vec_id"), "vec_id", "left_semi")
-    enc = (
-        subc.join(F.broadcast(books), "s")
-        .select("vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    # one-exchange encode; the ADC sum below then runs partition-local
+    # (r11, guide §2.4; see _pq_encode_rows)
+    enc = _pq_encode_rows(
+        subc.join(F.broadcast(books), "s").select(
+            "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+        )
     )
     if by_residual:
         # one query residual (and ADC table) PER probed cell
@@ -3008,6 +3069,12 @@ def ivfpq_index_write(
             eager=True
         )
 
+    # dense per-subspace code ids: the oracle-visible codebook keys stay
+    # the raw seed cids; the STORED code is their per-s rank, a
+    # bijection — what makes the byte-width claim true without leaking
+    # seed vec_ids into the storage format
+    wb = Window.partitionBy("s").orderBy("cid")
+
     if by_residual:
         cents = _train_cents()
         lists = ivf_assign(emb, cents)
@@ -3026,9 +3093,25 @@ def ivfpq_index_write(
         books = pq_codebooks(
             sub, sample_mod=sample_mod, pq_codes=pq_codes
         ).localCheckpoint(eager=True)
+        books_disk = books.withColumn(
+            "code", (F.row_number().over(wb) - 1).cast("tinyint")
+        )
+        writes = [
+            lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
+            lambda: books_disk.write.mode("overwrite").parquet(
+                f"{path}/_codebooks"
+            ),
+        ]
     else:
         base = emb.select("vec_id", "embedding")
         sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
+        # (r11 A/B, negative result: writing the two trained sidecars
+        # directly and reading them back for encode/assign saves two
+        # checkpoint actions but SERIALIZES the sidecar writes ahead of
+        # the codes write — measured 5.6 → 7.6 s on the retrain entry,
+        # because in this shape the tiny sidecar writes hide entirely
+        # under the long codes write. The checkpoint-then-overlap r10
+        # shape stays.)
         cents, books = run_concurrent(
             _train_cents,
             lambda: pq_codebooks(
@@ -3036,41 +3119,32 @@ def ivfpq_index_write(
             ).localCheckpoint(eager=True),
         )
         lists = ivf_assign(emb, cents)
-    # dense per-subspace code ids: the oracle-visible codebook keys stay
-    # the raw seed cids; the STORED code is their per-s rank, a
-    # bijection — what makes the byte-width claim true without leaking
-    # seed vec_ids into the storage format
-    wb = Window.partitionBy("s").orderBy("cid")
-    books_disk = books.withColumn(
-        "code", (F.row_number().over(wb) - 1).cast("tinyint")
-    )
-    enc = (
-        sub.join(F.broadcast(books_disk), "s")
-        .select(
-            "vec_id",
-            "s",
-            "code",
-            "cid",
-            sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        books_disk = books.withColumn(
+            "code", (F.row_number().over(wb) - 1).cast("tinyint")
         )
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
-        .select("vec_id", "s", F.col("m.code").alias("code"))
-    )
-    codes = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda st: st.getField("code"),
-        ).alias("codes")
-    )
+        writes = [
+            lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
+            lambda: books_disk.write.mode("overwrite").parquet(
+                f"{path}/_codebooks"
+            ),
+        ]
+    # ONE exchange for the whole encode (r11, guide §2.4): the old
+    # groupBy(vec_id, s) argmin followed by a groupBy(vec_id)
+    # collect_list paid two shuffles of the same per-vector rows.
+    # pq_m is a bounded storage-format constant, so the per-subspace
+    # argmins pivot into pq_m MIN(STRUCT) aggregates of one
+    # groupBy(vec_id) — partial-aggregated map-side, one slim row per
+    # vector on the wire, and the codes array falls out positionally
+    # (identical to the sorted collect_list: per (vec_id, s) the
+    # argmin struct is unique).
+    codes = _pq_encode_codes(sub, books_disk, pq_m)
     run_concurrent(
-        lambda: cents.write.mode("overwrite").parquet(f"{path}/_centroids"),
-        lambda: books_disk.write.mode("overwrite").parquet(
-            f"{path}/_codebooks"
-        ),
-        # clustered partitioned write (guide §6; see ivf_index_write)
-        lambda: codes.join(lists, "vec_id")
-        .repartition(F.col("cid"))
+        *writes,
+        # clustered partitioned write (guide §6; see ivf_index_write),
+        # vec_id-salted (r11, guide §2.5) against hot cells
+        lambda: salted_by_partition(
+            codes.join(lists, "vec_id"), "cid", "vec_id", n_dirs=nlist
+        )
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/codes"),
@@ -3124,29 +3198,14 @@ def ivfpq_index_append(spark, index_path: str, new_emb: DataFrame) -> None:
     else:
         base = new_emb.select("vec_id", "embedding")
     sub = _pq_sub_rows(base, pq_m=pq_m, pq_sub=pq_sub)
-    enc = (
-        sub.join(F.broadcast(books), "s")
-        .select(
-            "vec_id",
-            "s",
-            "code",
-            "cid",
-            sq_dist(F.col("sv"), F.col("cv")).alias("d"),
-        )
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
-        .select("vec_id", "s", F.col("m.code").alias("code"))
-    )
-    codes = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda st: st.getField("code"),
-        ).alias("codes")
-    )
-    # clustered append (guide §6; see ivf_index_write)
-    codes.join(lists, "vec_id").repartition(F.col("cid")).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(f"{index_path}/codes")
+    # one-exchange encode (r11, guide §2.4; see _pq_encode_codes)
+    codes = _pq_encode_codes(sub, books, pq_m)
+    # clustered append (guide §6; see ivf_index_write), vec_id-salted
+    # (r11, guide §2.5); module-default nlist as the parallelism
+    # estimate (see ivf_index_append)
+    salted_by_partition(
+        codes.join(lists, "vec_id"), "cid", "vec_id", n_dirs=IVF_NLIST
+    ).write.mode("append").partitionBy("cid").parquet(f"{index_path}/codes")
 
 
 def ivfpq_index_retrain(
@@ -3189,13 +3248,15 @@ def ivfpq_index_retrain(
     ``retrain_pq`` policy verb at a measured geometry; the PQ widths
     still replay from the sidecar (code geometry is a storage-format
     contract, cell count is a balance dial)."""
-    m = spark.read.parquet(f"{index_path}/_meta").take(1)[0]
-    md = m.asDict()
-    ids = (
-        spark.read.parquet(f"{index_path}/codes")
+    # the _meta probe and the membership checkpoint are independent
+    # reads — overlap them (guide §2.6)
+    m, ids = run_concurrent(
+        lambda: spark.read.parquet(f"{index_path}/_meta").take(1)[0],
+        lambda: spark.read.parquet(f"{index_path}/codes")
         .select("vec_id")
-        .localCheckpoint()
+        .localCheckpoint(),
     )
+    md = m.asDict()
     rows = emb.join(ids, "vec_id", "left_semi")
     nlist = int(md["nlist"])
     if remeasure_nlist:

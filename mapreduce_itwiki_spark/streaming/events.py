@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.par import salted_by_partition
 from ..plans.catalog import register
 
 _counter = itertools.count()
@@ -942,8 +943,14 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # verdict idempotence (ADVICE r8): foreachBatch is
             # at-least-once, so verdicts land in a batch_id partition
             # via dynamic partition overwrite — a re-fired batch
-            # replaces its own rows instead of duplicating them
+            # replaces its own rows instead of duplicating them.
+            # Clustered like the index writers (r11, guide §6/§2.5):
+            # batch_id is ONE value per write, so the doc_id salt alone
+            # sizes the write to a single wave of evenly loaded tasks.
             .withColumn("batch_id", F.lit(int(batch_id)))
+            .transform(
+                lambda d: salted_by_partition(d, "batch_id", "doc_id", n_dirs=1)
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -1081,6 +1088,11 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nearest_corpus_cosine",
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
+            # clustered like the index writers (r11): vec_id salt, one
+            # write wave — see the neardup ingest writer
+            .transform(
+                lambda d: salted_by_partition(d, "batch_id", "vec_id", n_dirs=1)
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -1178,6 +1190,11 @@ def make_ivfpq_probe_append(
         (
             verdicts.withColumnRenamed("qid", "vec_id")
             .withColumn("batch_id", F.lit(int(batch_id)))
+            # clustered like the index writers (r11): vec_id salt, one
+            # write wave — see the neardup ingest writer
+            .transform(
+                lambda d: salted_by_partition(d, "batch_id", "vec_id", n_dirs=1)
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -71,7 +71,10 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.sparkContext.setJobDescription(f"PROFILED:{name}")
     t0 = time.perf_counter()
+    epoch0 = time.time() * 1000  # window for thread-pool jobs, which
+    # do NOT inherit the thread-local description (run_concurrent)
     qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    epoch1 = time.time() * 1000
     wall = time.perf_counter() - t0
     spark.stop()
 
@@ -126,7 +129,11 @@ def main() -> None:
     profiled = {
         j: v
         for j, v in jobs.items()
-        if v["desc"].startswith("PROFILED:") and "t1" in v
+        if "t1" in v
+        and (
+            v["desc"].startswith("PROFILED:")
+            or epoch0 <= v["t0"] <= epoch1  # thread-pool jobs in window
+        )
     }
     total_ms = sum(v["t1"] - v["t0"] for v in profiled.values())
     print(f"\n=== {name}: wall {wall:.3f}s, {len(profiled)} jobs,"
