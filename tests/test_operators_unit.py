@@ -2658,3 +2658,121 @@ def test_ivf_assign_matches_window_argmin(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_salted_by_partition_preserves_rows_and_salt_width(spark, tmp_path):
+    """salted_by_partition (optimization r11, guide §2.5: skew-safe
+    clustered writes) must (a) write exactly the same rows into exactly
+    the same partition directories as the unsalted repartition form,
+    (b) derive the salt deterministically (pmod(xxhash64(salt_src), k)
+    — never rand(), SPARK-38388), and (c) size k to
+    defaultParallelism // n_dirs so a wide-enough n_dirs degenerates to
+    the unsalted single-task-per-value clustering."""
+    from mapreduce_itwiki_spark.functions.par import salted_by_partition
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("cid"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    p_salted = str(tmp_path / "salted")
+    p_plain = str(tmp_path / "plain")
+    salted_by_partition(df, "cid", "vec_id", n_dirs=1).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(p_salted)
+    df.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(p_plain)
+    got = {tuple(r) for r in spark.read.parquet(p_salted).collect()}
+    want = {tuple(r) for r in spark.read.parquet(p_plain).collect()}
+    assert got == want and len(got) == 400
+    import os
+
+    dirs = lambda p: sorted(  # noqa: E731
+        d for d in os.listdir(p) if d.startswith("cid=")
+    )
+    assert dirs(p_salted) == dirs(p_plain)
+    # salt width: one value per directory gets ≤ k writer tasks — with
+    # n_dirs ≥ parallelism, k = 1 and every directory is 1 file, the
+    # unsalted layout
+    par = spark.sparkContext.defaultParallelism
+    wide = str(tmp_path / "wide")
+    salted_by_partition(df, "cid", "vec_id", n_dirs=max(par, 4)).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(wide)
+    for d in dirs(wide):
+        files = [
+            f
+            for f in os.listdir(os.path.join(wide, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+
+def test_pq_encode_rows_and_codes_equal_two_exchange_forms(spark):
+    """_pq_encode_rows / _pq_encode_codes (optimization r11, guide
+    §2.4: the one-exchange PQ encode) must be row-identical to the
+    two-shuffle shapes they replaced — the per-(vec_id, s) MIN(STRUCT)
+    argmin + (for codes) the array_sort(collect_list) assembly."""
+    from mapreduce_itwiki_spark.operators.similarity import (
+        PQ_M,
+        _pq_encode_codes,
+        _pq_encode_rows,
+        _pq_sub_rows,
+        pq_codebooks,
+        sq_dist,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sub = _pq_sub_rows(emb.select("vec_id", "embedding"))
+    books = pq_codebooks(sub, sample_mod=4).localCheckpoint()
+    scored = sub.join(F.broadcast(books), "s").select(
+        "vec_id", "s", "cid", sq_dist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    got = {
+        (r.vec_id, r.s): r.cid for r in _pq_encode_rows(scored).collect()
+    }
+    want = {
+        (r.vec_id, r.s): r.cid
+        for r in (
+            scored.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("s").orderBy("cid")
+    books_disk = books.withColumn(
+        "code", (F.row_number().over(wb) - 1).cast("tinyint")
+    )
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in _pq_encode_codes(sub, books_disk, PQ_M).collect()
+    }
+    enc_old = (
+        sub.join(F.broadcast(books_disk), "s")
+        .select(
+            "vec_id",
+            "s",
+            "code",
+            "cid",
+            sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+    want_codes = {
+        r.vec_id: list(r.codes)
+        for r in enc_old.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda st: st.getField("code"),
+            ).alias("codes")
+        )
+        .collect()
+    }
+    assert got_codes == want_codes and len(got_codes) > 0
