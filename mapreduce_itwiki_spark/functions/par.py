@@ -53,13 +53,27 @@ def salted_by_partition(df, part_col: str, salt_src: str, n_dirs: int):
     directory holding a third of the corpus is written by ~15 tasks
     instead of 1. ``n_dirs`` is a performance dial, not a correctness
     input — an estimate (e.g. the module-default nlist for an appended
-    index) only shifts k."""
+    index) only shifts k.
+
+    The exchange width is EXPLICIT (r11, guide §2.5): a bare
+    ``repartition(cols)`` is AQE-coalescible, and on a bytes-small
+    input AQE's 64 MB advisory merged the whole write onto 3 tasks —
+    each then paying the per-FILE parquet open/dictionary/footer cost
+    for ~85 directories sequentially (measured 2.7 s of a 4.1 s
+    minhash_index_build; task-metric evidence in OPTIMIZATION_r11.md).
+    ``n = max(parallelism, n_dirs·k)`` pins one writer wave: every
+    (value, salt) group still lands wholly in one task, so file count
+    and layout are unchanged — only the per-file overhead parallelizes.
+    At scale the explicit width equals what AQE would pick for a
+    data-bound write (n_dirs·k ≈ one cluster wave), so this binds only
+    where it should: the fixed-overhead-bound small write."""
     from pyspark.sql import functions as F
 
     par = df.sparkSession.sparkContext.defaultParallelism
     k = max(1, par // max(1, int(n_dirs)))
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(k))
-    return df.repartition(F.col(part_col), salt)
+    n = max(par, int(n_dirs) * k)
+    return df.repartition(n, F.col(part_col), salt)
 
 
 def run_concurrent(*thunks: Callable[[], object]) -> list[object]:

@@ -1239,7 +1239,17 @@ def allpairs_pipeline(
             >= alpha
         )
         .select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            # carry the set sizes THROUGH the candidate list
+            # (optimization r11, guide §2.3/§2.4): n is functionally
+            # dependent on doc_id, so the distinct's cardinality is
+            # unchanged and the verification below no longer joins a
+            # per-doc sizes aggregate back in — which removes one full
+            # execution of the shingle subtree (Spark has no
+            # cross-branch common-subplan elimination) plus two joins.
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
@@ -1247,26 +1257,25 @@ def allpairs_pipeline(
     # exclusion shape, but with ONLY shuffle joins — AllPairs makes no
     # sparsity promise about its candidate set, so nothing here may
     # assume the pair list is broadcastable): |A∩B| is a count over the
-    # (db, g) equi-join, set sizes join in from the per-doc counts, and
-    # the exact-rational τ test runs on the integer counts. Candidates
+    # (db, g) equi-join, set sizes ride the candidate rows, and the
+    # exact-rational τ test runs on the integer counts. Candidates
     # with zero intersection vanish from the count join — they cannot
     # pass τ > 0 anyway.
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_rows = ex.select(F.col("doc_id").alias("da"), F.col("g"))
     b_rows = ex.select(F.col("doc_id").alias("db"), F.col("g"))
     inter = (
         cand.join(a_rows, "da")
         .join(b_rows, ["db", "g"])
         .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
-        .filter(
-            ALLPAIRS_TAU_DEN * F.col("i")
-            >= ALLPAIRS_TAU_NUM * (F.col("na") + F.col("nb") - F.col("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
+    )
+    verified = inter.filter(
+        ALLPAIRS_TAU_DEN * F.col("i")
+        >= ALLPAIRS_TAU_NUM * (F.col("na") + F.col("nb") - F.col("i"))
     )
     return verified.select(
         "da",
